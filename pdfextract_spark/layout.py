@@ -1,0 +1,232 @@
+"""Synthetic-geometry tokenizer (S4-analog).
+
+The input table carries no geometry — only ordered interleaved spans
+(kind, text, media_ref, offset). This module deterministically lays every
+text span out into positioned float32 glyphs (and media spans into positioned
+boxes), replicating what the reference's glyph decoder produces from a PDF
+content stream (SURVEY.md §2.1 S4; reference PDFBoxIntegration.processEncodedText).
+
+The function is PURE: geometry depends only on (doc_id, spans) and the engine
+config. Both the sequential oracle and the distributed Spark pipeline call
+this same code, so span-sequence equality tests exercise the *analysis*
+stages, not the tokenizer.
+
+Layout model (all float32):
+- pages of page_width x page_height with a margin; cursor flows top-down
+- every text span starts a new visual line; spans flagged by the seeded
+  per-span draw get an extra paragraph gap before them
+- per-doc style dim (body/heading/small) derived from a seeded RNG; the first
+  text span gets the heading style (title analog); short all-digit spans are
+  page-number analogs pinned to the page's bottom zone
+- word gaps are 0.28-0.36 x fontsize; intra-word kerning jitter is
+  +-0.05 x fontsize, so the two gap clusters are cleanly separated (mirrors
+  the .spacing corpus distributions)
+- media spans consume a block of vertical space and emit one media box
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from .config import CONFIG, EngineConfig
+from .oracle.style import Style
+
+F32 = np.float32
+
+
+@dataclass
+class CharTable:
+    """Columnar per-document glyph table (float32 geometry)."""
+
+    page: np.ndarray        # int32
+    x: np.ndarray           # float32
+    y: np.ndarray           # float32
+    w: np.ndarray           # float32
+    h: np.ndarray           # float32
+    baseline: np.ndarray    # float32
+    style_idx: np.ndarray   # int32 -> styles list
+    char: List[str]         # 1-char strings (may include " ")
+    offset: np.ndarray      # int32 originating input-span offset
+
+    def __len__(self) -> int:
+        return len(self.char)
+
+
+@dataclass
+class MediaBox:
+    page: int
+    x: float
+    y: float
+    w: float
+    h: float
+    media_ref: str
+    offset: int
+
+
+def doc_seed(doc_id: str) -> int:
+    """Stable 64-bit seed from doc_id (independent of PYTHONHASHSEED)."""
+    return int.from_bytes(hashlib.blake2b(doc_id.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def doc_styles(doc_id: str) -> List[Style]:
+    """Per-document style dim: [body, heading, small]."""
+    rng = np.random.Generator(np.random.PCG64(doc_seed(doc_id) ^ 0x5717E5))
+    body_size = int(10 + rng.integers(0, 3))            # 10..12
+    return [
+        Style("Times", "", body_size, body_size),
+        Style("Times-Bold", "", body_size + 4, body_size + 4, bold=True),
+        Style("Times", "", body_size - 2, body_size - 2),
+    ]
+
+
+BODY, HEADING, SMALL = 0, 1, 2
+
+
+def _is_pagenum_text(text: str) -> bool:
+    return 0 < len(text) <= 4 and text.isdigit()
+
+
+def layout_document(
+    doc_id: str,
+    kinds: Sequence[str],
+    texts: Sequence[str],
+    media_refs: Sequence[str],
+    offsets: Sequence[int],
+    cfg: EngineConfig = CONFIG,
+) -> Tuple[CharTable, List[MediaBox], List[Style]]:
+    """Deterministically position every span's glyphs. Spans must be given in
+    offset order (the caller sorts)."""
+    styles = doc_styles(doc_id)
+    rng = np.random.Generator(np.random.PCG64(doc_seed(doc_id)))
+
+    margin = F32(cfg.page_margin)
+    page_w = F32(cfg.page_width)
+    page_h = F32(cfg.page_height)
+    body_y = styles[BODY].y_size
+    leading = F32(cfg.line_leading_factor * body_y)
+
+    pages: List[int] = []
+    xs: List[float] = []
+    ys: List[float] = []
+    ws: List[float] = []
+    hs: List[float] = []
+    baselines: List[float] = []
+    style_idxs: List[int] = []
+    chars: List[str] = []
+    offs: List[int] = []
+    media: List[MediaBox] = []
+
+    page = 0
+    cursor_y = margin  # top of the next line box
+    seen_text = False
+
+    def new_page():
+        nonlocal page, cursor_y
+        page += 1
+        cursor_y = margin
+
+    n = len(kinds)
+    for i in range(n):
+        kind = kinds[i]
+        offset = int(offsets[i])
+        # one draw per span regardless of kind, keeps the stream aligned
+        draws = rng.uniform(0.0, 1.0, 3)
+
+        if kind == "media":
+            mw = F32(100.0 + draws[0] * 300.0)
+            mh = F32(60.0 + draws[1] * 140.0)
+            if cursor_y + mh > page_h - margin:
+                new_page()
+            media.append(
+                MediaBox(page, float(margin), float(cursor_y), float(mw), float(mh),
+                         media_refs[i] or "", offset)
+            )
+            cursor_y = F32(cursor_y + mh + leading)
+            continue
+
+        text = texts[i] or ""
+        if not text:
+            continue
+
+        if not seen_text:
+            st = HEADING
+        elif _is_pagenum_text(text):
+            st = SMALL
+        else:
+            st = BODY
+
+        style = styles[st]
+        size = F32(style.x_size)
+        ysize = F32(style.y_size)
+        char_w = F32(cfg.char_aspect * size)
+
+        if st == SMALL and seen_text and _is_pagenum_text(text):
+            # page-number analog: bottom-centre of the CURRENT page, no flow
+            py = F32(page_h - F32(30.0))
+            px = F32(page_w / F32(2.0))
+            for ch in text:
+                pages.append(page)
+                xs.append(float(px))
+                ys.append(float(py))
+                ws.append(float(char_w))
+                hs.append(float(ysize))
+                baselines.append(float(F32(py + ysize)))
+                style_idxs.append(st)
+                chars.append(ch)
+                offs.append(offset)
+                px = F32(px + char_w + F32(0.02 * size))
+            continue
+
+        seen_text = True
+
+        # paragraph gap before ~35% of body spans (and after the title)
+        para_break = st == HEADING or draws[2] < 0.35
+        if para_break and cursor_y > margin:
+            cursor_y = F32(cursor_y + leading)
+
+        # flow the span's words into lines
+        cursor_x = margin
+        words = [wd for wd in text.split(" ") if wd != ""]
+        for wi, word in enumerate(words):
+            jit = rng.uniform(-0.05, 0.05, max(len(word) - 1, 0)).astype(np.float32) * size
+            word_w = F32(len(word) * char_w + (jit.sum() if len(jit) else F32(0.0)))
+            if cursor_x + word_w > page_w - margin and cursor_x > margin:
+                cursor_x = margin
+                cursor_y = F32(cursor_y + leading)
+            if cursor_y + ysize > page_h - margin:
+                new_page()
+                cursor_x = margin
+            gx = cursor_x
+            for ci, ch in enumerate(word):
+                pages.append(page)
+                xs.append(float(gx))
+                ys.append(float(cursor_y))
+                ws.append(float(char_w))
+                hs.append(float(ysize))
+                baselines.append(float(F32(cursor_y + ysize)))
+                style_idxs.append(st)
+                chars.append(ch)
+                offs.append(offset)
+                adv = char_w if ci == len(word) - 1 else F32(char_w + jit[ci])
+                gx = F32(gx + adv)
+            word_gap = F32((0.28 + float(rng.uniform(0.0, 0.08))) * float(size))
+            cursor_x = F32(gx + word_gap)
+        # span ends -> next span starts a new line
+        cursor_y = F32(cursor_y + leading)
+
+    table = CharTable(
+        page=np.asarray(pages, dtype=np.int32),
+        x=np.asarray(xs, dtype=np.float32),
+        y=np.asarray(ys, dtype=np.float32),
+        w=np.asarray(ws, dtype=np.float32),
+        h=np.asarray(hs, dtype=np.float32),
+        baseline=np.asarray(baselines, dtype=np.float32),
+        style_idx=np.asarray(style_idxs, dtype=np.int32),
+        char=chars,
+        offset=np.asarray(offs, dtype=np.int32),
+    )
+    return table, media, styles

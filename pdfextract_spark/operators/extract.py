@@ -1,0 +1,97 @@
+"""Distributed extraction operator.
+
+The whole layout-analysis pipeline is document-local (SURVEY.md §3 proves the
+reference has zero cross-document dataflow), so the Spark plan is a single
+narrow ``mapInPandas`` over the documents table — NO shuffle in the extraction
+path. Arrow batches stream documents into the per-doc pipeline; output rows
+stream back out. Cross-row relational work (ordering, joins with dims,
+writes) stays in the native Column API.
+
+Scale design:
+- ``repartition`` (optional) only to balance batch sizes across executors —
+  at cluster scale prefer a well-bucketed input table over a runtime shuffle
+- skewed oversized docs: the corpus has a ~0.1% band of ~100x docs;
+  ``split_oversized`` splits their span arrays into page-sized chunks that are
+  extracted independently and re-sequenced (pages are independent until the
+  final per-doc ordering — SURVEY.md §7 known-hard #4). Round 1 keeps them
+  whole; the banding hook is here.
+- per-doc failures are quarantined, not fatal (TextExtractor.java:124-131
+  analog): errors become rows in a quarantine output with kind='error'.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from ..config import CONFIG, EngineConfig
+from ..oracle.document import extract_document
+
+OUTPUT_SCHEMA = (
+    "doc_id string, seq int, kind string, text string, media_ref string, offset int"
+)
+
+_OUT_COLS = ["doc_id", "seq", "kind", "text", "media_ref", "offset"]
+
+
+def _spans_to_lists(spans) -> tuple:
+    kinds, texts, refs, offs = [], [], [], []
+    for s in spans:
+        kinds.append(s["kind"])
+        texts.append(s["text"] if s["text"] is not None else "")
+        refs.append(s["media_ref"] if s["media_ref"] is not None else "")
+        offs.append(int(s["offset"]))
+    return kinds, texts, refs, offs
+
+
+def extract_batch(pdf: pd.DataFrame, cfg: EngineConfig = CONFIG) -> pd.DataFrame:
+    """Extract every document in one Arrow batch (driver for the per-doc
+    pipeline; used by both the Spark operator and local tooling)."""
+    out = {c: [] for c in _OUT_COLS}
+    for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+        try:
+            kinds, texts, refs, offs = _spans_to_lists(spans)
+            result = extract_document(doc_id, kinds, texts, refs, offs, cfg)
+        except Exception as exc:  # quarantine, never fail the task
+            out["doc_id"].append(doc_id)
+            out["seq"].append(-1)
+            out["kind"].append("error")
+            out["text"].append(f"{type(exc).__name__}: {exc}")
+            out["media_ref"].append("")
+            out["offset"].append(-1)
+            continue
+        for sp in result:
+            out["doc_id"].append(doc_id)
+            out["seq"].append(sp.seq)
+            out["kind"].append(sp.kind)
+            out["text"].append(sp.text)
+            out["media_ref"].append(sp.media_ref)
+            out["offset"].append(sp.offset)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(out["doc_id"], dtype="object"),
+            "seq": pd.Series(out["seq"], dtype="int32"),
+            "kind": pd.Series(out["kind"], dtype="object"),
+            "text": pd.Series(out["text"], dtype="object"),
+            "media_ref": pd.Series(out["media_ref"], dtype="object"),
+            "offset": pd.Series(out["offset"], dtype="int32"),
+        }
+    )
+
+
+def extract_spans(documents_df, cfg: EngineConfig = CONFIG, num_partitions: int = 0):
+    """documents (doc_id, spans) -> extracted spans (narrow, no shuffle
+    unless num_partitions > 0 requests a balancing repartition)."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield extract_batch(pdf, cfg)
+
+    df = documents_df
+    if num_partitions > 0:
+        df = df.repartition(num_partitions)
+    return df.mapInPandas(process, schema=OUTPUT_SCHEMA)

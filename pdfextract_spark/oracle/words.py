@@ -40,6 +40,7 @@ class Glyph:
     style: Style
     pos: Rect
     baseline: np.float32
+    origin: int = -1  # originating input-span offset (first glyph wins on combine)
 
     def combine_with(self, other: "Glyph") -> "Glyph":
         return Glyph(
@@ -47,6 +48,7 @@ class Glyph:
             style=self.style,
             pos=self.pos.union(other.pos),
             baseline=self.baseline,
+            origin=self.origin,
         )
 
 

@@ -1,0 +1,315 @@
+"""Query registry for the driver contract (__spark_entry__).
+
+Each entry is a callable (spark, sf_dir) -> DataFrame plus (where the
+computation is SQL-expressible) an equivalent ANSI-SQL string DuckDB runs on
+the same parquet tables. Column names and rounding are aligned on both sides
+because the driver hash-compares values per column name.
+
+Coverage map (SURVEY.md §2.6 relational checklist + training-data ops):
+- projections/filters, joins (broadcast dim), aggregations, windows,
+  sorts/top-k, distinct — the native-operator surface the engine relies on
+- text analysis, fingerprint/dedup, similarity over the documents/embeddings
+  tables — the large-scale training-data operations
+- extraction-engine queries (media preservation, char conservation) that run
+  the FULL per-doc pipeline and are still DuckDB-checkable end-to-end
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.extract import extract_spans
+from .sources.adapters import documents_to_interleaved
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- relational
+
+def q_agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                              AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)                              AS avg_qty,
+       COUNT(*)                                               AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_filter_high_value(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_discount") >= 0.05) & (F.col("l_quantity") > 25))
+        .select("l_orderkey", "l_partkey", F.round(F.col("l_extendedprice"), 2).alias("price"))
+    )
+
+
+SQL_FILTER_HIGH_VALUE = """
+SELECT l_orderkey, l_partkey, ROUND(l_extendedprice, 2) AS price
+FROM lineitem WHERE l_discount >= 0.05 AND l_quantity > 25
+"""
+
+
+def q_topk_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"), F.count(F.lit(1)).alias("n_orders"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select("c_custkey", "c_name", "total_spent", "n_orders")
+        .orderBy(F.desc("total_spent"), "c_custkey")
+        .limit(10)
+    )
+
+
+SQL_TOPK_CUSTOMERS = """
+SELECT c_custkey, c_name, total_spent, n_orders
+FROM (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey) t
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_spent DESC, c_custkey LIMIT 10
+"""
+
+
+def q_window_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_over = (F.col("ts") - prev_ts) > F.expr("INTERVAL 1800 SECONDS")
+    return (
+        ev.withColumn("new_session", F.when(prev_ts.isNull() | gap_over, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_WINDOW_SESSIONIZE = """
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM (
+  SELECT user_id, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 1800 SECOND
+                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events) t
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_distinct_event_types(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+SQL_DISTINCT_EVENT_TYPES = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------------- text analysis
+
+def q_text_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNT = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        F.round(stop_hits / F.size(words), 4).alias("stopword_ratio"),
+        F.round(F.length(F.regexp_replace("text", "[^ ]", "")) / F.length("text"), 4).alias("space_ratio"),
+        F.size(F.array_distinct(words)).alias("n_unique_tokens"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id,
+       ROUND(len(list_filter(string_split(text, ' '), w -> w IN {STOPWORDS!r}))
+             / len(string_split(text, ' ')), 4)  AS stopword_ratio,
+       ROUND((length(text) - length(replace(text, ' ', ''))) * 1.0 / length(text), 4) AS space_ratio,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens
+FROM documents
+""".replace("'", "'")
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fingerprint", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(trim(text))) AS fingerprint, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------- extraction engine, SQL-checked
+
+def q_extract_media_preservation(spark, sf_dir):
+    """Runs the FULL extraction pipeline; media spans must be preserved
+    exactly (multiset equality with the adapter's media assignment)."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = extract_spans(documents_to_interleaved(docs))
+    return spans.filter(F.col("kind") == "media").select("doc_id", "media_ref")
+
+
+SQL_EXTRACT_MEDIA_PRESERVATION = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'img://' || CAST(doc_id AS VARCHAR) || '/fig0' AS media_ref
+FROM documents
+WHERE doc_id % 4 = 0
+"""
+
+
+def q_extract_char_conservation(spark, sf_dir):
+    """FULL pipeline; per-doc non-space character count must equal the
+    input's (no pagenum-shaped spans exist in this corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = extract_spans(documents_to_interleaved(docs))
+    return (
+        spans.filter(F.col("kind") != "media")
+        .groupBy("doc_id")
+        .agg(F.sum(F.length(F.regexp_replace("text", " ", ""))).alias("n_chars_out"))
+    )
+
+
+SQL_EXTRACT_CHAR_CONSERVATION = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       length(replace(text, ' ', '')) AS n_chars_out
+FROM documents
+"""
+
+
+# --------------------------------------------- extraction engine, rows-only
+
+def q_extract_pipeline(spark, sf_dir):
+    """Flagship: full extraction over the interleaved corpus (span-sequence
+    correctness is asserted against the Python oracle in pytest; the driver
+    records a rows-only check here)."""
+    docs = _t(spark, sf_dir, "documents")
+    return extract_spans(documents_to_interleaved(docs))
+
+
+def queries() -> Dict[str, Callable]:
+    return {
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "filter_high_value": q_filter_high_value,
+        "topk_customers": q_topk_customers,
+        "window_sessionize": q_window_sessionize,
+        "distinct_event_types": q_distinct_event_types,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "extract_media_preservation": q_extract_media_preservation,
+        "extract_char_conservation": q_extract_char_conservation,
+        "extract_pipeline": q_extract_pipeline,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {
+        "agg_pricing_summary": SQL_AGG_PRICING,
+        "join_revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "filter_high_value": SQL_FILTER_HIGH_VALUE,
+        "topk_customers": SQL_TOPK_CUSTOMERS,
+        "window_sessionize": SQL_WINDOW_SESSIONIZE,
+        "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
+        "text_token_count": SQL_TEXT_TOKEN_COUNT,
+        "text_quality": SQL_TEXT_QUALITY,
+        "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "extract_media_preservation": SQL_EXTRACT_MEDIA_PRESERVATION,
+        "extract_char_conservation": SQL_EXTRACT_CHAR_CONSERVATION,
+        # extract_pipeline: rows-only (non-SQL-expressible per-doc layout analysis)
+    }
