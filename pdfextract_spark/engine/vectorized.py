@@ -1,0 +1,894 @@
+"""Vectorized per-document extraction pipeline.
+
+Computes exactly what ``oracle.document.extract_document`` computes — bit-exact
+float32 — but on columnar numpy arrays: no Rect/Glyph object graphs, no
+per-glyph method dispatch. Sequential folds the reference semantics genuinely
+require (W1 line grouping, W3 word assembly, B5 paragraph fold) remain lean
+scalar loops over arrays; everything batchable (pairwise distances, y-histogram,
+slab scans, style comparison) is numpy elementwise work.
+
+Float32 parity notes (tests assert equality vs the oracle on every corpus):
+- np.float32 scalar/elementwise arithmetic == the oracle's f32(a op b)
+- pairwise bbox-union folds are replicated as folds: f32(x1 + f32(x2 - x1))
+  is not guaranteed to equal x2, so a global min/max would NOT be equivalent
+- int() casts replicate Java's truncation toward zero (positive coords)
+- sqrt: float32-rounded sqrt equals double-sqrt-then-round (2p+2 argument)
+
+Reference semantics per operator: see the docstrings in oracle/{words,lines,
+paragraphs,logical}.py and SURVEY.md §2 (file:line cites into /root/reference).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import CONFIG, EngineConfig
+from ..layout import CharTable, MediaBox, layout_document
+from ..oracle.document import OutSpan
+from ..oracle.lines import find_line_boundaries
+from ..oracle.style import BIG_DIFFERENCE, SPLIT, Style, style_compare
+from ..oracle.words import FONT_DENOM, estimate_boundary_cut
+
+F32 = np.float32
+_F32_TINY = np.float32(np.finfo(np.float32).tiny)
+_F08 = np.float32(0.8)
+_F07 = np.float32(0.7)
+_F2 = np.float32(2.0)
+_F0 = np.float32(0.0)
+
+
+# --------------------------------------------------------------------- glyphs
+
+@dataclass
+class _Glyphs:
+    """Columnar glyph (or word) table for one page."""
+
+    x: np.ndarray
+    y: np.ndarray
+    w: np.ndarray
+    h: np.ndarray
+    ex: np.ndarray        # f32(x + w)
+    ey: np.ndarray        # f32(y + h)
+    baseline: np.ndarray
+    style: np.ndarray     # int32 index into the style dim
+    text: List[str]
+    origin: np.ndarray    # int64 input-span offset
+
+    def __len__(self) -> int:
+        return len(self.text)
+
+
+def _page_glyphs(table: CharTable, mask: np.ndarray) -> _Glyphs:
+    idx = np.nonzero(mask)[0]
+    x = table.x[idx]
+    y = table.y[idx]
+    w = table.w[idx]
+    h = table.h[idx]
+    return _Glyphs(
+        x=x, y=y, w=w, h=h,
+        ex=x + w, ey=y + h,
+        baseline=table.baseline[idx],
+        style=table.style_idx[idx],
+        text=[table.char[i] for i in idx],
+        origin=table.offset[idx].astype(np.int64),
+    )
+
+
+def _style_luts(styles: List[Style]) -> Tuple[np.ndarray, np.ndarray]:
+    """(full 5-way compare LUT, word-break LUT) indexed [a, b] for
+    style_compare(styles[a], styles[b])."""
+    n = len(styles)
+    cmp_lut = np.zeros((n, n), dtype=np.int8)
+    for a in range(n):
+        for b in range(n):
+            cmp_lut[a, b] = style_compare(styles[a], styles[b])
+    break_lut = (cmp_lut == BIG_DIFFERENCE) | (cmp_lut == SPLIT)
+    return cmp_lut, break_lut
+
+
+# ------------------------------------------------------------------- distance
+
+def _dist_scalar(ax, ay, aw, ah, bx, by, bw, bh) -> np.float32:
+    """Rectangle.distance(Rectangle) on 8 float32 scalars (oracle geom.py)."""
+    aex = ax + aw
+    aey = ay + ah
+    bex = bx + bw
+    bey = by + bh
+    if not (aw <= _F0 or ah <= _F0):
+        if not (bex < ax or bx > aex or by > aey) and bey > ay:
+            return _F0
+    d = _F0
+    if ax > bex:
+        t = ax - bex
+        d = d + t * t
+    elif bx > aex:
+        t = bx - aex
+        d = d + t * t
+    if ay > bey:
+        t = ay - bey
+        d = d + t * t
+    elif by > aey:
+        t = by - aey
+        d = d + t * t
+    return np.float32(math.sqrt(float(d)))
+
+
+def _consecutive_distances(g: _Glyphs, idx: List[int]) -> np.ndarray:
+    """Vectorized rect distance between consecutive line glyphs (W2 input)."""
+    if len(idx) <= 1:
+        return np.empty(0, dtype=np.float32)
+    ii = np.asarray(idx, dtype=np.int64)
+    a, b = ii[:-1], ii[1:]
+    ax, ay, aw, ah = g.x[a], g.y[a], g.w[a], g.h[a]
+    aex, aey = g.ex[a], g.ey[a]
+    bx, by = g.x[b], g.y[b]
+    bex, bey = g.ex[b], g.ey[b]
+    inter = (
+        ~((aw <= _F0) | (ah <= _F0))
+        & ~(bex < ax) & ~(bx > aex) & ~(by > aey) & (bey > ay)
+    )
+    tx = np.where(ax > bex, ax - bex, np.where(bx > aex, bx - aex, _F0))
+    ty = np.where(ay > bey, ay - bey, np.where(by > aey, by - aey, _F0))
+    d = tx * tx + ty * ty
+    out = np.sqrt(d, dtype=np.float32)
+    out[inter] = _F0
+    return out
+
+
+# ------------------------------------------------------------ W1-W3 words
+
+def _approximate_char_spacing(distances: np.ndarray) -> np.float32:
+    """Legacy W2 average (oracle words.approximate_char_spacing)."""
+    if distances.size == 0:
+        return _F0
+    s = np.sort(distances, kind="stable")
+    max_boundary = max(FONT_DENOM, np.float32(s[0] * _F2))
+    total = _F0
+    counted = 0
+    for d in s:
+        if d > max_boundary:
+            break
+        total = total + d
+        counted += 1
+    return np.float32(total / np.float32(counted))
+
+
+@dataclass
+class _Word:
+    x: np.float32
+    y: np.float32
+    w: np.float32
+    h: np.float32
+    text: str
+    style: int
+    baseline: np.float32
+    origin: int
+
+
+def _make_words_fast(
+    g: _Glyphs, idx: List[int], texts: List[str], contains_spaces: bool,
+    dists: Optional[np.ndarray], char_spacing: np.float32, limit: np.float32,
+    x: np.ndarray, y: np.ndarray, w: np.ndarray, h: np.ndarray, ex: np.ndarray,
+) -> Optional[List[_Word]]:
+    """Vectorized W3 (two-pass). Returns None when the float32 union
+    identities don't hold for the tentative grouping — caller must run the
+    exact pairwise fold then.
+
+    Preconditions checked here: constant y/h, monotone x/ex, positive w/h.
+    Then: tentative word groups from glyph-to-glyph distances (== the fold's
+    union-to-next distances IF f32(x_s + f32(ex_j - x_s)) == ex_j for every
+    glyph j in the group starting at s); validate exactly that, per glyph,
+    against its tentative group start. When it holds the fold provably
+    produces w = f32(ex_e - x_s) (multi-glyph) and the same boundaries.
+    """
+    n = len(idx)
+    if not ((y == y[0]).all() and (h == h[0]).all()):
+        return None
+    if (np.diff(x) < 0).any() or (np.diff(ex) < 0).any():
+        return None
+    y0 = y[0]
+    h0 = h[0]
+    ey0 = np.float32(y0 + h0)
+    # y-axis union fixpoint: h after first combine is f32(ey - y); it must
+    # stay there (and equal h0, so single- and multi-glyph words agree)
+    if np.float32(ey0 - y0) != h0:
+        return None
+
+    if contains_spaces:
+        is_space = np.array([t.strip() == "" for t in texts], dtype=bool)
+        boundary_after = is_space[1:] | is_space[:-1]
+    else:
+        is_space = np.zeros(n, dtype=bool)
+        boundary_after = (dists - char_spacing) > limit
+
+    starts_new = np.empty(n, dtype=bool)
+    starts_new[0] = True
+    starts_new[1:] = boundary_after
+    group_starts = np.nonzero(starts_new)[0]
+    gid = np.cumsum(starts_new) - 1
+
+    # per-glyph x identity vs own group start
+    x1g = x[group_starts][gid]
+    if not (x1g + (ex - x1g) == ex).all():
+        return None
+
+    ii = np.asarray(idx, dtype=np.int64)
+    styles = g.style[ii].tolist()
+    baselines = list(g.baseline[ii])
+    origins = g.origin[ii].tolist()
+
+    group_ends = np.append(group_starts[1:], n) - 1
+    words: List[_Word] = []
+    for gi in range(len(group_starts)):
+        s = int(group_starts[gi])
+        if is_space[s]:
+            continue
+        e = int(group_ends[gi])
+        if e == s:
+            ww_ = w[s]
+        else:
+            ww_ = np.float32(ex[e] - x[s])
+        words.append(
+            _Word(
+                x[s], y0, ww_, h0,
+                "".join(texts[s : e + 1]) if e != s else texts[s],
+                styles[s], baselines[s], origins[s],
+            )
+        )
+    return words
+
+
+def _make_words_in_line(
+    g: _Glyphs, idx: List[int], mode: str, style_xsize: np.ndarray
+) -> List[_Word]:
+    texts = [g.text[i] for i in idx]
+    contains_spaces = any(tx == " " for tx in texts)
+
+    xs = int(style_xsize[g.style[idx[0]]])
+    font_size = F32(10.0) if xs == 0 else F32(float(xs))
+    limit = _F08 * font_size / FONT_DENOM
+
+    ii = np.asarray(idx, dtype=np.int64)
+    ax = g.x[ii]
+    ay = g.y[ii]
+    aw = g.w[ii]
+    ah = g.h[ii]
+    aex = g.ex[ii]
+
+    char_spacing = _F0
+    dists = None
+    if not contains_spaces:
+        dists = _consecutive_distances(g, idx)
+        if mode == "legacy":
+            char_spacing = _approximate_char_spacing(dists)
+        else:
+            cut = estimate_boundary_cut(dists, font_size)
+            char_spacing = np.float32(cut - limit)
+
+    # vectorized fast path when the pairwise-union fold provably degenerates
+    any_blank = any(tx.strip() == "" and tx != " " for tx in texts)
+    if not any_blank and (aw > _F0).all() and (ah > _F0).all():
+        fast = _make_words_fast(
+            g, idx, texts, contains_spaces, dists, char_spacing, limit,
+            ax, ay, aw, ah, aex,
+        )
+        if fast is not None:
+            return fast
+
+    # bulk-extract line columns as lists of np.float32 scalars (float32
+    # arithmetic preserved; list indexing beats per-access array indexing)
+    lx = list(ax)
+    ly = list(ay)
+    lw = list(aw)
+    lh = list(ah)
+    lex = list(aex)
+    ley = list(g.ey[ii])
+    lst = g.style[ii].tolist()
+    lbase = list(g.baseline[ii])
+    lorig = g.origin[ii].tolist()
+
+    words: List[_Word] = []
+    n = len(idx)
+    k = 0
+    cur: Optional[_Word] = None
+    while k < n or cur is not None:
+        if cur is None:
+            cur = _Word(
+                lx[k], ly[k], lw[k], lh[k],
+                texts[k], lst[k], lbase[k], lorig[k],
+            )
+            k += 1
+        if cur.text.strip() == "":
+            cur = None
+            continue
+        if k >= n:
+            words.append(cur)
+            cur = None
+            break
+        if contains_spaces:
+            boundary = texts[k].strip() == ""
+        else:
+            d = _dist_scalar(
+                cur.x, cur.y, cur.w, cur.h, lx[k], ly[k], lw[k], lh[k]
+            )
+            boundary = bool((d - char_spacing) > limit)
+        if boundary:
+            words.append(cur)
+            cur = None
+        else:
+            # combine: text concat + pairwise bbox-union fold (keeps style,
+            # baseline, origin of the first glyph)
+            aex = cur.x + cur.w
+            aey = cur.y + cur.h
+            bex = lex[k]
+            bey = ley[k]
+            bx = lx[k]
+            by = ly[k]
+            x1 = cur.x if cur.x <= bx else bx
+            y1 = cur.y if cur.y <= by else by
+            x2 = aex if aex >= bex else bex
+            y2 = aey if aey >= bey else bey
+            cur = _Word(
+                x1, y1, x2 - x1, y2 - y1,
+                cur.text + texts[k], cur.style, cur.baseline, cur.origin,
+            )
+            k += 1
+    return words
+
+
+def _segment_words_page(
+    g: _Glyphs, break_lut: np.ndarray, style_xsize: np.ndarray, mode: str
+) -> List[_Word]:
+    """W1 line grouping + W3 per line (oracle words.segment_words)."""
+    m = len(g)
+    if m == 0:
+        return []
+    order = np.argsort(g.baseline, kind="stable")
+    oidx = order.tolist()
+    b = list(g.baseline[order])
+    ex = list(g.ex[order])
+    ey = list(g.ey[order])
+    xx = list(g.x[order])
+    ww = list(g.w[order])
+    st = g.style[order].tolist()
+    blut = break_lut
+
+    out: List[_Word] = []
+    line: List[int] = []
+    baseline = _F0
+    max_y = _F32_TINY
+    max_x = _F0
+    cur_style = -1
+
+    for oi in range(m):
+        gb = b[oi]
+        if not line:
+            baseline = gb
+            max_x = ex[oi]
+            cur_style = st[oi]
+
+        stop = False
+        if baseline != gb and gb > max_y:
+            stop = True
+        else:
+            gx = xx[oi]
+            gw = ww[oi]
+            # not is_within_variance(max_x, gx, gw)
+            if max_x != gx and not ((max_x - gw) <= gx and (max_x + gw) >= gx):
+                stop = True
+            elif blut[st[oi], cur_style]:
+                stop = True
+
+        if stop:
+            if line:
+                out.extend(_make_words_in_line(g, line, mode, style_xsize))
+                line = []
+            baseline = gb
+            max_y = ey[oi]
+            cur_style = st[oi]
+
+        line.append(oidx[oi])
+        exi = ex[oi]
+        if exi > max_y:
+            max_y = exi  # reference quirk: maxY tracks endX
+        max_x = exi
+
+    if line:
+        out.extend(_make_words_in_line(g, line, mode, style_xsize))
+    return out
+
+
+# ------------------------------------------------------------------ word table
+
+@dataclass
+class _WordTable:
+    x: np.ndarray
+    y: np.ndarray
+    w: np.ndarray
+    h: np.ndarray
+    ex: np.ndarray
+    ey: np.ndarray
+    style: np.ndarray     # int32
+    text: List[str]
+    tlen: np.ndarray      # int64 len(text)
+    origin: np.ndarray    # int64
+
+    def __len__(self) -> int:
+        return len(self.text)
+
+
+def _word_table(words: List[_Word]) -> _WordTable:
+    x = np.array([wd.x for wd in words], dtype=np.float32)
+    y = np.array([wd.y for wd in words], dtype=np.float32)
+    w = np.array([wd.w for wd in words], dtype=np.float32)
+    h = np.array([wd.h for wd in words], dtype=np.float32)
+    return _WordTable(
+        x=x, y=y, w=w, h=h, ex=x + w, ey=y + h,
+        style=np.array([wd.style for wd in words], dtype=np.int32),
+        text=[wd.text for wd in words],
+        tlen=np.array([len(wd.text) for wd in words], dtype=np.int64),
+        origin=np.array([wd.origin for wd in words], dtype=np.int64),
+    )
+
+
+# Line = mutable list of word indices (order matters: pos/style folds follow it)
+Line = List[int]
+
+
+def _line_pos(t: _WordTable, line: Line) -> Tuple[np.float32, np.float32, np.float32, np.float32]:
+    """Pairwise bbox-union fold in list order (== oracle Line.pos)."""
+    i0 = line[0]
+    x, y, w, h = t.x[i0], t.y[i0], t.w[i0], t.h[i0]
+    for i in line[1:]:
+        aex = x + w
+        aey = y + h
+        bex = t.ex[i]
+        bey = t.ey[i]
+        bx = t.x[i]
+        by = t.y[i]
+        x1 = x if x <= bx else bx
+        y1 = y if y <= by else by
+        x2 = aex if aex >= bex else bex
+        y2 = aey if aey >= bey else bey
+        x, y, w, h = x1, y1, x2 - x1, y2 - y1
+    return x, y, w, h
+
+
+def _dominating_style(t: _WordTable, idxs: Line) -> int:
+    """B8 letter-count-weighted mode; ties -> earliest first appearance."""
+    weights: Dict[int, int] = {}
+    order: Dict[int, int] = {}
+    for pos, i in enumerate(idxs):
+        s = int(t.style[i])
+        weights[s] = weights.get(s, 0) + len(t.text[i])
+        if s not in order:
+            order[s] = pos
+    return max(weights, key=lambda s: (weights[s], -order[s]))
+
+
+def _line_text(t: _WordTable, line: Line) -> str:
+    return " ".join(t.text[i] for i in line)
+
+
+# ------------------------------------------------------------------- B3 lines
+
+def _create_lines(t: _WordTable, cmp_lut: np.ndarray) -> List[Line]:
+    """Oracle lines.create_lines on the columnar word table."""
+    n = len(t)
+    if n == 0:
+        return []
+
+    yi = t.y.astype(np.int64)
+    eyi = t.ey.astype(np.int64)
+    min_y = int(yi.min())
+    max_y = int(eyi.max()) + 1
+    # y-projection histogram via the difference trick (== per-word slice adds)
+    size = max_y - min_y
+    delta = np.zeros(size + 1, dtype=np.int64)
+    hi = t.h.astype(np.int64)
+    wi = t.w.astype(np.int64)
+    starts = yi - min_y
+    stops = np.minimum(starts + hi, size)
+    np.add.at(delta, starts, wi)
+    np.add.at(delta, stops, -wi)
+    counts = np.cumsum(delta[:-1])
+
+    boundaries = find_line_boundaries(counts.tolist())
+
+    # window assignment, vectorized per boundary window; first window wins,
+    # within-window order = stable y sort (== oracle's ordered scan)
+    ordered = np.argsort(t.y, kind="stable")
+    yf_ord = t.y[ordered]
+    eyf_ord = t.ey[ordered]
+    unassigned = np.ones(n, dtype=bool)
+    lines: List[Line] = []
+    for bi in range(len(boundaries) - 1):
+        start = min_y + boundaries[bi] - 1
+        stop = min_y + boundaries[bi + 1]
+        sel = np.nonzero(unassigned & (yf_ord > start - 1) & (eyf_ord < stop + 1))[0]
+        if sel.size:
+            unassigned[sel] = False
+            lines.append([int(i) for i in ordered[sel]])
+
+    _combine_lines(t, lines)
+    for line in lines:
+        line.sort(key=lambda i: t.x[i])  # B4 in-line order, stable
+    return lines
+
+
+def _vertical_distance(ay, aey, by, bey) -> np.float32:
+    if by >= aey:
+        return np.float32(by - aey)
+    if ay >= bey:
+        return np.float32(ay - bey)
+    return _F0
+
+
+def _combine_lines(t: _WordTable, lines: List[Line]) -> None:
+    """Oracle lines._combine_lines, in place."""
+    i = 1
+    while i < len(lines):
+        last, cur = lines[i - 1], lines[i]
+        if len(cur) < 4 and _dominating_style(t, cur) == _dominating_style(t, last):
+            lx, ly, lw, lh = _line_pos(t, last)
+            cx, cy, cw, ch = _line_pos(t, cur)
+            if ch <= _F07 * lh and _vertical_distance(
+                ly, ly + lh, cy, cy + ch
+            ) <= _F2:
+                last.extend(cur)
+                del lines[i]
+                continue
+        i += 1
+
+
+# -------------------------------------------------------- P10 + B5 paragraphs
+
+def _avg_font_y(t: _WordTable, idxs: Sequence[int], style_ysize: np.ndarray) -> np.float32:
+    ii = np.asarray(idxs, dtype=np.int64)
+    lens = t.tlen[ii]
+    n = int(lens.sum())
+    if n == 0:
+        return _F32_TINY
+    y_sum = float((style_ysize[t.style[ii]].astype(np.int64) * lens).sum())
+    return np.float32(y_sum / n)
+
+
+def _modal_vertical_spacing(
+    t: _WordTable,
+    all_idx: Sequence[int],
+    region: Tuple[np.float32, np.float32, np.float32, np.float32],
+    style_ysize: np.ndarray,
+) -> int:
+    """Oracle paragraphs.modal_vertical_spacing, slab masks vectorized."""
+    avg_y = _avg_font_y(t, all_idx, style_ysize)
+    limit = int(avg_y) * 3
+    if limit <= 0:
+        limit = 1
+    hist = np.zeros(limit, dtype=np.int64)
+
+    rx, ry, rw, rh = region
+    ii = np.asarray(all_idx, dtype=np.int64)
+    wx, wy, wex, wey = t.x[ii], t.y[ii], t.ex[ii], t.ey[ii]
+
+    x = float(rx)
+    step = float(rw) / 3.0
+    if step <= 0.0:
+        step = 1.0
+    end_x = float(rx + rw)
+    while x <= end_x:
+        ix = int(x)
+        sx = np.float32(float(ix))
+        sy = np.float32(float(ry))
+        sex = sx + np.float32(1.0)
+        sey = sy + np.float32(float(rh))
+        mask = ~(wex < sx) & ~(wx > sex) & ~(wy > sey) & (wey > sy)
+        sel = np.nonzero(mask)[0]
+        if sel.size > 1:
+            order = sel[np.argsort(wy[sel], kind="stable")]
+            d = (wy[order][1:] - wey[order][:-1]).astype(np.int64)
+            d = d[(d > 0) & (d < limit)]
+            np.add.at(hist, d, 1)
+        x += step
+
+    index = -1
+    if limit > 2:
+        hh = hist[2:]
+        index = 2 + (hh.size - 1 - int(np.argmax(hh[::-1])))
+
+    temp = float(max(index, int(float(avg_y) * 0.5)))
+    return int(temp + max(1.0, temp * 0.1))
+
+
+# Paragraph = list of Lines
+Paragraph = List[Line]
+
+
+def _segment_paragraphs(
+    t: _WordTable, lines: List[Line], mvs: int, cmp_lut: np.ndarray
+) -> List[Paragraph]:
+    """Oracle paragraphs.segment_paragraphs (B5 fold)."""
+    if not lines:
+        return []
+    from ..oracle.style import (  # local import to keep constants in one place
+        SAME_STYLE,
+        SAME_STYLE_AND_BIG_TEXT,
+        SUBTLE_DIFFERENCE,
+    )
+
+    gap_15 = np.float32(mvs * 1.5)
+    gap_11 = np.float32(mvs * 1.1)
+
+    ret: List[Paragraph] = []
+    current: Paragraph = []
+    current_style = -1
+    last_pos = None
+
+    for line in lines:
+        line_style = _dominating_style(t, line)
+        if current_style == -1:
+            current_style = line_style
+            last_pos = _line_pos(t, line)
+
+        lp = _line_pos(t, line)
+        distance = np.float32(lp[1] - (last_pos[1] + last_pos[3]))
+        cmp = int(cmp_lut[current_style, line_style])
+
+        if cmp == SPLIT:
+            split = True
+        elif cmp == SAME_STYLE_AND_BIG_TEXT:
+            split = False
+        elif cmp == SAME_STYLE:
+            split = bool(distance > gap_15)
+        elif cmp == SUBTLE_DIFFERENCE:
+            found = any(int(t.style[i]) == current_style for i in line)
+            split = bool(distance > (gap_15 if found else gap_11))
+        else:  # BIG_DIFFERENCE
+            found = any(int(t.style[i]) == current_style for i in line)
+            split = not found
+
+        if split:
+            if current:
+                ret.append(current)
+            current = []
+            current_style = line_style
+
+        current.append(line)
+        last_pos = lp
+
+    if current:
+        ret.append(current)
+    return ret
+
+
+# ------------------------------------------------------------- L1-L3 logical
+
+def _para_pos(t: _WordTable, para: Paragraph):
+    x, y, w, h = _line_pos(t, para[0])
+    for line in para[1:]:
+        bx, by, bw, bh = _line_pos(t, line)
+        aex = x + w
+        aey = y + h
+        bex = bx + bw
+        bey = by + bh
+        x1 = x if x <= bx else bx
+        y1 = y if y <= by else by
+        x2 = aex if aex >= bex else bex
+        y2 = aey if aey >= bey else bey
+        x, y, w, h = x1, y1, x2 - x1, y2 - y1
+    return x, y, w, h
+
+
+def _para_style(t: _WordTable, para: Paragraph) -> int:
+    return _dominating_style(t, [i for line in para for i in line])
+
+
+def _find_body_style(
+    tables: List[_WordTable], styles: List[Style]
+) -> int:
+    counts = np.zeros(len(styles), dtype=np.int64)
+    for t in tables:
+        if len(t):
+            counts += np.bincount(
+                t.style, weights=t.tlen, minlength=len(styles)
+            ).astype(np.int64)
+    body = 0
+    max_count = -1
+    for s in range(len(styles)):
+        if counts[s] > max_count:
+            max_count = int(counts[s])
+            body = s
+    return body
+
+
+def _can_be_line_id(t: _WordTable, line: Line, st: int, body: int, styles: List[Style]) -> bool:
+    if styles[body].font_name == styles[st].font_name or styles[body].x_size >= styles[st].x_size:
+        return False
+    text = _line_text(t, line).strip()
+    first_word = text.split()[0] if text else ""
+    if len(first_word) > 3 or not first_word:
+        return False
+    c = first_word[0]
+    return c.isdigit() or "." in first_word or c in "abcdABCI"
+
+
+def _find_header_candidates(
+    tables: List[_WordTable], pages: List[List[Paragraph]], body: int, styles: List[Style]
+) -> List[int]:
+    candidates: List[int] = []
+    for p, page in enumerate(pages):
+        t = tables[p]
+        for para in page:
+            for line in para:
+                st = _dominating_style(t, line)
+                if st in candidates or st == body:
+                    continue
+                if styles[st].x_size >= styles[body].x_size or _can_be_line_id(
+                    t, line, st, body, styles
+                ):
+                    candidates.append(st)
+    return candidates
+
+
+def _extract_title(
+    tables: List[_WordTable], pages: List[List[Paragraph]], header_candidates: List[int]
+) -> Optional[Paragraph]:
+    if not pages or not pages[0]:
+        return None
+    first = pages[0]
+    t = tables[0]
+    for i, para in enumerate(first):
+        if _para_style(t, para) in header_candidates:
+            if i + 1 != len(first) - 1 and i + 1 < len(first):
+                nxt = first[i + 1]
+                if _para_style(t, nxt) == _para_style(t, para):
+                    para.extend(nxt)
+                    first.remove(nxt)
+            first.remove(para)
+            return para
+    return None
+
+
+def _remove_page_numbers(
+    tables: List[_WordTable], pages: List[List[Paragraph]], page_end_y: float
+) -> None:
+    pot_per_page: List[Tuple[int, List[Paragraph]]] = []
+    all_pot: List[Tuple[int, Paragraph]] = []
+    for p, page in enumerate(pages):
+        t = tables[p]
+        current: List[Paragraph] = []
+        for para in page:
+            if len(para) != 1:
+                continue
+            if _para_pos(t, para)[1] < page_end_y * 0.85:
+                continue
+            text = " ".join(_line_text(t, line) for line in para).strip()
+            if text and all(ch.isdigit() for ch in text):
+                current.append(para)
+        if current:
+            pot_per_page.append((p, current))
+            all_pot.extend((p, para) for para in current)
+
+    if len(pot_per_page) < max(1, len(pages) // 2):
+        return
+
+    # mode style over all candidate words (letter-weighted, tie by appearance)
+    weights: Dict[int, int] = {}
+    order: Dict[int, int] = {}
+    pos = 0
+    for p, para in all_pot:
+        t = tables[p]
+        for line in para:
+            for i in line:
+                s = int(t.style[i])
+                weights[s] = weights.get(s, 0) + len(t.text[i])
+                if s not in order:
+                    order[s] = pos
+                pos += 1
+    mode_style = max(weights, key=lambda s: (weights[s], -order[s]))
+
+    for p, candidates in pot_per_page:
+        t = tables[p]
+        matching = [para for para in candidates if _para_style(t, para) == mode_style]
+        if len(matching) != 1:
+            continue
+        pages[p].remove(matching[0])
+
+
+# ------------------------------------------------------------------- pipeline
+
+def extract_document_fast(
+    doc_id: str,
+    kinds: Sequence[str],
+    texts: Sequence[str],
+    media_refs: Sequence[str],
+    offsets: Sequence[int],
+    cfg: EngineConfig = CONFIG,
+    mode: str = "tuned",
+) -> List[OutSpan]:
+    """Drop-in vectorized equivalent of oracle.document.extract_document."""
+    order = np.argsort(np.asarray(offsets, dtype=np.int64), kind="stable")
+    kinds = [kinds[i] for i in order]
+    texts = [texts[i] for i in order]
+    media_refs = [media_refs[i] for i in order]
+    offsets = [int(offsets[i]) for i in order]
+
+    table, media, styles = layout_document(doc_id, kinds, texts, media_refs, offsets, cfg)
+    cmp_lut, break_lut = _style_luts(styles)
+    style_xsize = np.array([s.x_size for s in styles], dtype=np.int64)
+    style_ysize = np.array([s.y_size for s in styles], dtype=np.int64)
+
+    n_pages = int(table.page.max()) + 1 if len(table) else 0
+    n_pages = max(n_pages, (max((m.page for m in media), default=-1) + 1))
+
+    media_by_page: Dict[int, List[MediaBox]] = {}
+    for m in media:
+        media_by_page.setdefault(m.page, []).append(m)
+
+    tables: List[_WordTable] = []
+    pages: List[List[Paragraph]] = []
+    for p in range(n_pages):
+        g = _page_glyphs(table, table.page == p)
+        words = _segment_words_page(g, break_lut, style_xsize, mode)
+        t = _word_table(words)
+        lines = _create_lines(t, cmp_lut)
+        if lines:
+            region = _line_pos(t, lines[0])
+            for line in lines[1:]:
+                bx, by, bw, bh = _line_pos(t, line)
+                aex = region[0] + region[2]
+                aey = region[1] + region[3]
+                bex = bx + bw
+                bey = by + bh
+                x1 = region[0] if region[0] <= bx else bx
+                y1 = region[1] if region[1] <= by else by
+                x2 = aex if aex >= bex else bex
+                y2 = aey if aey >= bey else bey
+                region = (x1, y1, x2 - x1, y2 - y1)
+            all_idx = [i for line in lines for i in line]
+            mvs = _modal_vertical_spacing(t, all_idx, region, style_ysize)
+            paragraphs = _segment_paragraphs(t, lines, mvs, cmp_lut)
+        else:
+            paragraphs = []
+        tables.append(t)
+        pages.append(paragraphs)
+
+    body = _find_body_style(tables, styles)
+    header_candidates = _find_header_candidates(tables, pages, body, styles)
+    title = _extract_title(tables, pages, header_candidates)
+    _remove_page_numbers(tables, pages, cfg.page_height)
+
+    out: List[OutSpan] = []
+    seq = 0
+    if title is not None:
+        t = tables[0]
+        for line in title:
+            out.append(
+                OutSpan(seq, "title", _line_text(t, line), "",
+                        int(min(t.origin[i] for i in line)))
+            )
+            seq += 1
+
+    for p in range(n_pages):
+        t = tables[p]
+        items: List[Tuple[float, int, str, object]] = []
+        for pi, para in enumerate(pages[p]):
+            items.append((float(_para_pos(t, para)[1]), pi, "para", para))
+        for mi, m in enumerate(media_by_page.get(p, [])):
+            items.append((float(m.y), 1_000_000 + mi, "media", m))
+        items.sort(key=lambda it: (it[0], it[1]))
+        for _, _, kind, obj in items:
+            if kind == "para":
+                for line in obj:
+                    out.append(
+                        OutSpan(seq, "text", _line_text(t, line), "",
+                                int(min(t.origin[i] for i in line)))
+                    )
+                    seq += 1
+            else:
+                out.append(OutSpan(seq, "media", "", obj.media_ref, obj.offset))
+                seq += 1
+    return out

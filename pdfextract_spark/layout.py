@@ -109,16 +109,31 @@ def layout_document(
     body_y = styles[BODY].y_size
     leading = F32(cfg.line_leading_factor * body_y)
 
-    pages: List[int] = []
-    xs: List[float] = []
-    ys: List[float] = []
-    ws: List[float] = []
-    hs: List[float] = []
-    baselines: List[float] = []
-    style_idxs: List[int] = []
+    # per-word x chunks + scalar per-word metadata; one np.repeat batch at the
+    # end materializes the char table (vectorized emission, no per-char loops)
+    x_chunks: List[np.ndarray] = []
+    run_len: List[int] = []
+    run_page: List[int] = []
+    run_y: List[np.float32] = []
+    run_cw: List[np.float32] = []
+    run_h: List[np.float32] = []
+    run_bl: List[np.float32] = []
+    run_st: List[int] = []
+    run_off: List[int] = []
     chars: List[str] = []
-    offs: List[int] = []
     media: List[MediaBox] = []
+
+    def emit_run(page_, px_arr, py, char_w_, ysize_, bl, st_, text_, offset_):
+        x_chunks.append(np.asarray(px_arr, dtype=np.float32))
+        run_len.append(len(text_))
+        run_page.append(page_)
+        run_y.append(py)
+        run_cw.append(char_w_)
+        run_h.append(ysize_)
+        run_bl.append(bl)
+        run_st.append(st_)
+        run_off.append(offset_)
+        chars.extend(text_)
 
     page = 0
     cursor_y = margin  # top of the next line box
@@ -168,17 +183,11 @@ def layout_document(
             # page-number analog: bottom-centre of the CURRENT page, no flow
             py = F32(page_h - F32(30.0))
             px = F32(page_w / F32(2.0))
-            for ch in text:
-                pages.append(page)
-                xs.append(float(px))
-                ys.append(float(py))
-                ws.append(float(char_w))
-                hs.append(float(ysize))
-                baselines.append(float(F32(py + ysize)))
-                style_idxs.append(st)
-                chars.append(ch)
-                offs.append(offset)
+            pxs = []
+            for _ch in text:
+                pxs.append(px)
                 px = F32(px + char_w + F32(0.02 * size))
+            emit_run(page, pxs, py, char_w, ysize, F32(py + ysize), st, text, offset)
             continue
 
         seen_text = True
@@ -200,33 +209,48 @@ def layout_document(
             if cursor_y + ysize > page_h - margin:
                 new_page()
                 cursor_x = margin
-            gx = cursor_x
-            for ci, ch in enumerate(word):
-                pages.append(page)
-                xs.append(float(gx))
-                ys.append(float(cursor_y))
-                ws.append(float(char_w))
-                hs.append(float(ysize))
-                baselines.append(float(F32(cursor_y + ysize)))
-                style_idxs.append(st)
-                chars.append(ch)
-                offs.append(offset)
-                adv = char_w if ci == len(word) - 1 else F32(char_w + jit[ci])
-                gx = F32(gx + adv)
+            # per-char advance fold == float32 cumsum (verified bit-exact):
+            # adv_i = f32(char_w + jit_i) for all but the last char, then char_w
+            k = len(word)
+            arr = np.empty(k + 1, dtype=np.float32)
+            arr[0] = cursor_x
+            if k > 1:
+                arr[1:k] = char_w + jit
+            arr[k] = char_w
+            walk = np.cumsum(arr)
+            emit_run(
+                page, walk[:k], cursor_y, char_w, ysize,
+                F32(cursor_y + ysize), st, word, offset,
+            )
+            gx = walk[k]
             word_gap = F32((0.28 + float(rng.uniform(0.0, 0.08))) * float(size))
             cursor_x = F32(gx + word_gap)
         # span ends -> next span starts a new line
         cursor_y = F32(cursor_y + leading)
 
-    table = CharTable(
-        page=np.asarray(pages, dtype=np.int32),
-        x=np.asarray(xs, dtype=np.float32),
-        y=np.asarray(ys, dtype=np.float32),
-        w=np.asarray(ws, dtype=np.float32),
-        h=np.asarray(hs, dtype=np.float32),
-        baseline=np.asarray(baselines, dtype=np.float32),
-        style_idx=np.asarray(style_idxs, dtype=np.int32),
-        char=chars,
-        offset=np.asarray(offs, dtype=np.int32),
-    )
+    if x_chunks:
+        lens = np.asarray(run_len, dtype=np.int64)
+        table = CharTable(
+            page=np.repeat(np.asarray(run_page, dtype=np.int32), lens),
+            x=np.concatenate(x_chunks),
+            y=np.repeat(np.asarray(run_y, dtype=np.float32), lens),
+            w=np.repeat(np.asarray(run_cw, dtype=np.float32), lens),
+            h=np.repeat(np.asarray(run_h, dtype=np.float32), lens),
+            baseline=np.repeat(np.asarray(run_bl, dtype=np.float32), lens),
+            style_idx=np.repeat(np.asarray(run_st, dtype=np.int32), lens),
+            offset=np.repeat(np.asarray(run_off, dtype=np.int32), lens),
+            char=chars,
+        )
+    else:
+        table = CharTable(
+            page=np.empty(0, dtype=np.int32),
+            x=np.empty(0, dtype=np.float32),
+            y=np.empty(0, dtype=np.float32),
+            w=np.empty(0, dtype=np.float32),
+            h=np.empty(0, dtype=np.float32),
+            baseline=np.empty(0, dtype=np.float32),
+            style_idx=np.empty(0, dtype=np.int32),
+            offset=np.empty(0, dtype=np.int32),
+            char=chars,
+        )
     return table, media, styles

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 
 from ..config import CONFIG, EngineConfig
-from ..oracle.document import extract_document
+from ..engine import extract_document_fast as extract_document
 
 OUTPUT_SCHEMA = (
     "doc_id string, seq int, kind string, text string, media_ref string, offset int"
