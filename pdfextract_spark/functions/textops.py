@@ -1,0 +1,127 @@
+"""Text-analysis operators over the `documents` table.
+
+All pure Column expressions (whole-stage-codegen friendly, zero shuffle):
+- language ID: stopword-lexicon hit counts, deterministic argmax
+- BPE-ish tokenization: letter-runs / digit-runs / punct-runs regex
+- rolling-hash fingerprint: Horner fold over word hashes mod P31
+(quality scoring and whitespace tokenization live in queries.py since r1)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .hashing import P31
+
+LEXICONS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+}
+LANG_ORDER = ("en", "es", "fr", "de")
+
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+HORNER_BASE = 31
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, score) — argmax of lexicon hits, ties resolved in
+    LANG_ORDER."""
+    words = F.split(F.lower(F.col("text")), " ")
+
+    def hit_count(lex):
+        return F.size(F.filter(words, lambda w: w.isin(*lex)))
+
+    scores = {lang: hit_count(lex) for lang, lex in LEXICONS.items()}
+
+    pred = None
+    best = None
+    for lang in reversed(LANG_ORDER):
+        if pred is None:
+            pred = F.lit(lang)
+            best = scores[lang]
+        else:
+            cond = scores[lang] >= best
+            pred = F.when(cond, F.lit(lang)).otherwise(pred)
+            best = F.when(cond, scores[lang]).otherwise(best)
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        pred.alias("pred_lang"),
+        best.cast("int").alias("score"),
+    )
+
+
+def sql_language_id(table: str = "documents") -> str:
+    def hits(lex):
+        inl = ", ".join(f"'{w}'" for w in lex)
+        return (
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inl})))"
+        )
+
+    s = {lang: hits(lex) for lang, lex in LEXICONS.items()}
+    # same right-to-left fold as the Spark side
+    pred = f"'{LANG_ORDER[-1]}'"
+    best = s[LANG_ORDER[-1]]
+    for lang in reversed(LANG_ORDER[:-1]):
+        pred = f"CASE WHEN {s[lang]} >= {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN {s[lang]} >= {best} THEN {s[lang]} ELSE {best} END"
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, {pred} AS pred_lang,
+       CAST({best} AS INT) AS score
+FROM {table}
+"""
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_alpha, n_num) under the BPE-ish regex."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))).alias("n_alpha"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).alias("n_num"),
+    )
+
+
+def sql_bpe_token_stats(table: str = "documents") -> str:
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_tokens,
+       len(list_filter(regexp_extract_all(text, '{BPE_PATTERN}'),
+           t -> regexp_matches(t, '^[A-Za-z]+$'))) AS n_alpha,
+       len(list_filter(regexp_extract_all(text, '{BPE_PATTERN}'),
+           t -> regexp_matches(t, '^[0-9]+$'))) AS n_num
+FROM {table}
+"""
+
+
+def rolling_fingerprint(documents: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — order-sensitive Horner fold of word hashes:
+    fp = fold(acc*31 + h31(word)) mod P31. Exact integers on both engines."""
+    words = F.split(F.col("text"), " ")
+    hs = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long") % P31,
+    )
+    fp = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * HORNER_BASE + h) % P31,
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), fp.alias("fingerprint")
+    )
+
+
+def sql_rolling_fingerprint(table: str = "documents") -> str:
+    hs = (
+        "list_transform(string_split(text, ' '), "
+        f"w -> ((('0x' || substr(md5(w),1,15))::BIGINT) % {P31}))"
+    )
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       list_reduce(list_concat([0::BIGINT], {hs}),
+                   (acc, h) -> (acc * {HORNER_BASE} + h) % {P31}) AS fingerprint
+FROM {table}
+"""

@@ -22,6 +22,7 @@ from typing import Dict
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import dedup, multimodal, similarity, textops
 from .operators.extract import extract_spans
 from .sources.adapters import documents_to_interleaved
 
@@ -232,6 +233,52 @@ FROM documents GROUP BY 1
 """
 
 
+# ------------------------------------ dedup / similarity / multimodal (§2+)
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash_neardup(spark, sf_dir):
+    return dedup.simhash_neardups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    return similarity.ann_lsh_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+def q_embed_label_centroids(spark, sf_dir):
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+def q_text_lang_id(spark, sf_dir):
+    return textops.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_bpe_tokens(spark, sf_dir):
+    return textops.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_text_rolling_fingerprint(spark, sf_dir):
+    return textops.rolling_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_decode_meta(spark, sf_dir):
+    return multimodal.media_meta_query(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------- extraction engine, SQL-checked
 
 def q_extract_media_preservation(spark, sf_dir):
@@ -291,6 +338,17 @@ def queries() -> Dict[str, Callable]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_neardup": q_dedup_simhash_neardup,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "embed_label_centroids": q_embed_label_centroids,
+        "text_lang_id": q_text_lang_id,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_rolling_fingerprint": q_text_rolling_fingerprint,
+        "multimodal_decode_meta": q_multimodal_decode_meta,
         "extract_media_preservation": q_extract_media_preservation,
         "extract_char_conservation": q_extract_char_conservation,
         "extract_pipeline": q_extract_pipeline,
@@ -309,6 +367,17 @@ def oracle_sql() -> Dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": dedup.sql_lsh_candidate_pairs(),
+        "dedup_simhash": dedup.sql_simhash(),
+        "dedup_simhash_neardup": dedup.sql_simhash_neardups(),
+        "dedup_ngram_jaccard": dedup.sql_ngram_jaccard_pairs(),
+        "sim_cosine_topk": similarity.sql_cosine_topk(),
+        "sim_ann_lsh": similarity.sql_ann_lsh_pairs(),
+        "embed_label_centroids": similarity.sql_label_centroids_agg(),
+        "text_lang_id": textops.sql_language_id(),
+        "text_bpe_tokens": textops.sql_bpe_token_stats(),
+        "text_rolling_fingerprint": textops.sql_rolling_fingerprint(),
+        "multimodal_decode_meta": multimodal.sql_media_meta(),
         "extract_media_preservation": SQL_EXTRACT_MEDIA_PRESERVATION,
         "extract_char_conservation": SQL_EXTRACT_CHAR_CONSERVATION,
         # extract_pipeline: rows-only (non-SQL-expressible per-doc layout analysis)
