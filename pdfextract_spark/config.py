@@ -78,6 +78,7 @@ class EngineConfig:
     page_height: float = 800.0
     page_width: float = 600.0
     page_margin: float = 50.0
+    column_gutter: float = 30.0
     line_leading_factor: float = 1.6            # baseline step = leading * font ysize
     char_aspect: float = 0.5                    # char width = aspect * font size
 

@@ -30,6 +30,7 @@ from ..config import CONFIG, EngineConfig
 from ..layout import CharTable, MediaBox, layout_document
 from ..oracle.document import OutSpan
 from ..oracle.lines import find_line_boundaries
+from ..oracle.regions import MEDIA_HSEP, analyze_page_regions, categorize_media
 from ..oracle.style import BIG_DIFFERENCE, SPLIT, Style, style_compare
 from ..oracle.words import FONT_DENOM, estimate_boundary_cut
 
@@ -476,21 +477,25 @@ def _line_text(t: _WordTable, line: Line) -> str:
 
 # ------------------------------------------------------------------- B3 lines
 
-def _create_lines(t: _WordTable, cmp_lut: np.ndarray) -> List[Line]:
-    """Oracle lines.create_lines on the columnar word table."""
-    n = len(t)
+def _create_lines(
+    t: _WordTable, cmp_lut: np.ndarray, subset: Optional[Sequence[int]] = None
+) -> List[Line]:
+    """Oracle lines.create_lines on the columnar word table (optionally over
+    a region's word-index subset; returned lines hold absolute indices)."""
+    idx = np.arange(len(t)) if subset is None else np.asarray(subset, dtype=np.int64)
+    n = int(idx.size)
     if n == 0:
         return []
 
-    yi = t.y.astype(np.int64)
-    eyi = t.ey.astype(np.int64)
+    yi = t.y[idx].astype(np.int64)
+    eyi = t.ey[idx].astype(np.int64)
     min_y = int(yi.min())
     max_y = int(eyi.max()) + 1
     # y-projection histogram via the difference trick (== per-word slice adds)
     size = max_y - min_y
     delta = np.zeros(size + 1, dtype=np.int64)
-    hi = t.h.astype(np.int64)
-    wi = t.w.astype(np.int64)
+    hi = t.h[idx].astype(np.int64)
+    wi = t.w[idx].astype(np.int64)
     starts = yi - min_y
     stops = np.minimum(starts + hi, size)
     np.add.at(delta, starts, wi)
@@ -501,7 +506,7 @@ def _create_lines(t: _WordTable, cmp_lut: np.ndarray) -> List[Line]:
 
     # window assignment, vectorized per boundary window; first window wins,
     # within-window order = stable y sort (== oracle's ordered scan)
-    ordered = np.argsort(t.y, kind="stable")
+    ordered = idx[np.argsort(t.y[idx], kind="stable")]
     yf_ord = t.y[ordered]
     eyf_ord = t.ey[ordered]
     unassigned = np.ones(n, dtype=bool)
@@ -603,8 +608,14 @@ def _modal_vertical_spacing(
     return int(temp + max(1.0, temp * 0.1))
 
 
-# Paragraph = list of Lines
-Paragraph = List[Line]
+class Paragraph:
+    """Mutable paragraph: list of lines + leaf-region order on its page."""
+
+    __slots__ = ("lines", "region")
+
+    def __init__(self, lines: List[Line], region: int = 0):
+        self.lines = lines
+        self.region = region
 
 
 def _segment_paragraphs(
@@ -623,7 +634,7 @@ def _segment_paragraphs(
     gap_11 = np.float32(mvs * 1.1)
 
     ret: List[Paragraph] = []
-    current: Paragraph = []
+    current: List[Line] = []
     current_style = -1
     last_pos = None
 
@@ -652,7 +663,7 @@ def _segment_paragraphs(
 
         if split:
             if current:
-                ret.append(current)
+                ret.append(Paragraph(current))
             current = []
             current_style = line_style
 
@@ -660,15 +671,114 @@ def _segment_paragraphs(
         last_pos = lp
 
     if current:
-        ret.append(current)
+        ret.append(Paragraph(current))
     return ret
+
+
+# ----------------------------------------------------- P2-P8 page regions
+
+def _avg_font_x(t: _WordTable, idxs: Sequence[int], style_xsize: np.ndarray) -> np.float32:
+    ii = np.asarray(idxs, dtype=np.int64)
+    lens = t.tlen[ii]
+    n = int(lens.sum())
+    if n == 0:
+        return _F32_TINY
+    x_sum = float((style_xsize[t.style[ii]].astype(np.int64) * lens).sum())
+    return np.float32(x_sum / n)
+
+
+def _analyze_page_vec(
+    t: _WordTable,
+    page_media: List[MediaBox],
+    cmp_lut: np.ndarray,
+    style_xsize: np.ndarray,
+    style_ysize: np.ndarray,
+):
+    """Mirror of oracle.document._analyze_page on the columnar word table:
+    P2 media roles -> P8 separator bands -> P3-P5 column division (shared
+    regions.py kernel) -> per-region B3 lines + B5 paragraphs."""
+    n = len(t)
+    if n == 0:
+        return [], []
+    wx, wy, wex, wey = t.x, t.y, t.ex, t.ey
+    x0, y0 = float(wx.min()), float(wy.min())
+    x1, y1 = float(wex.max()), float(wey.max())
+
+    all_idx = list(range(n))
+    avg_x = _avg_font_x(t, all_idx, style_xsize)
+    min_col = 0.8 * float(avg_x)
+    page_rect = (
+        np.float32(x0), np.float32(y0), np.float32(x1 - x0), np.float32(y1 - y0)
+    )
+    mvs_page = _modal_vertical_spacing(t, all_idx, page_rect, style_ysize)
+    min_row = 1.1 * float(mvs_page)
+
+    hsep_ys: List[float] = []
+    media_obs = None
+    if page_media:
+        mx = np.array([m.x for m in page_media], dtype=np.float32)
+        my = np.array([m.y for m in page_media], dtype=np.float32)
+        mw = np.array([m.w for m in page_media], dtype=np.float32)
+        mh = np.array([m.h for m in page_media], dtype=np.float32)
+        roles = categorize_media(mx, my, mw, mh, wx, wy, wex, wey, region_w=x1 - x0)
+        for m, role in zip(page_media, roles):
+            if role != MEDIA_HSEP:
+                continue
+            sep_y = m.y + m.h / 2.0
+            if not bool(np.any((wy < sep_y) & (wey > sep_y))):
+                hsep_ys.append(sep_y)
+        media_obs = (mx, my, mx + mw, my + mh)
+
+    regions = analyze_page_regions(
+        (x0, y0, x1, y1), wx, wy, wex, wey, t.tlen, hsep_ys, min_col, min_row,
+        media_obs=media_obs,
+    )
+
+    paragraphs: List[Paragraph] = []
+    bounds = []
+    for reg in regions:
+        lines = _create_lines(t, cmp_lut, subset=reg.word_idx)
+        if not lines:
+            continue
+        rpos = _line_pos(t, lines[0])
+        for line in lines[1:]:
+            bx, by, bw, bh = _line_pos(t, line)
+            aex = rpos[0] + rpos[2]
+            aey = rpos[1] + rpos[3]
+            bex = bx + bw
+            bey = by + bh
+            nx0 = rpos[0] if rpos[0] <= bx else bx
+            ny0 = rpos[1] if rpos[1] <= by else by
+            nx1 = aex if aex >= bex else bex
+            ny1 = aey if aey >= bey else bey
+            rpos = (nx0, ny0, nx1 - nx0, ny1 - ny0)
+        sub_all = [i for line in lines for i in line]
+        mvs = _modal_vertical_spacing(t, sub_all, rpos, style_ysize)
+        paras = _segment_paragraphs(t, lines, mvs, cmp_lut)
+        for para in paras:
+            para.region = len(bounds)
+        bounds.append(reg.bound)
+        paragraphs.extend(paras)
+    return paragraphs, bounds
+
+
+def _media_region_vec(m: MediaBox, bounds) -> int:
+    if not bounds:
+        return 0
+    cx0, cx1 = m.x, m.x + m.w
+    best, best_ov = 0, -1.0
+    for i, (bx0, _by0, bx1, _by1) in enumerate(bounds):
+        ov = min(cx1, bx1) - max(cx0, bx0)
+        if ov > best_ov:
+            best, best_ov = i, ov
+    return best
 
 
 # ------------------------------------------------------------- L1-L3 logical
 
 def _para_pos(t: _WordTable, para: Paragraph):
-    x, y, w, h = _line_pos(t, para[0])
-    for line in para[1:]:
+    x, y, w, h = _line_pos(t, para.lines[0])
+    for line in para.lines[1:]:
         bx, by, bw, bh = _line_pos(t, line)
         aex = x + w
         aey = y + h
@@ -683,7 +793,7 @@ def _para_pos(t: _WordTable, para: Paragraph):
 
 
 def _para_style(t: _WordTable, para: Paragraph) -> int:
-    return _dominating_style(t, [i for line in para for i in line])
+    return _dominating_style(t, [i for line in para.lines for i in line])
 
 
 def _find_body_style(
@@ -722,7 +832,7 @@ def _find_header_candidates(
     for p, page in enumerate(pages):
         t = tables[p]
         for para in page:
-            for line in para:
+            for line in para.lines:
                 st = _dominating_style(t, line)
                 if st in candidates or st == body:
                     continue
@@ -745,7 +855,7 @@ def _extract_title(
             if i + 1 != len(first) - 1 and i + 1 < len(first):
                 nxt = first[i + 1]
                 if _para_style(t, nxt) == _para_style(t, para):
-                    para.extend(nxt)
+                    para.lines.extend(nxt.lines)
                     first.remove(nxt)
             first.remove(para)
             return para
@@ -761,11 +871,11 @@ def _remove_page_numbers(
         t = tables[p]
         current: List[Paragraph] = []
         for para in page:
-            if len(para) != 1:
+            if len(para.lines) != 1:
                 continue
             if _para_pos(t, para)[1] < page_end_y * 0.85:
                 continue
-            text = " ".join(_line_text(t, line) for line in para).strip()
+            text = " ".join(_line_text(t, line) for line in para.lines).strip()
             if text and all(ch.isdigit() for ch in text):
                 current.append(para)
         if current:
@@ -781,7 +891,7 @@ def _remove_page_numbers(
     pos = 0
     for p, para in all_pot:
         t = tables[p]
-        for line in para:
+        for line in para.lines:
             for i in line:
                 s = int(t.style[i])
                 weights[s] = weights.get(s, 0) + len(t.text[i])
@@ -830,31 +940,17 @@ def extract_document_fast(
 
     tables: List[_WordTable] = []
     pages: List[List[Paragraph]] = []
+    page_regions: List[List] = []
     for p in range(n_pages):
         g = _page_glyphs(table, table.page == p)
         words = _segment_words_page(g, break_lut, style_xsize, mode)
         t = _word_table(words)
-        lines = _create_lines(t, cmp_lut)
-        if lines:
-            region = _line_pos(t, lines[0])
-            for line in lines[1:]:
-                bx, by, bw, bh = _line_pos(t, line)
-                aex = region[0] + region[2]
-                aey = region[1] + region[3]
-                bex = bx + bw
-                bey = by + bh
-                x1 = region[0] if region[0] <= bx else bx
-                y1 = region[1] if region[1] <= by else by
-                x2 = aex if aex >= bex else bex
-                y2 = aey if aey >= bey else bey
-                region = (x1, y1, x2 - x1, y2 - y1)
-            all_idx = [i for line in lines for i in line]
-            mvs = _modal_vertical_spacing(t, all_idx, region, style_ysize)
-            paragraphs = _segment_paragraphs(t, lines, mvs, cmp_lut)
-        else:
-            paragraphs = []
+        paragraphs, bounds = _analyze_page_vec(
+            t, media_by_page.get(p, []), cmp_lut, style_xsize, style_ysize
+        )
         tables.append(t)
         pages.append(paragraphs)
+        page_regions.append(bounds)
 
     body = _find_body_style(tables, styles)
     header_candidates = _find_header_candidates(tables, pages, body, styles)
@@ -865,7 +961,7 @@ def extract_document_fast(
     seq = 0
     if title is not None:
         t = tables[0]
-        for line in title:
+        for line in title.lines:
             out.append(
                 OutSpan(seq, "title", _line_text(t, line), "",
                         int(min(t.origin[i] for i in line)))
@@ -874,15 +970,18 @@ def extract_document_fast(
 
     for p in range(n_pages):
         t = tables[p]
-        items: List[Tuple[float, int, str, object]] = []
+        items: List[Tuple[int, float, int, str, object]] = []
         for pi, para in enumerate(pages[p]):
-            items.append((float(_para_pos(t, para)[1]), pi, "para", para))
+            items.append((para.region, float(_para_pos(t, para)[1]), pi, "para", para))
         for mi, m in enumerate(media_by_page.get(p, [])):
-            items.append((float(m.y), 1_000_000 + mi, "media", m))
-        items.sort(key=lambda it: (it[0], it[1]))
-        for _, _, kind, obj in items:
+            items.append(
+                (_media_region_vec(m, page_regions[p]), float(m.y),
+                 1_000_000 + mi, "media", m)
+            )
+        items.sort(key=lambda it: (it[0], it[1], it[2]))
+        for _, _, _, kind, obj in items:
             if kind == "para":
-                for line in obj:
+                for line in obj.lines:
                     out.append(
                         OutSpan(seq, "text", _line_text(t, line), "",
                                 int(min(t.origin[i] for i in line)))

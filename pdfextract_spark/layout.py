@@ -135,13 +135,31 @@ def layout_document(
         run_off.append(offset_)
         chars.extend(text_)
 
+    # 25% of documents flow in two columns (exercises P3-P5 column detection);
+    # the gutter between columns is the whitespace the engine must recover.
+    two_col = bool(rng.uniform() < 0.25)
+    gutter = F32(cfg.column_gutter)
+    if two_col:
+        col_w = F32((page_w - 2 * margin - gutter) / F32(2.0))
+    else:
+        col_w = F32(page_w - 2 * margin)
+
     page = 0
+    col = 0
     cursor_y = margin  # top of the next line box
     seen_text = False
 
-    def new_page():
-        nonlocal page, cursor_y
-        page += 1
+    def col_x0() -> np.float32:
+        return F32(margin + col * F32(col_w + gutter))
+
+    def advance_column():
+        """Column full: next column on the same page, else next page."""
+        nonlocal page, col, cursor_y
+        if two_col and col == 0:
+            col = 1
+        else:
+            page += 1
+            col = 0
         cursor_y = margin
 
     n = len(kinds)
@@ -152,12 +170,17 @@ def layout_document(
         draws = rng.uniform(0.0, 1.0, 3)
 
         if kind == "media":
-            mw = F32(100.0 + draws[0] * 300.0)
-            mh = F32(60.0 + draws[1] * 140.0)
+            if draws[2] < 0.25:
+                # separator-shaped media (thin horizontal bar; P2 HSEP role)
+                mw = F32(col_w * F32(0.8))
+                mh = F32(3.0 + draws[1] * 3.0)
+            else:
+                mw = F32(min(float(F32(100.0 + draws[0] * 300.0)), float(col_w)))
+                mh = F32(60.0 + draws[1] * 140.0)
             if cursor_y + mh > page_h - margin:
-                new_page()
+                advance_column()
             media.append(
-                MediaBox(page, float(margin), float(cursor_y), float(mw), float(mh),
+                MediaBox(page, float(col_x0()), float(cursor_y), float(mw), float(mh),
                          media_refs[i] or "", offset)
             )
             cursor_y = F32(cursor_y + mh + leading)
@@ -197,18 +220,18 @@ def layout_document(
         if para_break and cursor_y > margin:
             cursor_y = F32(cursor_y + leading)
 
-        # flow the span's words into lines
-        cursor_x = margin
+        # flow the span's words into lines (within the current column)
+        cursor_x = col_x0()
         words = [wd for wd in text.split(" ") if wd != ""]
         for wi, word in enumerate(words):
             jit = rng.uniform(-0.05, 0.05, max(len(word) - 1, 0)).astype(np.float32) * size
             word_w = F32(len(word) * char_w + (jit.sum() if len(jit) else F32(0.0)))
-            if cursor_x + word_w > page_w - margin and cursor_x > margin:
-                cursor_x = margin
+            if cursor_x + word_w > col_x0() + col_w and cursor_x > col_x0():
+                cursor_x = col_x0()
                 cursor_y = F32(cursor_y + leading)
             if cursor_y + ysize > page_h - margin:
-                new_page()
-                cursor_x = margin
+                advance_column()
+                cursor_x = col_x0()
             # per-char advance fold == float32 cumsum (verified bit-exact):
             # adv_i = f32(char_w + jit_i) for all but the last char, then char_w
             k = len(word)

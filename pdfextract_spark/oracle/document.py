@@ -27,7 +27,8 @@ from ..layout import CharTable, MediaBox, layout_document
 from .geom import Rect, f32
 from .lines import Line, create_lines
 from .logical import extract_title, find_body_style, find_header_candidates, remove_page_numbers
-from .paragraphs import Paragraph, modal_vertical_spacing, segment_paragraphs
+from .paragraphs import Paragraph, avg_font_sizes, modal_vertical_spacing, segment_paragraphs
+from .regions import MEDIA_HSEP, analyze_page_regions, categorize_media
 from .style import Style
 from .words import Glyph, segment_words
 
@@ -57,6 +58,91 @@ def _glyphs_for_page(table: CharTable, mask: np.ndarray, styles: List[Style]) ->
 
 def _line_offset(line: Line) -> int:
     return min(w.origin for w in line.words)
+
+
+def _analyze_page(page_words: List[Glyph], page_media: List[MediaBox]):
+    """Geometric page analysis: P2 media roles -> P8 separator bands ->
+    P3-P5 column division -> per-region B3 lines + B5 paragraphs.
+    Returns (paragraphs tagged with region order, leaf-region bounds)."""
+    if not page_words:
+        return [], []
+
+    wx = np.array([w.pos.x for w in page_words], dtype=np.float32)
+    wy = np.array([w.pos.y for w in page_words], dtype=np.float32)
+    wex = np.array([w.pos.end_x for w in page_words], dtype=np.float32)
+    wey = np.array([w.pos.end_y for w in page_words], dtype=np.float32)
+
+    x0, y0 = float(wx.min()), float(wy.min())
+    x1, y1 = float(wex.max()), float(wey.max())
+
+    # P10 stats drive the whitespace-cover minimum dimensions
+    avg_x, _avg_y = avg_font_sizes(page_words)
+    min_col = 0.8 * float(avg_x)                      # minColumnSpacing
+    page_rect = Rect.make(x0, y0, x1 - x0, y1 - y0)
+    mvs_page = modal_vertical_spacing(page_words, page_rect)
+    min_row = 1.1 * float(mvs_page)                   # minRowSpacing
+
+    # P2: media roles; qualifying HSEPs (cutting no words) split bands (P8)
+    hsep_ys: List[float] = []
+    if page_media:
+        roles = categorize_media(
+            np.array([m.x for m in page_media], dtype=np.float32),
+            np.array([m.y for m in page_media], dtype=np.float32),
+            np.array([m.w for m in page_media], dtype=np.float32),
+            np.array([m.h for m in page_media], dtype=np.float32),
+            wx, wy, wex, wey, region_w=x1 - x0,
+        )
+        for m, role in zip(page_media, roles):
+            if role != MEDIA_HSEP:
+                continue
+            sep_y = m.y + m.h / 2.0
+            if not bool(np.any((wy < sep_y) & (wey > sep_y))):
+                hsep_ys.append(sep_y)
+
+    wtl = np.array([len(w.text) for w in page_words], dtype=np.int64)
+    media_obs = None
+    if page_media:
+        mx = np.array([m.x for m in page_media], dtype=np.float32)
+        my = np.array([m.y for m in page_media], dtype=np.float32)
+        mex = np.array([m.x + m.w for m in page_media], dtype=np.float32)
+        mey = np.array([m.y + m.h for m in page_media], dtype=np.float32)
+        media_obs = (mx, my, mex, mey)
+    regions = analyze_page_regions(
+        (x0, y0, x1, y1), wx, wy, wex, wey, wtl, hsep_ys, min_col, min_row,
+        media_obs=media_obs,
+    )
+
+    paragraphs: List[Paragraph] = []
+    bounds = []
+    for ri, reg in enumerate(regions):
+        reg_words = [page_words[i] for i in reg.word_idx]
+        lines = create_lines(reg_words)
+        if not lines:
+            continue
+        rpos = lines[0].pos
+        for l in lines[1:]:
+            rpos = rpos.union(l.pos)
+        all_words = [w for l in lines for w in l.words]
+        mvs = modal_vertical_spacing(all_words, rpos)
+        paras = segment_paragraphs(lines, mvs)
+        for para in paras:
+            para.region = len(bounds)
+        bounds.append(reg.bound)
+        paragraphs.extend(paras)
+    return paragraphs, bounds
+
+
+def _media_region(m: MediaBox, bounds) -> int:
+    """Region order index for a media box: max x-overlap, ties -> first."""
+    if not bounds:
+        return 0
+    cx0, cx1 = m.x, m.x + m.w
+    best, best_ov = 0, -1.0
+    for i, (bx0, _by0, bx1, _by1) in enumerate(bounds):
+        ov = min(cx1, bx1) - max(cx0, bx0)
+        if ov > best_ov:
+            best, best_ov = i, ov
+    return best
 
 
 def _para_offset(p: Paragraph) -> int:
@@ -89,19 +175,12 @@ def extract_document(
     for m in media:
         media_by_page.setdefault(m.page, []).append(m)
 
+    page_regions: List[List] = []  # leaf-region bounds per page (for media)
     for p in range(n_pages):
         page_words = segment_words(_glyphs_for_page(table, table.page == p, styles))
-        lines = create_lines(page_words)
-        if lines:
-            region = lines[0].pos
-            for l in lines[1:]:
-                region = region.union(l.pos)
-            all_words = [w for l in lines for w in l.words]
-            mvs = modal_vertical_spacing(all_words, region)
-            paragraphs = segment_paragraphs(lines, mvs)
-        else:
-            paragraphs = []
+        paragraphs, regions = _analyze_page(page_words, media_by_page.get(p, []))
         pages.append(paragraphs)
+        page_regions.append(regions)
 
     # logical analysis (document level)
     body = find_body_style(pages, styles)
@@ -119,13 +198,15 @@ def extract_document(
             seq += 1
 
     for p in range(n_pages):
-        items: List[Tuple[float, int, str, object]] = []
+        items: List[Tuple[int, float, int, str, object]] = []
         for pi, para in enumerate(pages[p]):
-            items.append((float(para.pos.y), pi, "para", para))
+            items.append((para.region, float(para.pos.y), pi, "para", para))
         for mi, m in enumerate(media_by_page.get(p, [])):
-            items.append((float(m.y), 1_000_000 + mi, "media", m))
-        items.sort(key=lambda t: (t[0], t[1]))
-        for _, _, kind, obj in items:
+            items.append(
+                (_media_region(m, page_regions[p]), float(m.y), 1_000_000 + mi, "media", m)
+            )
+        items.sort(key=lambda t: (t[0], t[1], t[2]))
+        for _, _, _, kind, obj in items:
             if kind == "para":
                 for line in obj.lines:
                     out.append(OutSpan(seq, "text", line.text, "", _line_offset(line)))

@@ -86,6 +86,7 @@ def modal_vertical_spacing(words: List[Glyph], region: Rect) -> int:
 @dataclass
 class Paragraph:
     lines: List[Line] = field(default_factory=list)
+    region: int = field(default=0, compare=False)  # leaf-region order on page
 
     @property
     def pos(self) -> Rect:

@@ -1,0 +1,517 @@
+"""Page segmentation: whitespace cover, column detection, region tree.
+
+Shared array-based kernel used by BOTH the sequential oracle and the
+vectorized engine (same code -> bit-identical results by construction, like
+layout.py). Semantics follow the reference's page segmentator
+(SURVEY.md §2.3; file:line cites below into /root/reference):
+
+- P3 whitespace cover — Breuel-style best-first max-empty-rectangle search
+  (analysis/.../column/WhitespaceFinder.java:85-255): priority queue ordered
+  by quality = area * (1 + 0.25*height); pop -> if empty enough (fuzzy
+  overlap, WHITESPACE_FUZZINESS=0.2, Constants.java:69) accept; else split
+  around the obstacle nearest the centre into <=4 subrectangles with
+  obstacle partitioning (splitSearchAreaAround:404-501). Hard caps: 50
+  rectangles wanted / 100k queue entries (Constants.java:72-73) — the
+  worst-case bound that keeps 10^12-doc latency schedulable.
+- P4 column-boundary selection (ColumnFinder.java:56-71,428-499,273-363):
+  candidates need aspect h/w > 1.5, height >= 15% of region, not in the
+  outer 5% margins; boundaries < 50pt apart are combined
+  (combineColumnBoundaries:228-271).
+- P5 recursive division (PageSegmentator.recursivelyDivide:306-340): split
+  the region at the boundary's middle x; right part = everything right of
+  middleX; recurse into both sides.
+- P2 media categorization (GraphicSegmentatorImpl.java:61-83): HSEP = thin
+  full-ish-width bar; CONTAINER = contains >= 5 texts
+  (graphicContainsTextFromRegion:161-178); else IMAGE; too-big dropped to
+  IMAGE role without splitting.
+- P8 separator split (PageRegionSplitBySeparators.java:64-116): a >=60%
+  region-width HSEP intersecting no text splits the region at its y.
+
+All geometry float32. Word rectangles are the obstacles (the reference
+operates on the region's contents after word segmentation).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+F32 = np.float32
+
+WHITESPACE_FUZZINESS = 0.2
+WHITESPACE_NUMBER_WANTED = 50
+WHITESPACE_MAX_QUEUE = 100_000
+COLUMN_MIN_ASPECT = 1.5
+COLUMN_MIN_HEIGHT_FRAC = 0.15
+COLUMN_MARGIN_FRAC = 0.05
+COLUMN_COMBINE_DISTANCE = 50.0
+SEPARATOR_MIN_WIDTH_FRAC = 0.6
+HSEP_MAX_HEIGHT = 8.0
+CONTAINER_MIN_TEXTS = 5
+
+MEDIA_IMAGE = "image"
+MEDIA_HSEP = "hsep"
+MEDIA_CONTAINER = "container"
+
+
+@dataclass
+class Region:
+    """A leaf page region: word indices + float bound (x, y, ex, ey)."""
+
+    word_idx: List[int]
+    bound: Tuple[float, float, float, float]
+    boundaries: List[float] = field(default_factory=list)  # column xs consumed
+
+
+def categorize_media(
+    m_x: np.ndarray, m_y: np.ndarray, m_w: np.ndarray, m_h: np.ndarray,
+    w_x: np.ndarray, w_y: np.ndarray, w_ex: np.ndarray, w_ey: np.ndarray,
+    region_w: float,
+) -> List[str]:
+    """P2: per media box -> role string (GraphicSegmentatorImpl semantics)."""
+    roles: List[str] = []
+    for i in range(len(m_x)):
+        if m_h[i] <= HSEP_MAX_HEIGHT and m_w[i] >= SEPARATOR_MIN_WIDTH_FRAC * region_w:
+            roles.append(MEDIA_HSEP)
+            continue
+        ex = m_x[i] + m_w[i]
+        ey = m_y[i] + m_h[i]
+        inside = (
+            (w_x >= m_x[i]) & (w_ex <= ex) & (w_y >= m_y[i]) & (w_ey <= ey)
+        )
+        if int(inside.sum()) >= CONTAINER_MIN_TEXTS:
+            roles.append(MEDIA_CONTAINER)
+        else:
+            roles.append(MEDIA_IMAGE)
+    return roles
+
+
+def merge_row_obstacles(o_x, o_y, o_ex, o_ey):
+    """Merge obstacles on the same int-y row whose horizontal gap is below
+    COLUMN_MIN_CLEARANCE into single segments. Equivalence-preserving for
+    column detection: a channel narrower than the clearance minimum is
+    rejected by _boundary_ok regardless, so fusing sub-clearance gaps cannot
+    remove a valid boundary — it only prunes the whitespace search."""
+    n = len(o_x)
+    if n == 0:
+        return o_x, o_y, o_ex, o_ey
+    rows = o_y.astype(np.int64)
+    order = np.lexsort((o_x, rows))
+    rx, rex = o_x[order], o_ex[order]
+    ry, rey = o_y[order], o_ey[order]
+    rr = rows[order].tolist()
+    lx = rx.tolist()
+    lex = rex.tolist()
+    # segment break when the row changes or the gap to the segment's running
+    # right edge is >= clearance (running max resets per segment)
+    seg = np.empty(n, dtype=np.int64)
+    seg_id = 0
+    seg[0] = 0
+    run_ex = lex[0]
+    for i in range(1, n):
+        if rr[i] != rr[i - 1] or (lx[i] - run_ex) >= COLUMN_MIN_CLEARANCE:
+            seg_id += 1
+            run_ex = lex[i]
+        else:
+            if lex[i] > run_ex:
+                run_ex = lex[i]
+        seg[i] = seg_id
+    n_seg = int(seg[-1]) + 1
+    gx = np.full(n_seg, np.inf, dtype=np.float64)
+    gex = np.full(n_seg, -np.inf, dtype=np.float64)
+    gy = np.full(n_seg, np.inf, dtype=np.float64)
+    gey = np.full(n_seg, -np.inf, dtype=np.float64)
+    np.minimum.at(gx, seg, rx)
+    np.maximum.at(gex, seg, rex)
+    np.minimum.at(gy, seg, ry)
+    np.maximum.at(gey, seg, rey)
+    return (
+        gx.astype(np.float32), gy.astype(np.float32),
+        gex.astype(np.float32), gey.astype(np.float32),
+    )
+
+
+def _quality(w: float, h: float) -> float:
+    # WhitespaceFinder.java:161-163: area * (1 + height*0.25)
+    return w * h * (1.0 + 0.25 * h)
+
+
+def find_whitespace(
+    bound: Tuple[float, float, float, float],
+    ob_x: np.ndarray,
+    ob_y: np.ndarray,
+    ob_ex: np.ndarray,
+    ob_ey: np.ndarray,
+    min_w: float,
+    min_h: float,
+    n_wanted: int = WHITESPACE_NUMBER_WANTED,
+    max_queue: int = WHITESPACE_MAX_QUEUE,
+) -> List[Tuple[float, float, float, float]]:
+    """P3 kernel: maximal empty rectangles (x, y, ex, ey), best-first.
+
+    Obstacles are fuzz-shrunk by WHITESPACE_FUZZINESS of their size
+    (isEmptyEnough's <=20%-overlap admission, applied geometrically).
+    Deterministic: heap ties broken by insertion counter.
+    """
+    fx = WHITESPACE_FUZZINESS / 2.0
+    sx = ob_x + (ob_ex - ob_x) * fx
+    sy = ob_y + (ob_ey - ob_y) * fx
+    sex = ob_ex - (ob_ex - ob_x) * fx
+    sey = ob_ey - (ob_ey - ob_y) * fx
+
+    x0, y0, x1, y1 = bound
+    all_idx = np.arange(len(ob_x))
+    inside = ~((sex <= x0) | (sx >= x1) | (sey <= y0) | (sy >= y1))
+    start_obs = all_idx[inside]
+
+    counter = 0
+    heap = [(-_quality(x1 - x0, y1 - y0), counter, (x0, y0, x1, y1), start_obs)]
+    found: List[Tuple[float, float, float, float]] = []
+    pops = 0
+
+    while heap and len(found) < n_wanted and pops < max_queue:
+        negq, _, rect, obs = heapq.heappop(heap)
+        pops += 1
+        rx0, ry0, rx1, ry1 = rect
+        if rx1 - rx0 < min_w or ry1 - ry0 < min_h:
+            continue
+        # refresh: drop obstacles no longer intersecting (stale-entry repair)
+        live = obs[
+            ~(
+                (sex[obs] <= rx0)
+                | (sx[obs] >= rx1)
+                | (sey[obs] <= ry0)
+                | (sy[obs] >= ry1)
+            )
+        ]
+        if live.size == 0:
+            # also must not overlap previously accepted whitespace
+            clash = False
+            for fx0, fy0, fx1, fy1 in found:
+                if not (fx1 <= rx0 or fx0 >= rx1 or fy1 <= ry0 or fy0 >= ry1):
+                    clash = True
+                    break
+            if clash:
+                continue
+            found.append(rect)
+            continue
+        # pivot = obstacle whose centre is nearest the rect centre
+        cx = (rx0 + rx1) / 2.0
+        cy = (ry0 + ry1) / 2.0
+        ocx = (sx[live] + sex[live]) / 2.0
+        ocy = (sy[live] + sey[live]) / 2.0
+        d2 = (ocx - cx) ** 2 + (ocy - cy) ** 2
+        p = live[int(np.argmin(d2))]
+        px0, py0, px1, py1 = float(sx[p]), float(sy[p]), float(sex[p]), float(sey[p])
+
+        for nr in (
+            (rx0, ry0, px0, ry1),  # left of pivot
+            (px1, ry0, rx1, ry1),  # right of pivot
+            (rx0, ry0, rx1, py0),  # above pivot
+            (rx0, py1, rx1, ry1),  # below pivot
+        ):
+            nx0, ny0, nx1, ny1 = nr
+            if nx1 - nx0 < min_w or ny1 - ny0 < min_h:
+                continue
+            sub = live[
+                ~(
+                    (sex[live] <= nx0)
+                    | (sx[live] >= nx1)
+                    | (sey[live] <= ny0)
+                    | (sy[live] >= ny1)
+                )
+            ]
+            counter += 1
+            heapq.heappush(
+                heap, (-_quality(nx1 - nx0, ny1 - ny0), counter, nr, sub)
+            )
+    return found
+
+
+COLUMN_MIN_CLEARANCE = 6.0   # ColumnFinder.adjustColumn:113-135 — a boundary
+                             # may not split words closer than 6pt
+COLUMN_MIN_FLANK = 4         # filter:273-363 — >=4 contents with >=5 chars
+COLUMN_FLANK_MIN_CHARS = 5
+
+
+def _boundary_ok(
+    mid: float, wy0: float, wy1: float,
+    w_x, w_y, w_ex, w_ey, w_tlen,
+) -> bool:
+    """Reference P4 filters applied over the WHOLE region (the split is
+    full-height, PageSegmentator.recursivelyDivide:306-340): every text row
+    with words on both sides of the boundary must have >=6pt clearance at it
+    (adjustColumn's would-split-words check), and both sides need >=4 words
+    of >=5 chars. Words are assigned to sides by centre x, mirroring
+    extractSubRegionFromBound's content moves."""
+    if len(w_x) == 0:
+        return True
+    centers = (w_x + w_ex) * 0.5
+    left_mask = centers < mid
+    right_mask = ~left_mask
+    # reference checks the LEFT side only (filter:273-363); the right side
+    # may be sparse (short trailing column). Ragged-edge false boundaries
+    # are rejected by the clearance set, and an empty right side by the
+    # split itself. At least one real word must still sit on the right.
+    n_left = int(((w_tlen >= COLUMN_FLANK_MIN_CHARS) & left_mask).sum())
+    if n_left < COLUMN_MIN_FLANK or not bool(right_mask.any()):
+        return False
+    rows = w_y.astype(np.int64)
+    for row in np.unique(rows):
+        rm = rows == row
+        le = w_ex[rm & left_mask]
+        re = w_x[rm & right_mask]
+        if le.size and re.size:
+            if float(re.min()) - float(le.max()) < COLUMN_MIN_CLEARANCE:
+                return False
+    return True
+
+
+def _forbidden_intervals(w_x, w_ex, w_y) -> List[Tuple[float, float]]:
+    """Merged x-intervals where a full-height boundary would split words
+    closer than COLUMN_MIN_CLEARANCE (adjustColumn's would-split check,
+    evaluated exactly instead of by probing). Per text row, a boundary
+    falling between the centres of adjacent words i, i+1 splits them; the
+    split is illegal when x_{i+1} - max(ex_1..i) < clearance. The union over
+    rows is the forbidden set; its complement is where boundaries may go."""
+    rows = w_y.astype(np.int64)
+    centers = (w_x + w_ex) * 0.5
+    bad: List[Tuple[float, float]] = []
+    for row in np.unique(rows):
+        rm = rows == row
+        order = np.argsort(centers[rm], kind="stable")
+        cx = centers[rm][order]
+        rx = w_x[rm][order]
+        rex = w_ex[rm][order]
+        if cx.size < 2:
+            continue
+        runmax_ex = np.maximum.accumulate(rex)
+        suffmin_x = np.minimum.accumulate(rx[::-1])[::-1]
+        clear = suffmin_x[1:] - runmax_ex[:-1]
+        viol = np.nonzero(clear < COLUMN_MIN_CLEARANCE)[0]
+        for i in viol:
+            bad.append((float(cx[i]), float(cx[i + 1])))
+    if not bad:
+        return []
+    bad.sort()
+    merged = [list(bad[0])]
+    for lo, hi in bad[1:]:
+        if lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return [(lo, hi) for lo, hi in merged]
+
+
+def _best_allowed_x(lo: float, hi: float, forbidden) -> Optional[float]:
+    """Midpoint of the widest allowed subinterval of [lo, hi] (ties ->
+    leftmost); None if fully forbidden."""
+    if hi <= lo:
+        return None
+    pieces = [(lo, hi)]
+    for flo, fhi in forbidden:
+        nxt = []
+        for plo, phi in pieces:
+            if fhi <= plo or flo >= phi:
+                nxt.append((plo, phi))
+                continue
+            if flo > plo:
+                nxt.append((plo, flo))
+            if fhi < phi:
+                nxt.append((fhi, phi))
+        pieces = nxt
+        if not pieces:
+            return None
+    best = max(pieces, key=lambda p: (p[1] - p[0], -p[0]))
+    if best[1] - best[0] <= 0:
+        return None
+    return (best[0] + best[1]) / 2.0
+
+
+def column_boundaries(
+    bound: Tuple[float, float, float, float],
+    whitespace: Sequence[Tuple[float, float, float, float]],
+    w_x=None, w_y=None, w_ex=None, w_ey=None, w_tlen=None,
+) -> List[float]:
+    """P4: select whitespace rects that are column boundaries; return chosen
+    boundary x positions, <50pt-apart groups combined (tallest wins)."""
+    x0, y0, x1, y1 = bound
+    rh = y1 - y0
+    rw = x1 - x0
+    forbidden = (
+        _forbidden_intervals(w_x, w_ex, w_y) if w_x is not None else []
+    )
+    cands: List[Tuple[float, float]] = []  # (boundary_x, height)
+    for wx0, wy0, wx1, wy1 in whitespace:
+        w = wx1 - wx0
+        h = wy1 - wy0
+        if w <= 0 or h / max(w, 1e-6) <= COLUMN_MIN_ASPECT:
+            continue
+        if h < COLUMN_MIN_HEIGHT_FRAC * rh:
+            continue
+        lo = max(wx0 + 1.0, x0 + COLUMN_MARGIN_FRAC * rw)
+        hi = min(wx1 - 1.0, x1 - COLUMN_MARGIN_FRAC * rw)
+        probe = _best_allowed_x(lo, hi, forbidden)
+        if probe is None:
+            continue
+        if w_x is not None and not _boundary_ok(
+            probe, wy0, wy1, w_x, w_y, w_ex, w_ey, w_tlen
+        ):
+            continue
+        cands.append((probe, h))
+    cands.sort()
+    combined: List[float] = []
+    i = 0
+    while i < len(cands):
+        group = [cands[i]]
+        j = i + 1
+        while j < len(cands) and cands[j][0] - group[-1][0] < COLUMN_COMBINE_DISTANCE:
+            group.append(cands[j])
+            j += 1
+        best = max(group, key=lambda t: (t[1], -t[0]))
+        combined.append(best[0])
+        i = j
+    return combined
+
+
+def split_by_separators(
+    bound: Tuple[float, float, float, float],
+    word_idx: np.ndarray,
+    w_y: np.ndarray,
+    w_ey: np.ndarray,
+    seps_y: Sequence[float],
+) -> List[Tuple[Tuple[float, float, float, float], np.ndarray]]:
+    """P8: split a region at separator y positions (top-down)."""
+    x0, y0, x1, y1 = bound
+    cuts = sorted(float(s) for s in seps_y if y0 < s < y1)
+    out = []
+    last = y0
+    for c in cuts + [y1]:
+        sel = word_idx[(w_y[word_idx] >= last) & (w_ey[word_idx] <= c)]
+        if sel.size:
+            out.append(((x0, last, x1, c), sel))
+        last = c
+    if not out:
+        out.append((bound, word_idx))
+    return out
+
+
+def divide_region(
+    bound: Tuple[float, float, float, float],
+    word_idx: np.ndarray,
+    w_x: np.ndarray,
+    w_y: np.ndarray,
+    w_ex: np.ndarray,
+    w_ey: np.ndarray,
+    w_tlen: np.ndarray,
+    min_w: float,
+    min_h: float,
+    obs: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = None,
+    depth: int = 0,
+) -> List[Region]:
+    """P3+P4+P5: recursive column division of one region. Returns leaf
+    regions in left-to-right order."""
+    if word_idx.size == 0:
+        return []
+    if depth >= 3:  # reference recursion is bounded by physical page shape
+        return [Region(list(map(int, word_idx)), bound)]
+    # obstacles = this region's words + ALL media boxes (graphics are region
+    # contents in the reference; find_whitespace bound-filters them itself)
+    if obs is not None:
+        o_x = np.concatenate([w_x[word_idx], obs[0]])
+        o_y = np.concatenate([w_y[word_idx], obs[1]])
+        o_ex = np.concatenate([w_ex[word_idx], obs[2]])
+        o_ey = np.concatenate([w_ey[word_idx], obs[3]])
+    else:
+        o_x, o_y, o_ex, o_ey = (
+            w_x[word_idx], w_y[word_idx], w_ex[word_idx], w_ey[word_idx]
+        )
+    # column-purposed search: a whitespace shorter than the column height
+    # minimum can never produce a boundary (children never outgrow parents),
+    # so pruning at COLUMN_MIN_HEIGHT_FRAC * region height is sound and cuts
+    # the best-first expansion by orders of magnitude
+    col_min_h = max(min_h, COLUMN_MIN_HEIGHT_FRAC * (bound[3] - bound[1]))
+    o_x, o_y, o_ex, o_ey = merge_row_obstacles(o_x, o_y, o_ex, o_ey)
+    ws = find_whitespace(
+        bound, o_x, o_y, o_ex, o_ey,
+        min_w=min_w, min_h=col_min_h, n_wanted=12,
+    )
+    # re-index whitespace obstacles back to absolute rects (they already are)
+    bounds_x = column_boundaries(
+        bound, ws,
+        w_x[word_idx], w_y[word_idx], w_ex[word_idx], w_ey[word_idx],
+        w_tlen[word_idx],
+    )
+    if not bounds_x:
+        return [Region(list(map(int, word_idx)), bound)]
+    # split at the leftmost boundary; right part recurses on the rest
+    # (PageSegmentator.recursivelyDivide: right part = everything right of
+    # boundary middleX)
+    mid = bounds_x[0]
+    x0, y0, x1, y1 = bound
+    centers = (w_x[word_idx] + w_ex[word_idx]) * 0.5
+    left_sel = word_idx[centers < mid]
+    right_sel = word_idx[centers >= mid]
+    if left_sel.size == 0 or right_sel.size == 0:
+        return [Region(list(map(int, word_idx)), bound)]
+    left = divide_region(
+        (x0, y0, mid, y1), left_sel, w_x, w_y, w_ex, w_ey, w_tlen,
+        min_w, min_h, obs, depth + 1
+    )
+    right = divide_region(
+        (mid, y0, x1, y1), right_sel, w_x, w_y, w_ex, w_ey, w_tlen,
+        min_w, min_h, obs, depth + 1
+    )
+    for r in left + right:
+        r.boundaries = bounds_x
+    return left + right
+
+
+def region_sort_key(r: Region):
+    """B6 regionComparator-lite: regions ordered left-to-right when
+    x-disjoint, else top-down (Sorting.java:104-130)."""
+    x0, y0, x1, y1 = r.bound
+    return (round(x0, 1), round(y0, 1))
+
+
+def analyze_page_regions(
+    page_bound: Tuple[float, float, float, float],
+    w_x: np.ndarray,
+    w_y: np.ndarray,
+    w_ex: np.ndarray,
+    w_ey: np.ndarray,
+    w_tlen: np.ndarray,
+    hsep_ys: Sequence[float],
+    min_col_spacing: float,
+    min_row_spacing: float,
+    media_obs: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = None,
+) -> List[Region]:
+    """Full page -> ordered leaf regions: P8 separator splits, then P3-P5
+    column division per horizontal band. Bands keep top-down order; columns
+    within a band go left-to-right."""
+    n = len(w_x)
+    if n == 0:
+        return []
+    all_idx = np.arange(n)
+    # content bound (region shrinks to its contents, PhysicalPageRegion style)
+    x0 = float(w_x.min())
+    y0 = float(w_y.min())
+    x1 = float(w_ex.max())
+    y1 = float(w_ey.max())
+    bands = split_by_separators((x0, y0, x1, y1), all_idx, w_y, w_ey, hsep_ys)
+    out: List[Region] = []
+    for bband, bidx in bands:
+        bx0 = float(w_x[bidx].min())
+        by0 = float(w_y[bidx].min())
+        bx1 = float(w_ex[bidx].max())
+        by1 = float(w_ey[bidx].max())
+        regions = divide_region(
+            (bx0, by0, bx1, by1), bidx, w_x, w_y, w_ex, w_ey, w_tlen,
+            min_w=min_col_spacing, min_h=min_row_spacing, obs=media_obs,
+        )
+        regions.sort(key=region_sort_key)
+        out.extend(regions)
+    return out
