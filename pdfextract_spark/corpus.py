@@ -70,14 +70,28 @@ def make_doc(seed: int, doc_index: int, skew: bool = False) -> Tuple[str, List[D
 
     mi = 0
     page_no = 1
+    section = 0
+    subsection = 0
     for b in range(n_body):
         while mi < len(media_slots) and media_slots[mi] <= b:
             add("media", "", f"img://{doc_id}/fig{mi}")
             mi += 1
+        # numbered section/subsection headings (digit-leading Title Case ->
+        # tokenizer styles them H1/H2; L6 tags them heading1/heading2)
+        if rng.uniform() < 0.12:
+            section += 1
+            subsection = 0
+            add("text", f"{section} {sentence(2, 5).title()}")
+        elif section and rng.uniform() < 0.08:
+            subsection += 1
+            add("text", f"{section}.{subsection} {sentence(2, 5).title()}")
         text = sentence()
         if rng.uniform() < 0.08:
             text += "-"  # hyphen-ending fragment
         add("text", text)
+        # digit-leading lowercase footnote (tokenizer styles SMALL; L4 tags)
+        if rng.uniform() < 0.06:
+            add("text", f"{int(rng.integers(1, 30))} {sentence(3, 7)}")
         if b in pagenum_slots:
             add("text", str(page_no))
             page_no += 1

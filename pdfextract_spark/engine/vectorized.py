@@ -609,13 +609,14 @@ def _modal_vertical_spacing(
 
 
 class Paragraph:
-    """Mutable paragraph: list of lines + leaf-region order on its page."""
+    """Mutable paragraph: lines + leaf-region order + L4-L6 role."""
 
-    __slots__ = ("lines", "region")
+    __slots__ = ("lines", "region", "role")
 
-    def __init__(self, lines: List[Line], region: int = 0):
+    def __init__(self, lines: List[Line], region: int = 0, role: str = "text"):
         self.lines = lines
         self.region = region
+        self.role = role
 
 
 def _segment_paragraphs(
@@ -862,6 +863,71 @@ def _extract_title(
     return None
 
 
+def _tag_footnotes(
+    tables: List[_WordTable], pages: List[List[Paragraph]], body: int,
+    styles: List[Style],
+) -> None:
+    """L4 mirror of oracle.logical.tag_footnotes."""
+    for p, page in enumerate(pages):
+        t = tables[p]
+        for para in page:
+            st = _para_style(t, para)
+            if styles[st].x_size >= styles[body].x_size:
+                continue
+            text = _line_text(t, para.lines[0]).strip() if para.lines else ""
+            first = text.split()[0] if text else ""
+            if first and (first[0].isdigit() or first[0] == "*"):
+                para.role = "footnote"
+
+
+def _extract_abstract(
+    tables: List[_WordTable], pages: List[List[Paragraph]]
+) -> List[Paragraph]:
+    """L5 mirror of oracle.logical.extract_abstract."""
+    if not pages or not pages[0]:
+        return []
+    first = pages[0]
+    t = tables[0]
+    for i, para in enumerate(first):
+        text = _line_text(t, para.lines[0]).strip().lower() if para.lines else ""
+        if not text.startswith("abstract"):
+            continue
+        st = _para_style(t, para)
+        absorbed = [para]
+        j = i + 1
+        while j < len(first) and _para_style(t, first[j]) == st:
+            absorbed.append(first[j])
+            j += 1
+        del first[:j]
+        for a in absorbed:
+            a.role = "abstract"
+        return absorbed
+    return []
+
+
+def _recognize_divs(
+    tables: List[_WordTable], pages: List[List[Paragraph]],
+    header_candidates: List[int], body: int,
+) -> None:
+    """L6 mirror of oracle.logical.recognize_divs."""
+    div_styles: List[int] = []
+    for p, page in enumerate(pages):
+        t = tables[p]
+        for para in page:
+            text = _line_text(t, para.lines[0]).strip() if para.lines else ""
+            first = text.split()[0] if text else ""
+            if not first or not first[0].isdigit():
+                continue
+            st = _para_style(t, para)
+            if st == body or st not in header_candidates:
+                continue
+            if st not in div_styles:
+                if len(div_styles) >= 3:
+                    continue
+                div_styles.append(st)
+            para.role = f"heading{div_styles.index(st) + 1}"
+
+
 def _remove_page_numbers(
     tables: List[_WordTable], pages: List[List[Paragraph]], page_end_y: float
 ) -> None:
@@ -956,6 +1022,9 @@ def extract_document_fast(
     header_candidates = _find_header_candidates(tables, pages, body, styles)
     title = _extract_title(tables, pages, header_candidates)
     _remove_page_numbers(tables, pages, cfg.page_height)
+    _tag_footnotes(tables, pages, body, styles)
+    abstract = _extract_abstract(tables, pages)
+    _recognize_divs(tables, pages, header_candidates, body)
 
     out: List[OutSpan] = []
     seq = 0
@@ -967,6 +1036,15 @@ def extract_document_fast(
                         int(min(t.origin[i] for i in line)))
             )
             seq += 1
+    if abstract:
+        t = tables[0]
+        for para in abstract:
+            for line in para.lines:
+                out.append(
+                    OutSpan(seq, "abstract", _line_text(t, line), "",
+                            int(min(t.origin[i] for i in line)))
+                )
+                seq += 1
 
     for p in range(n_pages):
         t = tables[p]
@@ -983,7 +1061,7 @@ def extract_document_fast(
             if kind == "para":
                 for line in obj.lines:
                     out.append(
-                        OutSpan(seq, "text", _line_text(t, line), "",
+                        OutSpan(seq, obj.role, _line_text(t, line), "",
                                 int(min(t.origin[i] for i in line)))
                     )
                     seq += 1

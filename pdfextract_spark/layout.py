@@ -27,6 +27,7 @@ Layout model (all float32):
 from __future__ import annotations
 
 import hashlib
+import re
 from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
@@ -73,17 +74,21 @@ def doc_seed(doc_id: str) -> int:
 
 
 def doc_styles(doc_id: str) -> List[Style]:
-    """Per-document style dim: [body, heading, small]."""
+    """Per-document style dim: [body, heading/h1, small, h2]."""
     rng = np.random.Generator(np.random.PCG64(doc_seed(doc_id) ^ 0x5717E5))
     body_size = int(10 + rng.integers(0, 3))            # 10..12
     return [
         Style("Times", "", body_size, body_size),
         Style("Times-Bold", "", body_size + 4, body_size + 4, bold=True),
         Style("Times", "", body_size - 2, body_size - 2),
+        Style("Times-Bold", "", body_size + 2, body_size + 2, bold=True),
     ]
 
 
-BODY, HEADING, SMALL = 0, 1, 2
+BODY, HEADING, SMALL, H2 = 0, 1, 2, 3
+
+_HEADING_RE = re.compile(r"^\d+(\.\d+)* [A-Z]")
+_FOOTNOTE_RE = re.compile(r"^\d+ [a-z]")
 
 
 def _is_pagenum_text(text: str) -> bool:
@@ -190,9 +195,16 @@ def layout_document(
         if not text:
             continue
 
+        prev_text = texts[i - 1] if i > 0 else ""
         if not seen_text:
             st = HEADING
         elif _is_pagenum_text(text):
+            st = SMALL
+        elif _HEADING_RE.match(text):
+            st = H2 if "." in text.split(" ", 1)[0] else HEADING
+        elif _FOOTNOTE_RE.match(text):
+            st = SMALL
+        elif text == "Abstract" or prev_text == "Abstract":
             st = SMALL
         else:
             st = BODY

@@ -26,7 +26,15 @@ from ..config import CONFIG, EngineConfig
 from ..layout import CharTable, MediaBox, layout_document
 from .geom import Rect, f32
 from .lines import Line, create_lines
-from .logical import extract_title, find_body_style, find_header_candidates, remove_page_numbers
+from .logical import (
+    extract_abstract,
+    extract_title,
+    find_body_style,
+    find_header_candidates,
+    recognize_divs,
+    remove_page_numbers,
+    tag_footnotes,
+)
 from .paragraphs import Paragraph, avg_font_sizes, modal_vertical_spacing, segment_paragraphs
 from .regions import MEDIA_HSEP, analyze_page_regions, categorize_media
 from .style import Style
@@ -182,11 +190,16 @@ def extract_document(
         pages.append(paragraphs)
         page_regions.append(regions)
 
-    # logical analysis (document level)
+    # logical analysis (document level) — reference pipeline order
+    # (LogicalAnalysis.java:36-54): metadata -> title -> page numbers ->
+    # footnotes -> abstract -> divs
     body = find_body_style(pages, styles)
     header_candidates = find_header_candidates(pages, body)
     title = extract_title(pages, header_candidates)
     remove_page_numbers(pages, cfg.page_height)
+    tag_footnotes(pages, body)
+    abstract = extract_abstract(pages)
+    recognize_divs(pages, header_candidates, body)
 
     # assemble reading order: per page, paragraphs (y-ordered) interleaved
     # with the page's media boxes by top-y; title first
@@ -195,6 +208,10 @@ def extract_document(
     if title is not None:
         for line in title.lines:
             out.append(OutSpan(seq, "title", line.text, "", _line_offset(line)))
+            seq += 1
+    for p_abs in abstract:
+        for line in p_abs.lines:
+            out.append(OutSpan(seq, "abstract", line.text, "", _line_offset(line)))
             seq += 1
 
     for p in range(n_pages):
@@ -209,7 +226,7 @@ def extract_document(
         for _, _, _, kind, obj in items:
             if kind == "para":
                 for line in obj.lines:
-                    out.append(OutSpan(seq, "text", line.text, "", _line_offset(line)))
+                    out.append(OutSpan(seq, obj.role, line.text, "", _line_offset(line)))
                     seq += 1
             else:
                 out.append(OutSpan(seq, "media", "", obj.media_ref, obj.offset))

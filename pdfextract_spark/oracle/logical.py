@@ -102,6 +102,69 @@ def extract_title(
     return None
 
 
+def tag_footnotes(pages: List[List[Paragraph]], body: Style) -> None:
+    """L4 (ExtractFootnotes.java:33-47): paragraphs styled smaller than the
+    body text whose first word starts with a digit or '*' become footnotes."""
+    for page in pages:
+        for p in page:
+            st = paragraph_style(p)
+            if st.x_size >= body.x_size:
+                continue
+            text = p.lines[0].text.strip() if p.lines else ""
+            first = text.split()[0] if text else ""
+            if first and (first[0].isdigit() or first[0] == "*"):
+                p.role = "footnote"
+
+
+def extract_abstract(pages: List[List[Paragraph]]) -> List[Paragraph]:
+    """L5 (ExtractAbstractAndRemovePreceedingText.java:49-103): the page-1
+    paragraph titled 'abstract' plus following same-style paragraphs become
+    the document abstract; content preceding it on page 1 is dropped.
+    Mutates pages; returns the abstract paragraphs ([] if none)."""
+    if not pages or not pages[0]:
+        return []
+    first = pages[0]
+    for i, p in enumerate(first):
+        text = (p.lines[0].text.strip().lower() if p.lines else "")
+        if not text.startswith("abstract"):
+            continue
+        st = paragraph_style(p)
+        absorbed = [p]
+        j = i + 1
+        while j < len(first) and paragraph_style(first[j]) == st:
+            absorbed.append(first[j])
+            j += 1
+        # delete preceding content + the absorbed paragraphs from the flow
+        del first[:j]
+        for a in absorbed:
+            a.role = "abstract"
+        return absorbed
+    return []
+
+
+def recognize_divs(
+    pages: List[List[Paragraph]], header_candidates: List[Style], body: Style
+) -> None:
+    """L6 (RecognizeDivs.java:43-115): the first 3 distinct header-candidate
+    styles seen on digit-leading paragraphs define DIV1-3; every digit-leading
+    paragraph with one of those styles is tagged heading{1..3}."""
+    div_styles: List[Style] = []
+    for page in pages:
+        for p in page:
+            text = p.lines[0].text.strip() if p.lines else ""
+            first = text.split()[0] if text else ""
+            if not first or not first[0].isdigit():
+                continue
+            st = paragraph_style(p)
+            if st == body or st not in header_candidates:
+                continue
+            if st not in div_styles:
+                if len(div_styles) >= 3:
+                    continue
+                div_styles.append(st)
+            p.role = f"heading{div_styles.index(st) + 1}"
+
+
 def remove_page_numbers(pages: List[List[Paragraph]], page_end_y: float) -> List[Paragraph]:
     """L3: mutates pages in place; returns removed paragraphs."""
     pot_per_page: List[Tuple[List[Paragraph], List[Paragraph]]] = []

@@ -87,6 +87,7 @@ def modal_vertical_spacing(words: List[Glyph], region: Rect) -> int:
 class Paragraph:
     lines: List[Line] = field(default_factory=list)
     region: int = field(default=0, compare=False)  # leaf-region order on page
+    role: str = field(default="text", compare=False)  # L4-L6 refinement
 
     @property
     def pos(self) -> Rect:

@@ -326,6 +326,15 @@ def q_extract_pipeline(spark, sf_dir):
     return extract_spans(documents_to_interleaved(docs))
 
 
+def q_extract_dehyphenated(spark, sf_dir):
+    """Full extraction + S16 dehyphenation window pass (rows-only check;
+    the operator itself is unit-tested against hand-built fixtures)."""
+    from .operators.postprocess import dehyphenate
+
+    docs = _t(spark, sf_dir, "documents")
+    return dehyphenate(extract_spans(documents_to_interleaved(docs)))
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -352,6 +361,7 @@ def queries() -> Dict[str, Callable]:
         "extract_media_preservation": q_extract_media_preservation,
         "extract_char_conservation": q_extract_char_conservation,
         "extract_pipeline": q_extract_pipeline,
+        "extract_dehyphenated": q_extract_dehyphenated,
     }
 
 

@@ -31,7 +31,7 @@ def test_every_query_has_callable():
     assert len(QUERIES) >= 20
     missing_oracle = set(QUERIES) - set(ORACLES)
     # only genuinely non-SQL-expressible ops may omit the oracle
-    assert missing_oracle == {"extract_pipeline"}, missing_oracle
+    assert missing_oracle == {"extract_pipeline", "extract_dehyphenated"}, missing_oracle
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

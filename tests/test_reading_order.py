@@ -23,11 +23,14 @@ def _in_words(spans):
     ]
 
 
+TEXT_KINDS = ("text", "title", "abstract", "footnote", "heading1", "heading2", "heading3")
+
+
 def _out_words(result):
     return [
         w
         for s in result
-        if s.kind in ("text", "title")
+        if s.kind in TEXT_KINDS
         and not (s.text.replace(" ", "").isdigit() and len(s.text.replace(" ", "")) <= 4)
         for w in s.text.split()
     ]
