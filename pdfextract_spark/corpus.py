@@ -89,6 +89,15 @@ def make_doc(seed: int, doc_index: int, skew: bool = False) -> Tuple[str, List[D
         if rng.uniform() < 0.08:
             text += "-"  # hyphen-ending fragment
         add("text", text)
+        # bad-font garbled span (~45% control chars -> S8 drops the font;
+        # density is deterministic so the span always classifies garbled)
+        if rng.uniform() < 0.04:
+            base = sentence(4, 8)
+            garbled = "".join(c + ("\x07" if c != " " else "") for c in base)
+            add("text", garbled)
+        # stray control-char word in otherwise clean text (S9 strips it)
+        if rng.uniform() < 0.05:
+            add("text", sentence(3, 6) + " \x06 " + sentence(2, 4))
         # digit-leading lowercase footnote (tokenizer styles SMALL; L4 tags)
         if rng.uniform() < 0.06:
             add("text", f"{int(rng.integers(1, 30))} {sentence(3, 7)}")

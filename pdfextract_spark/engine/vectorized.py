@@ -31,6 +31,7 @@ from ..layout import CharTable, MediaBox, layout_document
 from ..oracle.document import OutSpan
 from ..oracle.lines import find_line_boundaries
 from ..oracle.regions import MEDIA_HSEP, analyze_page_regions, categorize_media
+from ..oracle.scanfilters import apply_scan_filters
 from ..oracle.style import BIG_DIFFERENCE, SPLIT, Style, style_compare
 from ..oracle.words import FONT_DENOM, estimate_boundary_cut
 
@@ -993,6 +994,7 @@ def extract_document_fast(
     offsets = [int(offsets[i]) for i in order]
 
     table, media, styles = layout_document(doc_id, kinds, texts, media_refs, offsets, cfg)
+    table = apply_scan_filters(table, styles, cfg)
     cmp_lut, break_lut = _style_luts(styles)
     style_xsize = np.array([s.x_size for s in styles], dtype=np.int64)
     style_ysize = np.array([s.y_size for s in styles], dtype=np.int64)

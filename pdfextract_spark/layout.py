@@ -82,10 +82,18 @@ def doc_styles(doc_id: str) -> List[Style]:
         Style("Times-Bold", "", body_size + 4, body_size + 4, bold=True),
         Style("Times", "", body_size - 2, body_size - 2),
         Style("Times-Bold", "", body_size + 2, body_size + 2, bold=True),
+        Style("Garbled", "", body_size, body_size),
     ]
 
 
-BODY, HEADING, SMALL, H2 = 0, 1, 2, 3
+BODY, HEADING, SMALL, H2, GARBLED = 0, 1, 2, 3, 4
+
+
+def _control_ratio(text: str) -> float:
+    if not text:
+        return 0.0
+    ctrl = sum(1 for c in text if c < " " or "\x7f" <= c <= "\x9f")
+    return ctrl / len(text)
 
 _HEADING_RE = re.compile(r"^\d+(\.\d+)* [A-Z]")
 _FOOTNOTE_RE = re.compile(r"^\d+ [a-z]")
@@ -198,6 +206,8 @@ def layout_document(
         prev_text = texts[i - 1] if i > 0 else ""
         if not seen_text:
             st = HEADING
+        elif _control_ratio(text) > 0.2:
+            st = GARBLED
         elif _is_pagenum_text(text):
             st = SMALL
         elif _HEADING_RE.match(text):
@@ -226,6 +236,10 @@ def layout_document(
             continue
 
         seen_text = True
+
+        # bold-by-overstrike: ~4% of body spans re-render their first word
+        # at the identical position (S6 overprint-dedup fodder)
+        overprint = st == BODY and draws[0] < 0.04
 
         # paragraph gap before ~35% of body spans (and after the title)
         para_break = st == HEADING or draws[2] < 0.35
@@ -257,6 +271,11 @@ def layout_document(
                 page, walk[:k], cursor_y, char_w, ysize,
                 F32(cursor_y + ysize), st, word, offset,
             )
+            if overprint and wi == 0:
+                emit_run(
+                    page, walk[:k], cursor_y, char_w, ysize,
+                    F32(cursor_y + ysize), st, word, offset,
+                )
             gx = walk[k]
             word_gap = F32((0.28 + float(rng.uniform(0.0, 0.08))) * float(size))
             cursor_x = F32(gx + word_gap)

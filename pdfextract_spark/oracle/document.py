@@ -37,6 +37,7 @@ from .logical import (
 )
 from .paragraphs import Paragraph, avg_font_sizes, modal_vertical_spacing, segment_paragraphs
 from .regions import MEDIA_HSEP, analyze_page_regions, categorize_media
+from .scanfilters import apply_scan_filters
 from .style import Style
 from .words import Glyph, segment_words
 
@@ -173,6 +174,7 @@ def extract_document(
     offsets = [int(offsets[i]) for i in order]
 
     table, media, styles = layout_document(doc_id, kinds, texts, media_refs, offsets, cfg)
+    table = apply_scan_filters(table, styles, cfg)
 
     n_pages = int(table.page.max()) + 1 if len(table) else 0
     n_pages = max(n_pages, (max((m.page for m in media), default=-1) + 1))

@@ -75,11 +75,23 @@ def test_conservation_invariants():
         out_refs = sorted(s.media_ref for s in out if s.kind == "media")
         assert in_refs == out_refs, doc_id
 
+        def is_ctrl(c):
+            return c < " " or "\x7f" <= c <= "\x9f"
+
+        def clean_len(text):
+            return sum(1 for c in text if c != " " and not is_ctrl(c))
+
+        def ctrl_ratio(text):
+            return (sum(1 for c in text if is_ctrl(c)) / len(text)) if text else 0.0
+
         out_text = "".join(s.text for s in out).replace(" ", "")
+        # garbled (bad-font) spans are dropped whole (S8); control chars are
+        # stripped from the rest (S9); page numbers may be removed (L3)
         in_chars = sum(
-            (len(s["text"].replace(" ", "")) for s in spans if s["kind"] == "text"), 0
+            clean_len(s["text"])
+            for s in spans
+            if s["kind"] == "text" and ctrl_ratio(s["text"]) <= 0.2
         )
-        # page-number spans may be removed; everything else must be conserved
         removed = sum(
             len(s["text"]) for s in spans
             if s["kind"] == "text" and s["text"].isdigit() and len(s["text"]) <= 4

@@ -14,13 +14,32 @@ from pdfextract_spark.engine import extract_document_fast
 from pdfextract_spark.oracle.document import extract_document
 
 
+def _is_ctrl(c):
+    return c < " " or "\x7f" <= c <= "\x9f"
+
+
+def _control_ratio(text):
+    if not text:
+        return 0.0
+    return sum(1 for c in text if _is_ctrl(c)) / len(text)
+
+
 def _in_words(spans):
-    return [
-        w
-        for s in spans
-        if s["kind"] == "text" and not (s["text"].isdigit() and len(s["text"]) <= 4)
-        for w in s["text"].split()
-    ]
+    """Expected surviving words: garbled (bad-font) spans drop entirely (S8),
+    control chars strip from the rest (S9), page numbers are out-of-stream."""
+    words = []
+    for s in spans:
+        if s["kind"] != "text":
+            continue
+        if s["text"].isdigit() and len(s["text"]) <= 4:
+            continue
+        if _control_ratio(s["text"]) > 0.2:
+            continue
+        for w in s["text"].split():
+            w2 = "".join(c for c in w if not _is_ctrl(c))
+            if w2:
+                words.append(w2)
+    return words
 
 
 TEXT_KINDS = ("text", "title", "abstract", "footnote", "heading1", "heading2", "heading3")
