@@ -695,10 +695,12 @@ def _analyze_page_vec(
     cmp_lut: np.ndarray,
     style_xsize: np.ndarray,
     style_ysize: np.ndarray,
+    page_height: float = 800.0,
 ):
     """Mirror of oracle.document._analyze_page on the columnar word table:
-    P2 media roles -> P8 separator bands -> P3-P5 column division (shared
-    regions.py kernel) -> per-region B3 lines + B5 paragraphs."""
+    P2 media roles -> P7 top split -> P8 separator bands -> P3-P5 column
+    division (shared regions.py kernel) -> P9 band re-split -> per-region
+    B3 lines + B5 paragraphs."""
     n = len(t)
     if n == 0:
         return [], []
@@ -731,9 +733,17 @@ def _analyze_page_vec(
                 hsep_ys.append(sep_y)
         media_obs = (mx, my, mx + mw, my + mh)
 
+    from ..oracle.style import SAME_STYLE
+
     regions = analyze_page_regions(
         (x0, y0, x1, y1), wx, wy, wex, wey, t.tlen, hsep_ys, min_col, min_row,
         media_obs=media_obs,
+        style_info=(
+            [int(s) for s in t.style],
+            [int(n) for n in t.tlen],
+            lambda a, b: int(cmp_lut[a, b]) == SAME_STYLE,
+        ),
+        page_dims=(0.0, float(page_height)),
     )
 
     paragraphs: List[Paragraph] = []
@@ -1014,7 +1024,8 @@ def extract_document_fast(
         words = _segment_words_page(g, break_lut, style_xsize, mode)
         t = _word_table(words)
         paragraphs, bounds = _analyze_page_vec(
-            t, media_by_page.get(p, []), cmp_lut, style_xsize, style_ysize
+            t, media_by_page.get(p, []), cmp_lut, style_xsize, style_ysize,
+            page_height=cfg.page_height,
         )
         tables.append(t)
         pages.append(paragraphs)

@@ -23,7 +23,7 @@ Scale design (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .hashing import N_PERM, P31, PERM_A, PERM_B
 
@@ -34,6 +34,21 @@ DF_CAP = 50              # n-gram doc-frequency cut
 JACCARD_MIN = 0.1        # n-gram verify threshold
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4        # 8 bits per band for near-dup candidates
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster's cores.
+
+    The signature stages below are pure map-side CPU; their parallelism is
+    capped by the scan's partition count. A small corpus arrives as one file
+    = one partition, serializing all the hashing. At real scale the scan has
+    thousands of splits and this is a no-op (we never *reduce* partitioning).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _words(col):
@@ -63,31 +78,46 @@ def sql_shingles(text: str = "text") -> str:
 # ------------------------------------------------------------------- MinHash
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
-    """(doc_id, sig: array<long>[16], bands: array<long>[4]) — map-side only."""
+    """(doc_id, sig: array<long>[16], bands: array<long>[4]) — map-side only.
+
+    One fold over the shingle array computes all 16 permutation minima AND the
+    4 band hashes (aggregate's `finish` lambda), so each shingle is md5-hashed
+    exactly once. A naive `array(*[array_min(transform(hs, perm_i))])` looks
+    equivalent but Catalyst's project-collapse inlines `hs` into every branch
+    — 16x the hashing (measured ~10x slower end-to-end). The single-element
+    explode below is a deliberate materialization barrier: Generate stops
+    CollapseProject, so downstream references to sig/bands stay references.
+    """
     words = _words(F.col("text"))
     sh = _shingles(words)
-    # hash each shingle once, then 16 affine permutations over the array
     hs = F.transform(
         sh,
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % P31,
     )
-    def perm(a, b):
-        return lambda h: (F.lit(a) * h + F.lit(b)) % P31
 
-    sig = F.array(
-        *[F.array_min(F.transform(hs, perm(a, b))) for a, b in zip(PERM_A, PERM_B)]
-    )
-    out = documents.select(F.col("doc_id").cast("string").alias("doc_id"), sig.alias("sig"))
-    bands = F.array(
-        *[
-            sum(
-                (F.element_at("sig", j * ROWS_PER_BAND + r + 1) * (31 ** (ROWS_PER_BAND - 1 - r)))
-                for r in range(ROWS_PER_BAND)
-            )
-            for j in range(N_BANDS)
-        ]
-    )
-    return out.withColumn("bands", bands)
+    def step(acc, h):
+        cand = F.array(*[(F.lit(a) * h + F.lit(b)) % P31 for a, b in zip(PERM_A, PERM_B)])
+        return F.zip_with(acc, cand, lambda m, v: F.least(m, v))
+
+    def finish(acc):
+        bands = F.array(
+            *[
+                sum(
+                    F.element_at(acc, j * ROWS_PER_BAND + r + 1)
+                    * (31 ** (ROWS_PER_BAND - 1 - r))
+                    for r in range(ROWS_PER_BAND)
+                )
+                for j in range(N_BANDS)
+            ]
+        )
+        return F.struct(acc.alias("sig"), bands.alias("bands"))
+
+    init = F.array_repeat(F.lit(P31).cast("long"), N_PERM)
+    sb = F.aggregate(hs, init, step, finish)
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.array(sb)).alias("sb"),
+    ).select("doc_id", F.col("sb.sig").alias("sig"), F.col("sb.bands").alias("bands"))
 
 
 def sql_minhash_sig(text: str = "text") -> str:
@@ -107,39 +137,55 @@ def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
     """Near-dup candidate pairs sharing >=1 LSH band, with the fraction of
     matching minhash components as jaccard_est. Output:
     (doc_a, doc_b, jaccard_est) sorted-unique."""
-    sigs = minhash_signatures(documents)
+    sigs = minhash_signatures(_fan_out(documents))
     buckets = sigs.select(
         "doc_id",
         "sig",
         F.posexplode("bands").alias("band_id", "band_hash"),
     )
-    # bucket-width cap (see module docstring: hot-bucket guard, reported not silent)
-    w = F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash"))
-    buckets = buckets.withColumn("bucket_width", w).filter(F.col("bucket_width") <= MAX_BUCKET)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Hot-bucket guard, two-pass so no giant bucket is ever materialized:
+    # a map-side-partial count finds oversized buckets (tiny result,
+    # broadcast), a left-anti join trims them BEFORE collect_list. Reported,
+    # not silent — see oversized_buckets().
+    hot = (
+        buckets.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .filter(F.col("width") > MAX_BUCKET)
+        .select("band_id", "band_hash")
+    )
+    buckets = buckets.join(F.broadcast(hot), ["band_id", "band_hash"], "left_anti")
+    # ONE shuffle on the band key; in-bucket pairs (<= C(MAX_BUCKET,2) = 2016)
+    # are generated JVM-side with nested array transforms — no self-join, so
+    # the signature stage upstream runs once, not twice.
+    grouped = (
+        buckets.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+
+    def pair(a, b):
+        matches = F.aggregate(
+            F.zip_with(a["sig"], b["sig"], lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+        return F.struct(
+            a["doc_id"].alias("doc_a"),
+            b["doc_id"].alias("doc_b"),
+            F.round(matches / F.lit(float(N_PERM)), 4).alias("jaccard_est"),
         )
+
+    ms = F.col("ms")
+    pairs_col = F.flatten(
+        F.transform(
+            ms,
+            lambda a, i: F.transform(F.slice(ms, i + 2, F.size(ms)), lambda b: pair(a, b)),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs_col).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.jaccard_est")
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return pairs.select(
-        "doc_a", "doc_b", F.round(matches / F.lit(float(N_PERM)), 4).alias("jaccard_est")
     )
 
 
@@ -206,24 +252,36 @@ def simhash(documents: DataFrame) -> DataFrame:
         words,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
-    df = documents.select(F.col("doc_id").cast("string").alias("doc_id"), hs.alias("hs"))
 
-    def bit_sum(b):
-        return lambda acc, h: acc + (
-            F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+    # One fold accumulates all 32 +/-1 bit counters (array accumulator), and
+    # the finish lambda assembles the fingerprint — each word is hashed once,
+    # vs 32x if the 32 bit sums were separate aggregates over `hs`.
+    def step(acc, h):
+        signs = F.array(
+            *[
+                F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+                for b in range(SIMHASH_BITS)
+            ]
         )
+        return F.zip_with(acc, signs, lambda x, y: x + y)
 
-    bits = [
-        F.when(
-            F.aggregate("hs", F.lit(0).cast("long"), bit_sum(b)) > 0,
-            F.lit(1 << b).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for b in range(SIMHASH_BITS)
-    ]
-    total = bits[0]
-    for expr in bits[1:]:
-        total = total + expr
-    return df.select("doc_id", total.alias("simhash"))
+    def finish(acc):
+        terms = [
+            F.when(F.element_at(acc, b + 1) > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(SIMHASH_BITS)
+        ]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return total
+
+    init = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
+    return _fan_out(documents).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.aggregate(hs, init, step, finish).alias("simhash"),
+    )
 
 
 def sql_simhash(table: str = "documents") -> str:
@@ -266,6 +324,11 @@ def simhash_neardups(documents: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    # Unlike MinHash's 2^60 band-hash space, the 8-bit band values here give
+    # at most 4x256 buckets, so buckets are arm-length and uncapped — pairs
+    # must STREAM out of a shuffle join (collect_list + array pair expansion
+    # would materialize C(n,2) structs in one row). The two join sides are
+    # identical subplans, so Spark computes the exchange once (ReusedExchange).
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -284,7 +347,7 @@ def simhash_neardups(documents: DataFrame) -> DataFrame:
     )
     xored = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     ham = sum(
-        F.shiftrightunsigned(xored, b).bitwiseAND(F.lit(1)) for b in range(SIMHASH_BITS)
+        F.shiftrightunsigned(xored, bit).bitwiseAND(F.lit(1)) for bit in range(SIMHASH_BITS)
     )
     return pairs.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
 
@@ -315,26 +378,42 @@ FROM (SELECT doc_a, doc_b, xor(sh_a, sh_b) AS xr FROM pairs)
 def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     """Exact Jaccard over distinct word 3-grams for candidate pairs from an
     inverted-index join with a doc-frequency cut. (doc_a, doc_b, jaccard)."""
-    docs = documents.select(
+    docs = _fan_out(documents).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         _shingles(_words(F.col("text"))).alias("grams"),
     )
     sizes = docs.select("doc_id", F.size("grams").alias("n_grams"))
     inv = docs.select("doc_id", F.explode("grams").alias("gram"))
-    df_cut = (
+    # df-cut as an anti-join on the (tiny, broadcast) hot-gram list, so the
+    # subsequent collect_list never materializes a stop-word posting list
+    hot = (
         inv.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= DF_CAP)
+        .filter(F.col("df") > DF_CAP)
         .select("gram")
     )
-    inv = inv.join(F.broadcast(df_cut), "gram")
-    a, b = inv.alias("a"), inv.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    inv = inv.join(F.broadcast(hot), "gram", "left_anti")
+    # posting lists are <= DF_CAP docs; pairs (<= C(DF_CAP,2) = 1225 per gram)
+    # generated JVM-side — replaces the gram-keyed self-join, which shuffled
+    # and recomputed the shingling of the whole corpus twice
+    per_gram = (
+        inv.groupBy("gram")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    pairs_col = F.flatten(
+        F.transform(
+            ds,
+            lambda a, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    shared = (
+        per_gram.select(F.explode(pairs_col).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))

@@ -103,6 +103,13 @@ def _is_pagenum_text(text: str) -> bool:
     return 0 < len(text) <= 4 and text.isdigit()
 
 
+def is_two_col(doc_id: str) -> bool:
+    """Whether layout_document flows this doc in two columns (same first rng
+    draw as layout_document — keep in sync)."""
+    rng = np.random.Generator(np.random.PCG64(doc_seed(doc_id)))
+    return bool(rng.uniform() < 0.25)
+
+
 def layout_document(
     doc_id: str,
     kinds: Sequence[str],

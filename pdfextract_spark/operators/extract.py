@@ -94,4 +94,12 @@ def extract_spans(documents_df, cfg: EngineConfig = CONFIG, num_partitions: int 
     df = documents_df
     if num_partitions > 0:
         df = df.repartition(num_partitions)
+    elif num_partitions == 0:
+        # auto fan-out: a small corpus arrives as one file = one partition,
+        # which would serialize the whole per-doc pipeline onto one core. At
+        # real scale the scan already has >= cores splits and this is a no-op
+        # (we never reduce partitioning). Pass num_partitions=-1 to opt out.
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df.mapInPandas(process, schema=OUTPUT_SCHEMA)

@@ -69,9 +69,18 @@ def _line_offset(line: Line) -> int:
     return min(w.origin for w in line.words)
 
 
-def _analyze_page(page_words: List[Glyph], page_media: List[MediaBox]):
-    """Geometric page analysis: P2 media roles -> P8 separator bands ->
-    P3-P5 column division -> per-region B3 lines + B5 paragraphs.
+def _same_style(a: Style, b: Style) -> bool:
+    from .style import SAME_STYLE, style_compare
+
+    return style_compare(a, b) == SAME_STYLE
+
+
+def _analyze_page(
+    page_words: List[Glyph], page_media: List[MediaBox], page_height: float = 800.0
+):
+    """Geometric page analysis: P2 media roles -> P7 top split -> P8
+    separator bands -> P3-P5 column division -> P9 band re-split ->
+    per-region B3 lines + B5 paragraphs.
     Returns (paragraphs tagged with region order, leaf-region bounds)."""
     if not page_words:
         return [], []
@@ -119,6 +128,12 @@ def _analyze_page(page_words: List[Glyph], page_media: List[MediaBox]):
     regions = analyze_page_regions(
         (x0, y0, x1, y1), wx, wy, wex, wey, wtl, hsep_ys, min_col, min_row,
         media_obs=media_obs,
+        style_info=(
+            [w.style for w in page_words],
+            [len(w.text) for w in page_words],
+            _same_style,
+        ),
+        page_dims=(0.0, float(page_height)),
     )
 
     paragraphs: List[Paragraph] = []
@@ -188,7 +203,9 @@ def extract_document(
     page_regions: List[List] = []  # leaf-region bounds per page (for media)
     for p in range(n_pages):
         page_words = segment_words(_glyphs_for_page(table, table.page == p, styles))
-        paragraphs, regions = _analyze_page(page_words, media_by_page.get(p, []))
+        paragraphs, regions = _analyze_page(
+            page_words, media_by_page.get(p, []), page_height=cfg.page_height
+        )
         pages.append(paragraphs)
         page_regions.append(regions)
 

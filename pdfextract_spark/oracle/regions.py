@@ -331,13 +331,39 @@ def _best_allowed_x(lo: float, hi: float, forbidden) -> Optional[float]:
     return (best[0] + best[1]) / 2.0
 
 
+def _extend_column(
+    probe: float, wy0: float, wy1: float, ry0: float, ry1: float,
+    w_x, w_y, w_ex, w_ey,
+) -> Tuple[float, float]:
+    """P4 adjustColumn (ColumnFinder.adjustColumn:75-168): extend a 2px-wide
+    column at `probe` vertically from the seed whitespace's y-range until
+    blocked by content intersecting the strip, clamped to the region. The
+    whitespace cover returns MAXIMAL rects, so a tall thin gutter overlapped
+    by two fat maximal rects never appears as its own rect — the extension
+    recovers its full height from any seed fragment."""
+    if w_x is None or len(w_x) == 0:
+        return ry0, ry1
+    strip = (w_x < probe + 1.0) & (w_ex > probe - 1.0)
+    if not bool(strip.any()):
+        return ry0, ry1
+    sy = w_y[strip]
+    sey = w_ey[strip]
+    above = sey[sey <= wy0 + 1e-6]
+    below = sy[sy >= wy1 - 1e-6]
+    ay0 = float(above.max()) if above.size else ry0
+    ay1 = float(below.min()) if below.size else ry1
+    return max(ay0, ry0), min(ay1, ry1)
+
+
 def column_boundaries(
     bound: Tuple[float, float, float, float],
     whitespace: Sequence[Tuple[float, float, float, float]],
     w_x=None, w_y=None, w_ex=None, w_ey=None, w_tlen=None,
 ) -> List[float]:
     """P4: select whitespace rects that are column boundaries; return chosen
-    boundary x positions, <50pt-apart groups combined (tallest wins)."""
+    boundary x positions, <50pt-apart groups combined (tallest wins).
+    Candidate heights are adjustColumn-extended before the aspect/height
+    filters (see _extend_column)."""
     x0, y0, x1, y1 = bound
     rh = y1 - y0
     rw = x1 - x0
@@ -347,18 +373,25 @@ def column_boundaries(
     cands: List[Tuple[float, float]] = []  # (boundary_x, height)
     for wx0, wy0, wx1, wy1 in whitespace:
         w = wx1 - wx0
-        h = wy1 - wy0
-        if w <= 0 or h / max(w, 1e-6) <= COLUMN_MIN_ASPECT:
-            continue
-        if h < COLUMN_MIN_HEIGHT_FRAC * rh:
+        if w <= 0:
             continue
         lo = max(wx0 + 1.0, x0 + COLUMN_MARGIN_FRAC * rw)
         hi = min(wx1 - 1.0, x1 - COLUMN_MARGIN_FRAC * rw)
         probe = _best_allowed_x(lo, hi, forbidden)
         if probe is None:
             continue
+        ay0, ay1 = _extend_column(probe, wy0, wy1, y0, y1, w_x, w_y, w_ex, w_ey)
+        h = ay1 - ay0
+        # a channel clear over (nearly) the whole region height is a column
+        # boundary regardless of the seed rect's width — adjustColumn's
+        # tallest-wins semantics; otherwise the aspect gate applies
+        full_height = h >= 0.8 * rh
+        if not full_height and h / max(w, 1e-6) <= COLUMN_MIN_ASPECT:
+            continue
+        if h < COLUMN_MIN_HEIGHT_FRAC * rh:
+            continue
         if w_x is not None and not _boundary_ok(
-            probe, wy0, wy1, w_x, w_y, w_ex, w_ey, w_tlen
+            probe, ay0, ay1, w_x, w_y, w_ex, w_ey, w_tlen
         ):
             continue
         cands.append((probe, h))
@@ -470,6 +503,108 @@ def divide_region(
     return left + right
 
 
+TOP_SPLIT_FRACTION = 0.4     # PageSegmentator.analyzePage: splitOfTopTextOfPage(0.4)
+TOP_SPLIT_MIN_DIST = 10      # PageRegionSplitBySpacing.splitOfTopTextOfPage:52
+BAND_SPLIT_MIN_DIST = 20     # PageRegionSplitBySpacing.splitRegionHorizontally:60
+
+
+def split_ys_by_spacing(
+    region_y1: float,
+    w_y: np.ndarray,
+    w_ey: np.ndarray,
+    w_style_keys: Sequence,
+    w_weights: Sequence[int],
+    same_style,
+    start_y: float,
+    end_y: float,
+    min_dist: float,
+    o_y: Optional[np.ndarray] = None,
+    o_ey: Optional[np.ndarray] = None,
+) -> List[float]:
+    """P7/P9 kernel (PageRegionSplitBySpacing.tryHorizontalSplit:83-151).
+
+    Scan integer rows from start_y to end_y; accumulate seen content into a
+    working set. At an empty row >= min_dist below the last non-empty row,
+    split iff the letter-weighted dominating style above differs from the one
+    of the first non-empty row below (styleCompare != SAME_STYLE — big-text
+    counts as different, :66-81). After a split the working set clears and
+    scanning continues in the lower part (activeRegion advance, :132-140).
+
+    `same_style(a, b)` compares two style keys; keys are whatever the caller
+    indexes styles with (Style objects in the oracle, LUT ints in the engine)
+    so the kernel is shared and parity is structural.
+
+    o_y/o_ey are non-text obstacles (media boxes): they occupy rows — the
+    reference's findContentAtYIndex returns graphics too, so a figure blocks
+    a split through its band — but carry no style weight. A below-row with
+    obstacles and no text yields no style to compare, so no split there.
+    """
+    n = len(w_y)
+    if n == 0:
+        return []
+    wy = np.asarray(w_y, dtype=np.float64)
+    wey = np.asarray(w_ey, dtype=np.float64)
+    oy = np.asarray(o_y, dtype=np.float64) if o_y is not None else np.empty(0)
+    oey = np.asarray(o_ey, dtype=np.float64) if o_ey is not None else np.empty(0)
+
+    def dominating(idx_iter) -> Optional[object]:
+        weights: dict = {}
+        order: dict = {}
+        rank = 0
+        for i in idx_iter:
+            k = w_style_keys[i]
+            weights[k] = weights.get(k, 0) + int(w_weights[i])
+            if k not in order:
+                order[k] = rank
+            rank += 1
+        if not weights:
+            return None
+        return max(weights, key=lambda k: (weights[k], -order[k]))
+
+    splits: List[float] = []
+    working: List[int] = []
+    in_working: set = set()
+    last_boundary = -1000.0
+    y = float(np.floor(start_y))
+    stop = min(float(end_y), float(region_y1))
+    while y <= stop:
+        row = np.nonzero((wy <= y) & (wey >= y))[0]
+        occupied = row.size > 0 or bool(np.any((oy <= y) & (oey >= y)))
+        if occupied:
+            for i in row:
+                ii = int(i)
+                if ii not in in_working:
+                    in_working.add(ii)
+                    working.append(ii)
+            last_boundary = y
+        elif working and (y - last_boundary) >= min_dist:
+            # first non-empty row below (sameStyleOverAndUnderHorizontalLine)
+            under: Optional[np.ndarray] = None
+            y2 = y
+            while y2 < region_y1:
+                m2 = np.nonzero((wy <= y2) & (wey >= y2))[0]
+                if m2.size:
+                    under = m2
+                    break
+                if bool(np.any((oy <= y2) & (oey >= y2))):
+                    break  # obstacle-only band below: nothing to compare
+                y2 += 1.0
+            if under is not None:
+                over_dom = dominating(working)
+                under_dom = dominating(int(i) for i in under)
+                if (
+                    over_dom is not None
+                    and under_dom is not None
+                    and not same_style(over_dom, under_dom)
+                ):
+                    splits.append(y)
+                    working = []
+                    in_working = set()
+                    last_boundary = y
+        y += 1.0
+    return splits
+
+
 def region_sort_key(r: Region):
     """B6 regionComparator-lite: regions ordered left-to-right when
     x-disjoint, else top-down (Sorting.java:104-130)."""
@@ -488,10 +623,16 @@ def analyze_page_regions(
     min_col_spacing: float,
     min_row_spacing: float,
     media_obs: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = None,
+    style_info: Optional[Tuple[Sequence, Sequence[int], object]] = None,
+    page_dims: Optional[Tuple[float, float]] = None,
 ) -> List[Region]:
-    """Full page -> ordered leaf regions: P8 separator splits, then P3-P5
-    column division per horizontal band. Bands keep top-down order; columns
-    within a band go left-to-right."""
+    """Full page -> ordered leaf regions: P7 top-of-page style split + P8
+    separator splits, then P3-P5 column division per horizontal band, then P9
+    large-horizontal-band division of the resulting subregions. Bands keep
+    top-down order; columns within a band go left-to-right.
+
+    style_info = (style_keys, letter_weights, same_style_callable) enables
+    the P7/P9 style-aware splits; page_dims = (page_top, page_height)."""
     n = len(w_x)
     if n == 0:
         return []
@@ -501,8 +642,20 @@ def analyze_page_regions(
     y0 = float(w_y.min())
     x1 = float(w_ex.max())
     y1 = float(w_ey.max())
-    bands = split_by_separators((x0, y0, x1, y1), all_idx, w_y, w_ey, hsep_ys)
-    out: List[Region] = []
+    cuts = [float(s) for s in hsep_ys]
+    m_y = media_obs[1] if media_obs is not None else None
+    m_ey = media_obs[3] if media_obs is not None else None
+    if style_info is not None and page_dims is not None:
+        keys, weights, same = style_info
+        top, height = page_dims
+        cuts += split_ys_by_spacing(
+            y1, w_y, w_ey, keys, weights, same,
+            start_y=top, end_y=top + TOP_SPLIT_FRACTION * height,
+            min_dist=TOP_SPLIT_MIN_DIST,
+            o_y=m_y, o_ey=m_ey,
+        )
+    bands = split_by_separators((x0, y0, x1, y1), all_idx, w_y, w_ey, cuts)
+    per_band: List[List[Region]] = []
     for bband, bidx in bands:
         bx0 = float(w_x[bidx].min())
         by0 = float(w_y[bidx].min())
@@ -512,6 +665,41 @@ def analyze_page_regions(
             (bx0, by0, bx1, by1), bidx, w_x, w_y, w_ex, w_ey, w_tlen,
             min_w=min_col_spacing, min_h=min_row_spacing, obs=media_obs,
         )
+        per_band.append(regions)
+    # P9: re-split finished SUBregions on large empty horizontal bands
+    # (divideRegionsByLargeHorizontalBands — operates on subregions only, so
+    # an unsplit page [single leaf == main region] is exempt)
+    total = sum(len(r) for r in per_band)
+    if style_info is not None and total > 1:
+        keys, weights, same = style_info
+        for bi, regions in enumerate(per_band):
+            expanded: List[Region] = []
+            for r in regions:
+                idx = np.asarray(r.word_idx, dtype=np.int64)
+                ro_y = ro_ey = None
+                if media_obs is not None:
+                    # only obstacles x-overlapping this region block its rows
+                    mo = (media_obs[2] > r.bound[0]) & (media_obs[0] < r.bound[2])
+                    ro_y, ro_ey = m_y[mo], m_ey[mo]
+                splits = split_ys_by_spacing(
+                    r.bound[3], w_y[idx], w_ey[idx],
+                    [keys[i] for i in idx], [weights[i] for i in idx], same,
+                    start_y=r.bound[1], end_y=r.bound[3],
+                    min_dist=BAND_SPLIT_MIN_DIST,
+                    o_y=ro_y, o_ey=ro_ey,
+                )
+                if not splits:
+                    expanded.append(r)
+                    continue
+                for sb, sidx in split_by_separators(
+                    r.bound, idx, w_y, w_ey, splits
+                ):
+                    sub = Region(list(map(int, sidx)), sb)
+                    sub.boundaries = r.boundaries
+                    expanded.append(sub)
+            per_band[bi] = expanded
+    out: List[Region] = []
+    for regions in per_band:
         regions.sort(key=region_sort_key)
         out.extend(regions)
     return out
