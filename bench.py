@@ -26,6 +26,11 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 
 def make_spark(cores: int, app: str = "pdfextract-bench") -> SparkSession:
+    # Arrow/pandas UDF workers must find the package regardless of the cwd
+    # the bench was launched from
+    pp = os.environ.get("PYTHONPATH", "")
+    if _REPO not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{_REPO}{os.pathsep}{pp}" if pp else _REPO
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)

@@ -98,6 +98,11 @@ def make_doc(seed: int, doc_index: int, skew: bool = False) -> Tuple[str, List[D
         # stray control-char word in otherwise clean text (S9 strips it)
         if rng.uniform() < 0.05:
             add("text", sentence(3, 6) + " \x06 " + sentence(2, 4))
+        # indented display formula (B2 pre-groups; the line classifies
+        # FORMULA: 3 per math symbol + 1 per digit > char count)
+        if rng.uniform() < 0.05:
+            a, b2, c = (int(v) for v in rng.integers(1, 99, 3))
+            add("text", f"x{a % 9} = {a} + {b2} < {c} × {a % 7}")
         # digit-leading lowercase footnote (tokenizer styles SMALL; L4 tags)
         if rng.uniform() < 0.06:
             add("text", f"{int(rng.integers(1, 30))} {sentence(3, 7)}")

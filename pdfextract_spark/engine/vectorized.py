@@ -32,8 +32,30 @@ from ..oracle.document import OutSpan
 from ..oracle.lines import find_line_boundaries
 from ..oracle.regions import MEDIA_HSEP, analyze_page_regions, categorize_media
 from ..oracle.scanfilters import apply_scan_filters
-from ..oracle.style import BIG_DIFFERENCE, SPLIT, Style, style_compare
+from ..oracle.blocks import find_blocks, math_score_exceeds
+from ..oracle.style import (
+    BIG_DIFFERENCE,
+    FORMULA,
+    SAME_STYLE,
+    SPLIT,
+    Style,
+    style_compare,
+)
 from ..oracle.words import FONT_DENOM, estimate_boundary_cut
+
+# sentinel style index for FORMULA-dominated lines (LineNode.findDominating
+# Style override); never a valid index into the per-doc style dim
+FORMULA_IDX = -2
+
+
+def _style_of(styles: List["Style"], st: int) -> "Style":
+    return FORMULA if st == FORMULA_IDX else styles[st]
+
+
+def _style_cmp(cmp_lut: np.ndarray, a: int, b: int) -> int:
+    if a == FORMULA_IDX or b == FORMULA_IDX:
+        return SPLIT if (a == FORMULA_IDX) != (b == FORMULA_IDX) else SAME_STYLE
+    return int(cmp_lut[a, b])
 
 F32 = np.float32
 _F32_TINY = np.float32(np.finfo(np.float32).tiny)
@@ -461,7 +483,10 @@ def _line_pos(t: _WordTable, line: Line) -> Tuple[np.float32, np.float32, np.flo
 
 
 def _dominating_style(t: _WordTable, idxs: Line) -> int:
-    """B8 letter-count-weighted mode; ties -> earliest first appearance."""
+    """B8 letter-count-weighted mode; ties -> earliest first appearance.
+    FORMULA override for mathy lines (mirrors oracle Line.dominating_style)."""
+    if math_score_exceeds([t.text[i] for i in idxs]):
+        return FORMULA_IDX
     weights: Dict[int, int] = {}
     order: Dict[int, int] = {}
     for pos, i in enumerate(idxs):
@@ -612,12 +637,15 @@ def _modal_vertical_spacing(
 class Paragraph:
     """Mutable paragraph: lines + leaf-region order + L4-L6 role."""
 
-    __slots__ = ("lines", "region", "role")
+    __slots__ = ("lines", "region", "role", "block")
 
-    def __init__(self, lines: List[Line], region: int = 0, role: str = "text"):
+    def __init__(
+        self, lines: List[Line], region: int = 0, role: str = "text", block: int = 0
+    ):
         self.lines = lines
         self.region = region
         self.role = role
+        self.block = block
 
 
 def _segment_paragraphs(
@@ -637,18 +665,18 @@ def _segment_paragraphs(
 
     ret: List[Paragraph] = []
     current: List[Line] = []
-    current_style = -1
+    current_style: Optional[int] = None
     last_pos = None
 
     for line in lines:
         line_style = _dominating_style(t, line)
-        if current_style == -1:
+        if current_style is None:
             current_style = line_style
             last_pos = _line_pos(t, line)
 
         lp = _line_pos(t, line)
         distance = np.float32(lp[1] - (last_pos[1] + last_pos[3]))
-        cmp = int(cmp_lut[current_style, line_style])
+        cmp = _style_cmp(cmp_lut, current_style, line_style)
 
         if cmp == SPLIT:
             split = True
@@ -703,7 +731,7 @@ def _analyze_page_vec(
     B3 lines + B5 paragraphs."""
     n = len(t)
     if n == 0:
-        return [], []
+        return [], [], []
     wx, wy, wex, wey = t.x, t.y, t.ex, t.ey
     x0, y0 = float(wx.min()), float(wy.min())
     x1, y1 = float(wex.max()), float(wey.max())
@@ -748,12 +776,32 @@ def _analyze_page_vec(
 
     paragraphs: List[Paragraph] = []
     bounds = []
+    block_bounds: List[List[Tuple[float, float]]] = []
     for reg in regions:
-        lines = _create_lines(t, cmp_lut, subset=reg.word_idx)
-        if not lines:
+        idx = np.asarray(reg.word_idx, dtype=np.int64)
+        # B1/B2: block grouping; leaf whitespace + media boxes block trails
+        blockers = list(reg.whitespace)
+        for m in page_media:
+            if (
+                m.x < reg.bound[2] and m.x + m.w > reg.bound[0]
+                and m.y < reg.bound[3] and m.y + m.h > reg.bound[1]
+            ):
+                blockers.append((m.x, m.y, m.x + m.w, m.y + m.h))
+        blocks = find_blocks(
+            t.x[idx], t.y[idx], t.ex[idx], t.ey[idx],
+            [t.text[i] for i in idx],
+            reg.bound,
+            blockers,
+        )
+        block_lines = [
+            _create_lines(t, cmp_lut, subset=[int(idx[i]) for i in blk])
+            for blk in blocks
+        ]
+        all_lines = [l for lines in block_lines for l in lines]
+        if not all_lines:
             continue
-        rpos = _line_pos(t, lines[0])
-        for line in lines[1:]:
+        rpos = _line_pos(t, all_lines[0])
+        for line in all_lines[1:]:
             bx, by, bw, bh = _line_pos(t, line)
             aex = rpos[0] + rpos[2]
             aey = rpos[1] + rpos[3]
@@ -764,14 +812,26 @@ def _analyze_page_vec(
             nx1 = aex if aex >= bex else bex
             ny1 = aey if aey >= bey else bey
             rpos = (nx0, ny0, nx1 - nx0, ny1 - ny0)
-        sub_all = [i for line in lines for i in line]
+        sub_all = [i for line in all_lines for i in line]
         mvs = _modal_vertical_spacing(t, sub_all, rpos, style_ysize)
-        paras = _segment_paragraphs(t, lines, mvs, cmp_lut)
-        for para in paras:
-            para.region = len(bounds)
+        bb: List[Tuple[float, float]] = []
+        for lines in block_lines:
+            if not lines:
+                continue
+            paras = _segment_paragraphs(t, lines, mvs, cmp_lut)
+            for para in paras:
+                para.region = len(bounds)
+                para.block = len(bb)
+            ii = [i for l in lines for i in l]
+            bb.append((float(t.y[ii].min()), float(t.ey[ii].max())))
+            paragraphs.extend(paras)
         bounds.append(reg.bound)
-        paragraphs.extend(paras)
-    return paragraphs, bounds
+        block_bounds.append(bb)
+    # logical ops (L2 title-first, L5 abstract delete-preceding) treat the
+    # page paragraph LIST as reading order — restore it after block-major
+    # construction (stable: block order breaks y ties)
+    paragraphs.sort(key=lambda para: (para.region, float(_para_pos(t, para)[1])))
+    return paragraphs, bounds, block_bounds
 
 
 def _media_region_vec(m: MediaBox, bounds) -> int:
@@ -827,7 +887,8 @@ def _find_body_style(
 
 
 def _can_be_line_id(t: _WordTable, line: Line, st: int, body: int, styles: List[Style]) -> bool:
-    if styles[body].font_name == styles[st].font_name or styles[body].x_size >= styles[st].x_size:
+    s = _style_of(styles, st)
+    if styles[body].font_name == s.font_name or styles[body].x_size >= s.x_size:
         return False
     text = _line_text(t, line).strip()
     first_word = text.split()[0] if text else ""
@@ -848,7 +909,7 @@ def _find_header_candidates(
                 st = _dominating_style(t, line)
                 if st in candidates or st == body:
                     continue
-                if styles[st].x_size >= styles[body].x_size or _can_be_line_id(
+                if _style_of(styles, st).x_size >= styles[body].x_size or _can_be_line_id(
                     t, line, st, body, styles
                 ):
                     candidates.append(st)
@@ -883,7 +944,7 @@ def _tag_footnotes(
         t = tables[p]
         for para in page:
             st = _para_style(t, para)
-            if styles[st].x_size >= styles[body].x_size:
+            if _style_of(styles, st).x_size >= styles[body].x_size:
                 continue
             text = _line_text(t, para.lines[0]).strip() if para.lines else ""
             first = text.split()[0] if text else ""
@@ -1019,17 +1080,19 @@ def extract_document_fast(
     tables: List[_WordTable] = []
     pages: List[List[Paragraph]] = []
     page_regions: List[List] = []
+    page_blocks: List[List] = []
     for p in range(n_pages):
         g = _page_glyphs(table, table.page == p)
         words = _segment_words_page(g, break_lut, style_xsize, mode)
         t = _word_table(words)
-        paragraphs, bounds = _analyze_page_vec(
+        paragraphs, bounds, blocks = _analyze_page_vec(
             t, media_by_page.get(p, []), cmp_lut, style_xsize, style_ysize,
             page_height=cfg.page_height,
         )
         tables.append(t)
         pages.append(paragraphs)
         page_regions.append(bounds)
+        page_blocks.append(blocks)
 
     body = _find_body_style(tables, styles)
     header_candidates = _find_header_candidates(tables, pages, body, styles)
@@ -1061,23 +1124,29 @@ def extract_document_fast(
 
     for p in range(n_pages):
         t = tables[p]
-        items: List[Tuple[int, float, int, str, object]] = []
+        items: List[Tuple[int, float, int, int, str, object, object]] = []
         for pi, para in enumerate(pages[p]):
-            items.append((para.region, float(_para_pos(t, para)[1]), pi, "para", para))
+            for li, line in enumerate(para.lines):
+                items.append(
+                    (para.region, float(_line_pos(t, line)[1]), pi, li,
+                     "line", line, para)
+                )
         for mi, m in enumerate(media_by_page.get(p, [])):
             items.append(
                 (_media_region_vec(m, page_regions[p]), float(m.y),
-                 1_000_000 + mi, "media", m)
+                 1_000_000 + mi, 0, "media", m, None)
             )
-        items.sort(key=lambda it: (it[0], it[1], it[2]))
-        for _, _, _, kind, obj in items:
-            if kind == "para":
-                for line in obj.lines:
-                    out.append(
-                        OutSpan(seq, obj.role, _line_text(t, line), "",
-                                int(min(t.origin[i] for i in line)))
-                    )
-                    seq += 1
+        items.sort(key=lambda it: (it[0], it[1], it[2], it[3]))
+        for _, _, _, _, kind, obj, para in items:
+            if kind == "line":
+                role = para.role
+                if role == "text" and _dominating_style(t, obj) == FORMULA_IDX:
+                    role = "formula"
+                out.append(
+                    OutSpan(seq, role, _line_text(t, obj), "",
+                            int(min(t.origin[i] for i in obj)))
+                )
+                seq += 1
             else:
                 out.append(OutSpan(seq, "media", "", obj.media_ref, obj.offset))
                 seq += 1

@@ -95,6 +95,12 @@ def _control_ratio(text: str) -> float:
     ctrl = sum(1 for c in text if c < " " or "\x7f" <= c <= "\x9f")
     return ctrl / len(text)
 
+
+def _is_formula_text(words) -> bool:
+    from .oracle.blocks import math_score_exceeds
+
+    return math_score_exceeds(words)
+
 _HEADING_RE = re.compile(r"^\d+(\.\d+)* [A-Z]")
 _FOOTNOTE_RE = re.compile(r"^\d+ [a-z]")
 
@@ -253,18 +259,25 @@ def layout_document(
         if para_break and cursor_y > margin:
             cursor_y = F32(cursor_y + leading)
 
-        # flow the span's words into lines (within the current column)
-        cursor_x = col_x0()
+        # display formulas are indented (B2 only detects indented line-sets,
+        # ContentGrouper.java:182 — minX >= region.x + 20)
         words = [wd for wd in text.split(" ") if wd != ""]
+        indent = F32(30.0) if _is_formula_text(words) else F32(0.0)
+
+        def sx0() -> np.float32:
+            return F32(col_x0() + indent)
+
+        # flow the span's words into lines (within the current column)
+        cursor_x = sx0()
         for wi, word in enumerate(words):
             jit = rng.uniform(-0.05, 0.05, max(len(word) - 1, 0)).astype(np.float32) * size
             word_w = F32(len(word) * char_w + (jit.sum() if len(jit) else F32(0.0)))
-            if cursor_x + word_w > col_x0() + col_w and cursor_x > col_x0():
-                cursor_x = col_x0()
+            if cursor_x + word_w > col_x0() + col_w and cursor_x > sx0():
+                cursor_x = sx0()
                 cursor_y = F32(cursor_y + leading)
             if cursor_y + ysize > page_h - margin:
                 advance_column()
-                cursor_x = col_x0()
+                cursor_x = sx0()
             # per-char advance fold == float32 cumsum (verified bit-exact):
             # adv_i = f32(char_w + jit_i) for all but the last char, then char_w
             k = len(word)

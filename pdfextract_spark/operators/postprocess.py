@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-TEXT_KINDS = ("text", "title", "abstract", "footnote", "heading1", "heading2", "heading3")
+TEXT_KINDS = ("text", "title", "abstract", "footnote", "formula", "heading1", "heading2", "heading3")
 MAX_CHAIN = 4
 
 

@@ -1,0 +1,242 @@
+"""B1/B2 block grouping kernel, shared by the oracle and the engine.
+
+B1 connected-component blocks (ContentGrouper.findBlocksOfContent,
+/root/reference/analysis/.../physical/ContentGrouper.java:61-148): flood-fill
+of "connected" content via 1px row/column slab adjacency, where whitespace
+rectangles (the trails the whitespace cover left in the region) and media
+boxes block propagation (markEverythingConnectedFrom returns false on
+non-assignable/graphic content, breaking markBothWaysFromCurrent's walk,
+:109-148,232-250). Re-expressed as union-find over slab adjacencies: two
+words join when they are ADJACENT entries of some 1px horizontal or vertical
+slab list with no blocker between them. Slab entries are built with one
+np.repeat batch per axis, the unions are a linear pass.
+
+B2 formula pre-grouping (ContentGrouper.createBlocksForFormulas:150-230 +
+Formulas.textSeemsToBeFormula, model/.../formula/Formulas.java:56-106):
+indented (minX >= region.x + 20) line-sets whose math score — 3 per math
+symbol (Unicode category Sm), 1 per digit — exceeds their character count are
+hungrily combined into one block, merged with the previous block when no
+non-formula text intervened.
+
+Block order (PageSegmentator.createParagraphsForRegion:119 sorts with
+Sorting.regionComparator, geom/Sorting.java:104-130): y-disjoint -> top
+first; x-disjoint -> left first; else y (4% tolerance, MathUtils
+.isWithinPercent:85-94) then x.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from functools import cmp_to_key
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+FORMULA_INDENT = 20.0  # ContentGrouper.java:182
+FORMULA_MIN_CONTENTS = 4  # Formulas.java:58
+
+
+def math_score_exceeds(texts: Sequence[str]) -> bool:
+    """Formulas.textSeemsToBeFormula over word texts (no math-font words or
+    math-bar graphics exist in this corpus; their terms are zero)."""
+    if len(texts) < FORMULA_MIN_CONTENTS:
+        return False
+    looks_like_math = 0
+    word_count = 0
+    for t in texts:
+        word_count += len(t)
+        for c in t:
+            if unicodedata.category(c) == "Sm":
+                looks_like_math += 3
+            elif c.isdigit():
+                looks_like_math += 1
+    return looks_like_math > word_count
+
+
+def _within_percent(a: float, b: float, pct: float) -> bool:
+    if a == b:
+        return True
+    return (a + a / 100.0 * pct) >= b and (a - a / 100.0 * pct) <= b
+
+
+def region_comparator(a: Tuple[float, float, float, float],
+                      b: Tuple[float, float, float, float]) -> int:
+    """Sorting.regionComparator on (x0, y0, x1, y1) bounds."""
+    if a[3] < b[1]:
+        return -1
+    if a[1] > b[3]:
+        return 1
+    if a[2] < b[0]:
+        return -1
+    if a[0] > b[2]:
+        return 1
+    if not _within_percent(a[1], b[1], 4.0):
+        return -1 if a[1] < b[1] else 1
+    if a[0] < b[0]:
+        return -1
+    if a[0] > b[2]:
+        return 1
+    return 0
+
+
+class _UF:
+    def __init__(self, n: int):
+        self.parent = list(range(n))
+
+    def find(self, i: int) -> int:
+        p = self.parent
+        while p[i] != i:
+            p[i] = p[p[i]]
+            i = p[i]
+        return i
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+def _slab_pairs(lo: np.ndarray, hi: np.ndarray, pos: np.ndarray, n_words: int):
+    """Adjacent index pairs (i, j) of the 1px slab lists along one axis.
+    lo/hi: integer slab range per item; pos: sort position within a slab."""
+    counts = (hi - lo + 1).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    idx = np.repeat(np.arange(len(lo), dtype=np.int64), counts)
+    # slab id per entry: lo[i], lo[i]+1, ..., hi[i]
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slab = np.arange(total, dtype=np.int64) - np.repeat(offs, counts) + np.repeat(lo, counts)
+    p = pos[idx]
+    order = np.lexsort((p, slab))
+    si, ss = idx[order], slab[order]
+    same = ss[1:] == ss[:-1]
+    a, b = si[:-1][same], si[1:][same]
+    # both endpoints must be words for a join; blockers (idx >= n_words)
+    # sit between words in the slab list and thus break adjacency
+    m = (a < n_words) & (b < n_words)
+    return a[m], b[m]
+
+
+def find_blocks(
+    w_x: np.ndarray,
+    w_y: np.ndarray,
+    w_ex: np.ndarray,
+    w_ey: np.ndarray,
+    texts: Sequence[str],
+    region_bound: Tuple[float, float, float, float],
+    blockers: Optional[Sequence[Tuple[float, float, float, float]]] = None,
+) -> List[List[int]]:
+    """Blocks of one region as lists of LOCAL word indices, ordered by
+    regionComparator on the block bound. B2 formula pre-grouping runs first;
+    B1 union-find groups the rest."""
+    n = len(w_x)
+    if n == 0:
+        return []
+
+    assigned = np.zeros(n, dtype=bool)
+    blocks: List[List[int]] = []
+
+    # ---- B2: formula pre-grouping (faithful row-scan fold) ----------------
+    rx0 = float(region_bound[0])
+    ry0, ry1 = float(region_bound[1]), float(region_bound[3])
+    wy = w_y.astype(np.float64)
+    wey = w_ey.astype(np.float64)
+    working: List[int] = []
+    in_working: set = set()
+    skip = False
+    has_skipped = False
+    min_x = np.inf
+    end_y = -np.inf
+    prev_merged_into: Optional[int] = None
+    y = np.floor(ry0)
+    while y <= ry1:
+        row = np.nonzero((wy <= y) & (wey >= y) & ~assigned)[0]
+        if row.size == 0:
+            working.clear()
+            in_working.clear()
+            skip = False
+            min_x = np.inf
+            y += 1.0
+            continue
+        if skip:
+            y += 1.0
+            continue
+        for i in row:
+            ii = int(i)
+            if ii not in in_working:
+                in_working.add(ii)
+                working.append(ii)
+                min_x = min(min_x, float(w_x[ii]))
+                end_y = max(end_y, float(w_ey[ii]))
+        if min_x < rx0 + FORMULA_INDENT:
+            skip = True
+            has_skipped = True
+            y += 1.0
+            continue
+        if math_score_exceeds([texts[i] for i in working]):
+            # hungry absorb of contiguous rows
+            while y <= end_y + 1.0:
+                row = np.nonzero((wy <= y) & (wey >= y) & ~assigned)[0]
+                for i in row:
+                    ii = int(i)
+                    if ii not in in_working:
+                        in_working.add(ii)
+                        working.append(ii)
+                        end_y = max(end_y, float(w_ey[ii]))
+                y += 1.0
+            members = [i for i in working if not assigned[i]]
+            assigned[np.array(members, dtype=np.int64)] = True
+            if not has_skipped and blocks:
+                blocks[-1].extend(members)
+            else:
+                blocks.append(members)
+            has_skipped = False
+            working.clear()
+            in_working.clear()
+            min_x = np.inf
+            continue
+        y += 1.0
+
+    # ---- B1: union-find over slab adjacency -------------------------------
+    rest = np.nonzero(~assigned)[0]
+    if rest.size:
+        bx = [float(r[0]) for r in (blockers or [])]
+        by = [float(r[1]) for r in (blockers or [])]
+        bex = [float(r[2]) for r in (blockers or [])]
+        bey = [float(r[3]) for r in (blockers or [])]
+        ax = np.concatenate([w_x[rest].astype(np.float64), np.array(bx)])
+        ay = np.concatenate([w_y[rest].astype(np.float64), np.array(by)])
+        aex = np.concatenate([w_ex[rest].astype(np.float64), np.array(bex)])
+        aey = np.concatenate([w_ey[rest].astype(np.float64), np.array(bey)])
+        n_w = rest.size
+
+        uf = _UF(n_w)
+        ry_lo = np.floor(ay).astype(np.int64)
+        ry_hi = np.floor(aey).astype(np.int64)
+        a, b = _slab_pairs(ry_lo, ry_hi, ax, n_w)
+        for i, j in zip(a, b):
+            uf.union(int(i), int(j))
+        rx_lo = np.floor(ax).astype(np.int64)
+        rx_hi = np.floor(aex).astype(np.int64)
+        a, b = _slab_pairs(rx_lo, rx_hi, ay, n_w)
+        for i, j in zip(a, b):
+            uf.union(int(i), int(j))
+
+        comp: dict = {}
+        for k in range(n_w):
+            comp.setdefault(uf.find(k), []).append(int(rest[k]))
+        # deterministic discovery order: by first member (input order)
+        for root in sorted(comp, key=lambda r: comp[r][0]):
+            blocks.append(comp[root])
+
+    def bound(members: List[int]) -> Tuple[float, float, float, float]:
+        m = np.array(members, dtype=np.int64)
+        return (
+            float(w_x[m].min()), float(w_y[m].min()),
+            float(w_ex[m].max()), float(w_ey[m].max()),
+        )
+
+    blocks = [b for b in blocks if b]
+    blocks.sort(key=cmp_to_key(lambda p, q: region_comparator(bound(p), bound(q))))
+    return blocks

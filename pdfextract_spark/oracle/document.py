@@ -35,6 +35,7 @@ from .logical import (
     remove_page_numbers,
     tag_footnotes,
 )
+from .blocks import find_blocks
 from .paragraphs import Paragraph, avg_font_sizes, modal_vertical_spacing, segment_paragraphs
 from .regions import MEDIA_HSEP, analyze_page_regions, categorize_media
 from .scanfilters import apply_scan_filters
@@ -81,9 +82,10 @@ def _analyze_page(
     """Geometric page analysis: P2 media roles -> P7 top split -> P8
     separator bands -> P3-P5 column division -> P9 band re-split ->
     per-region B3 lines + B5 paragraphs.
-    Returns (paragraphs tagged with region order, leaf-region bounds)."""
+    Returns (paragraphs tagged with region order, leaf-region bounds,
+    per-region block (y0, y1) lists)."""
     if not page_words:
-        return [], []
+        return [], [], []
 
     wx = np.array([w.pos.x for w in page_words], dtype=np.float32)
     wy = np.array([w.pos.y for w in page_words], dtype=np.float32)
@@ -138,22 +140,54 @@ def _analyze_page(
 
     paragraphs: List[Paragraph] = []
     bounds = []
+    block_bounds: List[List[Tuple[float, float]]] = []  # per region: (y0, y1)
     for ri, reg in enumerate(regions):
         reg_words = [page_words[i] for i in reg.word_idx]
-        lines = create_lines(reg_words)
-        if not lines:
+        # B1/B2: block grouping; leaf whitespace + media boxes block trails
+        blockers = list(reg.whitespace)
+        for m in page_media:
+            if (
+                m.x < reg.bound[2] and m.x + m.w > reg.bound[0]
+                and m.y < reg.bound[3] and m.y + m.h > reg.bound[1]
+            ):
+                blockers.append((m.x, m.y, m.x + m.w, m.y + m.h))
+        blocks = find_blocks(
+            np.array([w.pos.x for w in reg_words], dtype=np.float32),
+            np.array([w.pos.y for w in reg_words], dtype=np.float32),
+            np.array([w.pos.end_x for w in reg_words], dtype=np.float32),
+            np.array([w.pos.end_y for w in reg_words], dtype=np.float32),
+            [w.text for w in reg_words],
+            reg.bound,
+            blockers,
+        )
+        block_lines = [create_lines([reg_words[i] for i in blk]) for blk in blocks]
+        all_lines = [l for lines in block_lines for l in lines]
+        if not all_lines:
             continue
-        rpos = lines[0].pos
-        for l in lines[1:]:
+        rpos = all_lines[0].pos
+        for l in all_lines[1:]:
             rpos = rpos.union(l.pos)
-        all_words = [w for l in lines for w in l.words]
+        all_words = [w for l in all_lines for w in l.words]
         mvs = modal_vertical_spacing(all_words, rpos)
-        paras = segment_paragraphs(lines, mvs)
-        for para in paras:
-            para.region = len(bounds)
+        bb: List[Tuple[float, float]] = []
+        for b_rank, lines in enumerate(block_lines):
+            if not lines:
+                continue
+            paras = segment_paragraphs(lines, mvs)
+            for para in paras:
+                para.region = len(bounds)
+                para.block = len(bb)
+            by = [w.pos.y for l in lines for w in l.words]
+            bey = [w.pos.end_y for l in lines for w in l.words]
+            bb.append((min(by), max(bey)))
+            paragraphs.extend(paras)
         bounds.append(reg.bound)
-        paragraphs.extend(paras)
-    return paragraphs, bounds
+        block_bounds.append(bb)
+    # logical ops (L2 title-first, L5 abstract delete-preceding) treat the
+    # page paragraph LIST as reading order — restore it after block-major
+    # construction (stable: block order breaks y ties)
+    paragraphs.sort(key=lambda para: (para.region, float(para.pos.y)))
+    return paragraphs, bounds, block_bounds
 
 
 def _media_region(m: MediaBox, bounds) -> int:
@@ -201,13 +235,15 @@ def extract_document(
         media_by_page.setdefault(m.page, []).append(m)
 
     page_regions: List[List] = []  # leaf-region bounds per page (for media)
+    page_blocks: List[List] = []   # per page, per region: block (y0, y1) list
     for p in range(n_pages):
         page_words = segment_words(_glyphs_for_page(table, table.page == p, styles))
-        paragraphs, regions = _analyze_page(
+        paragraphs, regions, blocks = _analyze_page(
             page_words, media_by_page.get(p, []), page_height=cfg.page_height
         )
         pages.append(paragraphs)
         page_regions.append(regions)
+        page_blocks.append(blocks)
 
     # logical analysis (document level) — reference pipeline order
     # (LogicalAnalysis.java:36-54): metadata -> title -> page numbers ->
@@ -234,19 +270,33 @@ def extract_document(
             seq += 1
 
     for p in range(n_pages):
-        items: List[Tuple[int, float, int, str, object]] = []
+        # B6: the output span stream is ordered at LINE granularity within
+        # each region — (region, line y, paragraph, line). Paragraph grouping
+        # still carries the logical roles; stacked blocks emit identically to
+        # block-major order, while a block that vertically SURROUNDS another
+        # (body text around a display formula) still interleaves in reading
+        # order, which strict block-major would violate.
+        items: List[Tuple[int, float, int, int, str, object, object]] = []
         for pi, para in enumerate(pages[p]):
-            items.append((para.region, float(para.pos.y), pi, "para", para))
+            for li, line in enumerate(para.lines):
+                items.append(
+                    (para.region, float(line.pos.y), pi, li, "line", line, para)
+                )
         for mi, m in enumerate(media_by_page.get(p, [])):
             items.append(
-                (_media_region(m, page_regions[p]), float(m.y), 1_000_000 + mi, "media", m)
+                (
+                    _media_region(m, page_regions[p]), float(m.y),
+                    1_000_000 + mi, 0, "media", m, None,
+                )
             )
-        items.sort(key=lambda t: (t[0], t[1], t[2]))
-        for _, _, _, kind, obj in items:
-            if kind == "para":
-                for line in obj.lines:
-                    out.append(OutSpan(seq, obj.role, line.text, "", _line_offset(line)))
-                    seq += 1
+        items.sort(key=lambda t: (t[0], t[1], t[2], t[3]))
+        for _, _, _, _, kind, obj, para in items:
+            if kind == "line":
+                role = para.role
+                if role == "text" and obj.dominating_style().sentinel == "FORMULA":
+                    role = "formula"
+                out.append(OutSpan(seq, role, obj.text, "", _line_offset(obj)))
+                seq += 1
             else:
                 out.append(OutSpan(seq, "media", "", obj.media_ref, obj.offset))
                 seq += 1

@@ -43,7 +43,14 @@ class Line:
         return p
 
     def dominating_style(self) -> Style:
-        """B8: letter-count-weighted mode (TextUtils.findDominatingStyle)."""
+        """B8: letter-count-weighted mode (TextUtils.findDominatingStyle),
+        overridden to FORMULA for mathy lines (LineNode.findDominatingStyle:
+        64-71 — the override IS the method every consumer calls)."""
+        from .blocks import math_score_exceeds
+        from .style import FORMULA
+
+        if math_score_exceeds([w.text for w in self.words]):
+            return FORMULA
         weights: dict = {}
         order: dict = {}
         for i, w in enumerate(self.words):

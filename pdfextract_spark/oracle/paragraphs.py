@@ -88,6 +88,7 @@ class Paragraph:
     lines: List[Line] = field(default_factory=list)
     region: int = field(default=0, compare=False)  # leaf-region order on page
     role: str = field(default="text", compare=False)  # L4-L6 refinement
+    block: int = field(default=0, compare=False)  # B1 block rank within region
 
     @property
     def pos(self) -> Rect:

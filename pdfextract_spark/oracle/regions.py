@@ -42,6 +42,7 @@ import numpy as np
 F32 = np.float32
 
 WHITESPACE_FUZZINESS = 0.2
+FUZZ_SHRINK_CAP = 2.0  # px; see find_whitespace fuzz note
 WHITESPACE_NUMBER_WANTED = 50
 WHITESPACE_MAX_QUEUE = 100_000
 COLUMN_MIN_ASPECT = 1.5
@@ -64,6 +65,9 @@ class Region:
     word_idx: List[int]
     bound: Tuple[float, float, float, float]
     boundaries: List[float] = field(default_factory=list)  # column xs consumed
+    whitespace: List[Tuple[float, float, float, float]] = field(
+        default_factory=list
+    )  # rects found at the level that made this a leaf (block trails, B1)
 
 
 def categorize_media(
@@ -156,11 +160,17 @@ def find_whitespace(
     (isEmptyEnough's <=20%-overlap admission, applied geometrically).
     Deterministic: heap ties broken by insertion counter.
     """
+    # Fuzz-shrink obstacles (isEmptyEnough's <=20%-overlap admission). The
+    # reference's obstacles are WORD-sized, so 10% per side is ~1px; ours may
+    # be row-merged segments (merge_row_obstacles) where 10% of a full line
+    # would carve out fake margins — cap the shrink at word scale.
     fx = WHITESPACE_FUZZINESS / 2.0
-    sx = ob_x + (ob_ex - ob_x) * fx
-    sy = ob_y + (ob_ey - ob_y) * fx
-    sex = ob_ex - (ob_ex - ob_x) * fx
-    sey = ob_ey - (ob_ey - ob_y) * fx
+    dx = np.minimum((ob_ex - ob_x) * fx, FUZZ_SHRINK_CAP)
+    dy = np.minimum((ob_ey - ob_y) * fx, FUZZ_SHRINK_CAP)
+    sx = ob_x + dx
+    sy = ob_y + dy
+    sex = ob_ex - dx
+    sey = ob_ey - dy
 
     x0, y0, x1, y1 = bound
     all_idx = np.arange(len(ob_x))
@@ -479,7 +489,7 @@ def divide_region(
         w_tlen[word_idx],
     )
     if not bounds_x:
-        return [Region(list(map(int, word_idx)), bound)]
+        return [Region(list(map(int, word_idx)), bound, whitespace=list(ws))]
     # split at the leftmost boundary; right part recurses on the rest
     # (PageSegmentator.recursivelyDivide: right part = everything right of
     # boundary middleX)
@@ -489,7 +499,7 @@ def divide_region(
     left_sel = word_idx[centers < mid]
     right_sel = word_idx[centers >= mid]
     if left_sel.size == 0 or right_sel.size == 0:
-        return [Region(list(map(int, word_idx)), bound)]
+        return [Region(list(map(int, word_idx)), bound, whitespace=list(ws))]
     left = divide_region(
         (x0, y0, mid, y1), left_sel, w_x, w_y, w_ex, w_ey, w_tlen,
         min_w, min_h, obs, depth + 1
@@ -696,6 +706,9 @@ def analyze_page_regions(
                 ):
                     sub = Region(list(map(int, sidx)), sb)
                     sub.boundaries = r.boundaries
+                    sub.whitespace = [
+                        ws for ws in r.whitespace if ws[3] > sb[1] and ws[1] < sb[3]
+                    ]
                     expanded.append(sub)
             per_band[bi] = expanded
     out: List[Region] = []
