@@ -98,6 +98,13 @@ def make_doc(seed: int, doc_index: int, skew: bool = False) -> Tuple[str, List[D
         # stray control-char word in otherwise clean text (S9 strips it)
         if rng.uniform() < 0.05:
             add("text", sentence(3, 6) + " \x06 " + sentence(2, 4))
+        # word with a combining diacritic rendered as a separate zero-advance
+        # glyph (tokenizer overlays it on the base char; S7 re-merges)
+        if rng.uniform() < 0.05:
+            accented = ["café", "naivë", "résumé"][
+                int(rng.integers(0, 3))
+            ]
+            add("text", f"{sentence(2, 4)} {accented} {sentence(2, 4)}")
         # indented display formula (B2 pre-groups; the line classifies
         # FORMULA: 3 per math symbol + 1 per digit > char count)
         if rng.uniform() < 0.05:

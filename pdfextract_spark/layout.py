@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import unicodedata
 from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
@@ -50,8 +51,10 @@ class CharTable:
     h: np.ndarray           # float32
     baseline: np.ndarray    # float32
     style_idx: np.ndarray   # int32 -> styles list
-    char: List[str]         # 1-char strings (may include " ")
+    char: List[str]         # 1-char strings (may include " "; S7 merges
+                            # combining marks into base+mark strings)
     offset: np.ndarray      # int32 originating input-span offset
+    rot: np.ndarray         # int16 glyph direction in degrees (S10 input)
 
     def __len__(self) -> int:
         return len(self.char)
@@ -146,10 +149,11 @@ def layout_document(
     run_bl: List[np.float32] = []
     run_st: List[int] = []
     run_off: List[int] = []
+    run_rot: List[int] = []
     chars: List[str] = []
     media: List[MediaBox] = []
 
-    def emit_run(page_, px_arr, py, char_w_, ysize_, bl, st_, text_, offset_):
+    def emit_run(page_, px_arr, py, char_w_, ysize_, bl, st_, text_, offset_, rot_=0):
         x_chunks.append(np.asarray(px_arr, dtype=np.float32))
         run_len.append(len(text_))
         run_page.append(page_)
@@ -159,6 +163,7 @@ def layout_document(
         run_bl.append(bl)
         run_st.append(st_)
         run_off.append(offset_)
+        run_rot.append(rot_)
         chars.extend(text_)
 
     # 25% of documents flow in two columns (exercises P3-P5 column detection);
@@ -279,12 +284,19 @@ def layout_document(
                 advance_column()
                 cursor_x = sx0()
             # per-char advance fold == float32 cumsum (verified bit-exact):
-            # adv_i = f32(char_w + jit_i) for all but the last char, then char_w
+            # adv_i = f32(char_w + jit_i) for all but the last char, then
+            # char_w. Combining marks (S7 fodder) advance ZERO — the mark
+            # renders on top of its base char, like a PDF putting diacritics
+            # in a separate Tj element.
             k = len(word)
             arr = np.empty(k + 1, dtype=np.float32)
             arr[0] = cursor_x
             if k > 1:
                 arr[1:k] = char_w + jit
+                comb = np.fromiter(
+                    (unicodedata.combining(c) != 0 for c in word), dtype=bool, count=k
+                )
+                arr[1:k][comb[1:]] = F32(0.0)
             arr[k] = char_w
             walk = np.cumsum(arr)
             emit_run(
@@ -302,6 +314,24 @@ def layout_document(
         # span ends -> next span starts a new line
         cursor_y = F32(cursor_y + leading)
 
+    # rotated watermark decoration on ~35% of docs: a word rendered with a
+    # 90-degree glyph direction in the bottom margin. NOT part of any input
+    # span — the S10 rotation filter must drop it (page rotation is 0), or
+    # the conservation tests see hallucinated words.
+    if rng.uniform() < 0.35 and seen_text:
+        wm = "do not distribute".split(" ")[int(rng.integers(0, 3))]
+        wy = F32(page_h - F32(12.0))
+        pxs = []
+        px = F32(margin)
+        cw = F32(cfg.char_aspect * styles[SMALL].x_size)
+        for _c in wm:
+            pxs.append(px)
+            px = F32(px + cw)
+        emit_run(
+            0, pxs, wy, cw, F32(styles[SMALL].y_size),
+            F32(wy + F32(styles[SMALL].y_size)), SMALL, wm, 0, rot_=90,
+        )
+
     if x_chunks:
         lens = np.asarray(run_len, dtype=np.int64)
         table = CharTable(
@@ -314,6 +344,7 @@ def layout_document(
             style_idx=np.repeat(np.asarray(run_st, dtype=np.int32), lens),
             offset=np.repeat(np.asarray(run_off, dtype=np.int32), lens),
             char=chars,
+            rot=np.repeat(np.asarray(run_rot, dtype=np.int16), lens),
         )
     else:
         table = CharTable(
@@ -326,5 +357,6 @@ def layout_document(
             style_idx=np.empty(0, dtype=np.int32),
             offset=np.empty(0, dtype=np.int32),
             char=chars,
+            rot=np.empty(0, dtype=np.int16),
         )
     return table, media, styles

@@ -247,6 +247,36 @@ COLUMN_MIN_FLANK = 4         # filter:273-363 — >=4 contents with >=5 chars
 COLUMN_FLANK_MIN_CHARS = 5
 
 
+FLANK_LOOKAHEAD = 10.0  # ColumnFinder.selectCandidateColumnBoundaries:431
+
+
+def _flank_counts(
+    ws_x0: float, ws_x1: float, ay0: float, ay1: float,
+    w_x, w_y, w_ex, w_ey,
+) -> Tuple[int, int]:
+    """Texts immediately flanking the whitespace channel (selectCandidate
+    ColumnBoundaries:446-483): left = words whose endX is within variance
+    LOOKAHEAD of channel.x + LOOKAHEAD/2, right = words whose x is within
+    variance of channel.endX + LOOKAHEAD/2; y-overlapping the channel."""
+    half = FLANK_LOOKAHEAD / 2.0
+    yov = (w_y < ay1) & (w_ey > ay0)
+    left = int(
+        (
+            yov
+            & (w_ex >= ws_x0 + half - FLANK_LOOKAHEAD)
+            & (w_ex <= ws_x0 + half + FLANK_LOOKAHEAD)
+        ).sum()
+    )
+    right = int(
+        (
+            yov
+            & (w_x >= ws_x1 + half - FLANK_LOOKAHEAD)
+            & (w_x <= ws_x1 + half + FLANK_LOOKAHEAD)
+        ).sum()
+    )
+    return left, right
+
+
 def _boundary_ok(
     mid: float, wy0: float, wy1: float,
     w_x, w_y, w_ex, w_ey, w_tlen,
@@ -400,6 +430,14 @@ def column_boundaries(
             continue
         if h < COLUMN_MIN_HEIGHT_FRAC * rh:
             continue
+        if w_x is not None:
+            lf, rf = _flank_counts(wx0, wx1, ay0, ay1, w_x, w_y, w_ex, w_ey)
+            if lf == 0 and rf < 8:
+                continue
+            if rf == 0 and lf < 8:
+                continue
+            if lf < 3 and rf < 3:
+                continue
         if w_x is not None and not _boundary_ok(
             probe, ay0, ay1, w_x, w_y, w_ex, w_ey, w_tlen
         ):
