@@ -592,8 +592,48 @@ def split_ys_by_spacing(
         return []
     wy = np.asarray(w_y, dtype=np.float64)
     wey = np.asarray(w_ey, dtype=np.float64)
-    oy = np.asarray(o_y, dtype=np.float64) if o_y is not None else np.empty(0)
-    oey = np.asarray(o_ey, dtype=np.float64) if o_ey is not None else np.empty(0)
+
+    # Event-based equivalent of the reference's 1px row scan: the split
+    # decision is invariant within one empty gap (working set and under-row
+    # don't change between occupied rows), so each gap is checked ONCE at its
+    # first qualifying row (last occupied row + min_dist) instead of per row.
+    r0 = int(np.floor(start_y))
+    stop = min(float(end_y), float(region_y1))
+    R1 = int(np.floor(region_y1))
+    if R1 < r0:
+        return []
+    size = R1 - r0 + 2
+
+    # word rows: (wy <= y) & (wey >= y) for integer y -> ceil(wy)..floor(wey)
+    w_lo = np.maximum(np.ceil(wy).astype(np.int64), r0)
+    w_hi = np.minimum(np.floor(wey).astype(np.int64), R1)
+    wv = w_lo <= w_hi
+    word_occ = np.zeros(size, dtype=np.int64)
+    np.add.at(word_occ, w_lo[wv] - r0, 1)
+    np.add.at(word_occ, w_hi[wv] - r0 + 1, -1)
+    word_occ = np.cumsum(word_occ)[:-1] > 0
+
+    occ = word_occ.copy()
+    if o_y is not None and len(o_y):
+        oy = np.asarray(o_y, dtype=np.float64)
+        oey = np.asarray(o_ey, dtype=np.float64)
+        o_lo = np.maximum(np.ceil(oy).astype(np.int64), r0)
+        o_hi = np.minimum(np.floor(oey).astype(np.int64), R1)
+        ov = o_lo <= o_hi
+        obs_occ = np.zeros(size, dtype=np.int64)
+        np.add.at(obs_occ, o_lo[ov] - r0, 1)
+        np.add.at(obs_occ, o_hi[ov] - r0 + 1, -1)
+        occ |= np.cumsum(obs_occ)[:-1] > 0
+
+    occ_rows = np.nonzero(occ)[0] + r0
+    if occ_rows.size == 0:
+        return []
+
+    # words in scan-entry order (row, then input index — matches the
+    # original per-row np.nonzero accumulation)
+    widx = np.nonzero(wv)[0]
+    widx = widx[np.argsort(w_lo[widx], kind="stable")]
+    entries = w_lo[widx]
 
     def dominating(idx_iter) -> Optional[object]:
         weights: dict = {}
@@ -610,46 +650,42 @@ def split_ys_by_spacing(
         return max(weights, key=lambda k: (weights[k], -order[k]))
 
     splits: List[float] = []
-    working: List[int] = []
-    in_working: set = set()
-    last_boundary = -1000.0
-    y = float(np.floor(start_y))
-    stop = min(float(end_y), float(region_y1))
-    while y <= stop:
-        row = np.nonzero((wy <= y) & (wey >= y))[0]
-        occupied = row.size > 0 or bool(np.any((oy <= y) & (oey >= y)))
-        if occupied:
-            for i in row:
-                ii = int(i)
-                if ii not in in_working:
-                    in_working.add(ii)
-                    working.append(ii)
-            last_boundary = y
-        elif working and (y - last_boundary) >= min_dist:
-            # first non-empty row below (sameStyleOverAndUnderHorizontalLine)
-            under: Optional[np.ndarray] = None
-            y2 = y
-            while y2 < region_y1:
-                m2 = np.nonzero((wy <= y2) & (wey >= y2))[0]
-                if m2.size:
-                    under = m2
-                    break
-                if bool(np.any((oy <= y2) & (oey >= y2))):
-                    break  # obstacle-only band below: nothing to compare
-                y2 += 1.0
-            if under is not None:
-                over_dom = dominating(working)
-                under_dom = dominating(int(i) for i in under)
-                if (
-                    over_dom is not None
-                    and under_dom is not None
-                    and not same_style(over_dom, under_dom)
-                ):
-                    splits.append(y)
-                    working = []
-                    in_working = set()
-                    last_boundary = y
-        y += 1.0
+    weights: dict = {}
+    order: dict = {}
+    rank = 0
+    ptr = 0
+    prev_row: Optional[int] = None
+    max_scan = int(np.floor(stop))
+    for k in range(occ_rows.size):
+        row = int(occ_rows[k])
+        if prev_row is not None and row - prev_row > 1 and weights:
+            ystar = float(prev_row) + float(min_dist)
+            if ystar <= stop and ystar < row:
+                # under = the next occupied row, IF it has words (an
+                # obstacle-only band below yields nothing to compare)
+                under_words = widx[(w_lo[widx] <= row) & (w_hi[widx] >= row)]
+                if under_words.size:
+                    over_dom = max(
+                        weights, key=lambda s: (weights[s], -order[s])
+                    )
+                    under_dom = dominating(int(i) for i in under_words)
+                    if under_dom is not None and not same_style(over_dom, under_dom):
+                        splits.append(ystar)
+                        weights = {}
+                        order = {}
+                        rank = 0
+        if row > max_scan:
+            break
+        # add words entering at this row to the working set
+        while ptr < entries.size and entries[ptr] <= row:
+            i = int(widx[ptr])
+            kkey = w_style_keys[i]
+            weights[kkey] = weights.get(kkey, 0) + int(w_weights[i])
+            if kkey not in order:
+                order[kkey] = rank
+            rank += 1
+            ptr += 1
+        prev_row = row
     return splits
 
 
