@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import dedup, multimodal, similarity, textops
+from .operators import serialize
 from .operators.extract import extract_spans
 from .sources.adapters import documents_to_interleaved
 
@@ -335,6 +336,64 @@ def q_extract_dehyphenated(spark, sf_dir):
     return dehyphenate(extract_spans(documents_to_interleaved(docs)))
 
 
+def _serializer_spans(spark, sf_dir):
+    """Deterministic span stream for the XML sinks, derived from the
+    documents table WITHOUT the layout pipeline (which SQL cannot replay):
+    the adapter chunking, plus synthetic kinds by position so every
+    serializer branch (title/heading/footnote/media/text) is exercised
+    identically on both sides."""
+    inter = documents_to_interleaved(_t(spark, sf_dir, "documents"))
+    sp = inter.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("seq"),
+        F.col("s.kind").alias("k0"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    kind = (
+        F.when(F.col("k0") == "media", F.lit("media"))
+        .when(F.col("seq") == 0, F.lit("title"))
+        .when(F.col("seq") == 1, F.lit("heading1"))
+        .when(F.col("seq") == 2, F.lit("footnote"))
+        .otherwise(F.lit("text"))
+    )
+    return sp.withColumn("kind", kind).drop("k0")
+
+
+SQL_SERIALIZER_SPANS = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(doc_id AS BIGINT) AS n,
+         string_split(text, ' ') AS ws,
+         CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT) AS nc
+  FROM documents
+)
+SELECT doc_id, i AS seq,
+       CASE WHEN i = 0 THEN 'title' WHEN i = 1 THEN 'heading1'
+            WHEN i = 2 THEN 'footnote' ELSE 'text' END AS kind,
+       array_to_string(ws[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ') AS text,
+       '' AS media_ref
+FROM w, unnest(range(nc)) AS t(i)
+UNION ALL
+SELECT doc_id, nc AS seq, 'media' AS kind, '' AS text,
+       'img://' || doc_id || '/fig0' AS media_ref
+FROM w WHERE n % 4 = 0
+"""
+
+
+def q_serialize_pxml(spark, sf_dir):
+    """S15 sink: SimpleXMLOutput-style rendering (ordered agg, JVM-side)."""
+    from .operators.serialize import to_pxml
+
+    return to_pxml(_serializer_spans(spark, sf_dir))
+
+
+def q_serialize_tei(spark, sf_dir):
+    """S16 sink: TEI-P5-style rendering with role-mapped elements."""
+    from .operators.serialize import to_tei
+
+    return to_tei(_serializer_spans(spark, sf_dir))
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -362,6 +421,8 @@ def queries() -> Dict[str, Callable]:
         "extract_char_conservation": q_extract_char_conservation,
         "extract_pipeline": q_extract_pipeline,
         "extract_dehyphenated": q_extract_dehyphenated,
+        "serialize_pxml": q_serialize_pxml,
+        "serialize_tei": q_serialize_tei,
     }
 
 
@@ -390,5 +451,7 @@ def oracle_sql() -> Dict[str, str]:
         "multimodal_decode_meta": multimodal.sql_media_meta(),
         "extract_media_preservation": SQL_EXTRACT_MEDIA_PRESERVATION,
         "extract_char_conservation": SQL_EXTRACT_CHAR_CONSERVATION,
+        "serialize_pxml": serialize.sql_to_pxml(SQL_SERIALIZER_SPANS),
+        "serialize_tei": serialize.sql_to_tei(SQL_SERIALIZER_SPANS),
         # extract_pipeline: rows-only (non-SQL-expressible per-doc layout analysis)
     }
