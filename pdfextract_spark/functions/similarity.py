@@ -206,6 +206,122 @@ WHERE {cos} >= {ANN_COS_MIN}
 """
 
 
+def ivf_topk(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, neighbor_id, cos_sim, rank) — IVF-style ANN, the scale path
+    for similarity search: a coarse quantizer (per-label integer centroids,
+    exact half-away rounding — no float ties) assigns every vector to its
+    nearest cell (exact integer squared distance, ties -> smallest label);
+    queries probe ONLY their own cell (nprobe=1) and rank candidates by the
+    exact fixed-point cosine. At 10^12 scale the cell assignment is one
+    broadcast join + map-side argmin, and the candidate join touches
+    1/n_cells of the corpus per query instead of all of it."""
+    base = _with_quant(embeddings)
+
+    # integer centroids, one array per label (ordered by component)
+    sums = (
+        embeddings.select(
+            "label", F.posexplode(_quant(F.col("embedding"))).alias("pos", "qv")
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("qv").alias("n"), F.count(F.lit(1)).alias("d"))
+    )
+    v4 = F.expr("(2 * abs(n) + d) div (2 * d)")
+    signed = F.when(F.col("n") < 0, -v4).otherwise(v4)
+    cents = (
+        sums.select("label", "pos", signed.alias("cq"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cq"))), lambda s: s["cq"]
+            ).alias("cvec")
+        )
+    )
+
+    # cell assignment: exact integer squared distance to every centroid
+    d2 = F.aggregate(
+        F.zip_with("q", "cvec", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("label"))
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", "n2", F.col("label").alias("cell"))
+    )
+
+    qs = assigned.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qv"),
+        F.col("n2").alias("qn2"), "cell",
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("nid"), F.col("q").alias("nv"),
+        F.col("n2").alias("nn2"), "cell",
+    )
+    pairs = qs.join(cand, "cell").filter(F.col("qid") != F.col("nid"))
+    cos = _cos(_idot("qv", "nv"), F.col("qn2"), F.col("nn2"))
+    scored = pairs.select("qid", "nid", cos.alias("cos_sim"))
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cos_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def sql_ivf_topk(table: str = "embeddings") -> str:
+    cos = sql_cos(sql_idot("qs.q", "cand.q"), "qs.n2", "cand.n2")
+    d2 = (
+        f"list_reduce(list_concat([0::BIGINT], "
+        f"list_transform(range(1, {DIM + 1}), "
+        f"i -> (b.q[i] - c.cvec[i]) * (b.q[i] - c.cvec[i]))), (x, y) -> x + y)"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, {sql_quant('embedding')} AS q,
+         {sql_idot(sql_quant('embedding'), sql_quant('embedding'))} AS n2
+  FROM {table}
+),
+sums AS (
+  SELECT label, CAST(generate_subscripts(q, 1) AS INT) AS pos, unnest(q) AS qv
+  FROM base
+),
+cint AS (
+  SELECT label, pos,
+         (CASE WHEN n < 0 THEN -((2 * abs(n) + d) // (2 * d))
+               ELSE ((2 * abs(n) + d) // (2 * d)) END) AS cq
+  FROM (SELECT label, pos, SUM(qv) AS n, COUNT(*) AS d FROM sums GROUP BY 1, 2)
+),
+cents AS (
+  SELECT label, list(cq ORDER BY pos) AS cvec FROM cint GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, q, n2, cell FROM (
+    SELECT b.vec_id, b.q, b.n2, c.label AS cell,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {d2} ASC, c.label ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT qs.vec_id AS vec_id, cand.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM assigned qs JOIN assigned cand
+    ON qs.cell = cand.cell AND qs.vec_id < {N_QUERY} AND qs.vec_id <> cand.vec_id
+)
+SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """(label, dim, centroid) — per-cluster mean over quantized components
     (exact integer sum, then one deterministic double divide)."""

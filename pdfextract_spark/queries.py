@@ -260,6 +260,10 @@ def q_sim_ann_lsh(spark, sf_dir):
     return similarity.ann_lsh_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_embed_label_centroids(spark, sf_dir):
     return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
 
@@ -412,6 +416,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "embed_label_centroids": q_embed_label_centroids,
         "text_lang_id": q_text_lang_id,
         "text_bpe_tokens": q_text_bpe_tokens,
@@ -444,6 +449,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_ngram_jaccard": dedup.sql_ngram_jaccard_pairs(),
         "sim_cosine_topk": similarity.sql_cosine_topk(),
         "sim_ann_lsh": similarity.sql_ann_lsh_pairs(),
+        "sim_ivf_topk": similarity.sql_ivf_topk(),
         "embed_label_centroids": similarity.sql_label_centroids_agg(),
         "text_lang_id": textops.sql_language_id(),
         "text_bpe_tokens": textops.sql_bpe_token_stats(),
