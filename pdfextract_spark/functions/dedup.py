@@ -138,6 +138,11 @@ def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
     matching minhash components as jaccard_est. Output:
     (doc_a, doc_b, jaccard_est) sorted-unique."""
     sigs = minhash_signatures(_fan_out(documents))
+    # two consumers below (hot-bucket census + the bucket grouping): without
+    # a materialization point the whole signature computation runs twice.
+    # localCheckpoint is the batch pattern for multi-consumer fan-out — at
+    # scale this intermediate is shuffle-sized (doc_id + 16 longs per doc).
+    sigs = sigs.localCheckpoint(eager=False)
     buckets = sigs.select(
         "doc_id",
         "sig",
@@ -384,6 +389,9 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     )
     sizes = docs.select("doc_id", F.size("grams").alias("n_grams"))
     inv = docs.select("doc_id", F.explode("grams").alias("gram"))
+    # consumed by the df census AND the posting-list grouping — materialize
+    # once (shuffle-sized intermediate; see lsh_candidate_pairs note)
+    inv = inv.localCheckpoint(eager=False)
     # df-cut as an anti-join on the (tiny, broadcast) hot-gram list, so the
     # subsequent collect_list never materializes a stop-word posting list
     hot = (
