@@ -76,6 +76,11 @@ def make_doc(seed: int, doc_index: int, skew: bool = False) -> Tuple[str, List[D
         while mi < len(media_slots) and media_slots[mi] <= b:
             add("media", "", f"img://{doc_id}/fig{mi}")
             mi += 1
+            # ~50% of figures carry a caption rendered INSIDE the box
+            # (tokenizer contract: a "fig." span right after a media span;
+            # P2 classifies the graphic CONTAINER, B7 re-attaches the text)
+            if rng.uniform() < 0.5:
+                add("text", f"fig. {sentence(4, 6)}")
         # numbered section/subsection headings (digit-leading Title Case ->
         # tokenizer styles them H1/H2; L6 tags them heading1/heading2)
         if rng.uniform() < 0.12:

@@ -835,14 +835,19 @@ def _analyze_page_vec(
 
 
 def _media_region_vec(m: MediaBox, bounds) -> int:
+    """Mirror of oracle _media_region (overlap area, then y distance)."""
     if not bounds:
         return 0
     cx0, cx1 = m.x, m.x + m.w
-    best, best_ov = 0, -1.0
-    for i, (bx0, _by0, bx1, _by1) in enumerate(bounds):
-        ov = min(cx1, bx1) - max(cx0, bx0)
-        if ov > best_ov:
-            best, best_ov = i, ov
+    cy0, cy1 = m.y, m.y + m.h
+    best, best_key = 0, None
+    for i, (bx0, by0, bx1, by1) in enumerate(bounds):
+        ovx = max(0.0, min(cx1, bx1) - max(cx0, bx0))
+        ovy = max(0.0, min(cy1, by1) - max(cy0, by0))
+        ydist = max(by0 - cy1, cy0 - by1, 0.0)
+        key = (-(ovx * ovy), ydist, -ovx)
+        if best_key is None or key < best_key:
+            best, best_key = i, key
     return best
 
 
@@ -1081,18 +1086,57 @@ def extract_document_fast(
     pages: List[List[Paragraph]] = []
     page_regions: List[List] = []
     page_blocks: List[List] = []
+    page_captions: List[Dict[int, List[Tuple[str, int]]]] = []
     for p in range(n_pages):
         g = _page_glyphs(table, table.page == p)
         words = _segment_words_page(g, break_lut, style_xsize, mode)
         t = _word_table(words)
+        # P2/P1/B7: text fully inside a CONTAINER graphic leaves the page
+        # flow; its lines re-attach to the media at emission (mirror of
+        # oracle._analyze_page's extraction)
+        captions: Dict[int, List[Tuple[str, int]]] = {}
+        page_media = media_by_page.get(p, [])
+        if page_media and len(t):
+            from ..oracle.regions import MEDIA_CONTAINER
+
+            roles = categorize_media(
+                np.array([m.x for m in page_media], dtype=np.float32),
+                np.array([m.y for m in page_media], dtype=np.float32),
+                np.array([m.w for m in page_media], dtype=np.float32),
+                np.array([m.h for m in page_media], dtype=np.float32),
+                t.x, t.y, t.ex, t.ey,
+                region_w=float(t.ex.max() - t.x.min()),
+            )
+            pulled = np.zeros(len(t), dtype=bool)
+            for mi, (m, role) in enumerate(zip(page_media, roles)):
+                if role != MEDIA_CONTAINER:
+                    continue
+                inside = (
+                    (t.x >= m.x) & (t.ex <= m.x + m.w)
+                    & (t.y >= m.y) & (t.ey <= m.y + m.h) & ~pulled
+                )
+                if not bool(inside.any()):
+                    continue
+                pulled |= inside
+                cap_lines = _create_lines(
+                    t, cmp_lut, subset=[int(i) for i in np.nonzero(inside)[0]]
+                )
+                captions[mi] = [
+                    (_line_text(t, line), int(min(t.origin[i] for i in line)))
+                    for line in cap_lines
+                ]
+            if bool(pulled.any()):
+                keep = [w for w, pl in zip(words, pulled) if not pl]
+                t = _word_table(keep)
         paragraphs, bounds, blocks = _analyze_page_vec(
-            t, media_by_page.get(p, []), cmp_lut, style_xsize, style_ysize,
+            t, page_media, cmp_lut, style_xsize, style_ysize,
             page_height=cfg.page_height,
         )
         tables.append(t)
         pages.append(paragraphs)
         page_regions.append(bounds)
         page_blocks.append(blocks)
+        page_captions.append(captions)
 
     body = _find_body_style(tables, styles)
     header_candidates = _find_header_candidates(tables, pages, body, styles)
@@ -1132,13 +1176,17 @@ def extract_document_fast(
                      "line", line, para)
                 )
         for mi, m in enumerate(media_by_page.get(p, [])):
-            items.append(
-                (_media_region_vec(m, page_regions[p]), float(m.y),
-                 1_000_000 + mi, 0, "media", m, None)
-            )
+            r = _media_region_vec(m, page_regions[p])
+            items.append((r, float(m.y), 1_000_000 + mi, 0, "media", m, None))
+            # B7: caption lines re-attach right after their media span
+            for li, cap in enumerate(page_captions[p].get(mi, [])):
+                items.append((r, float(m.y), 1_000_000 + mi, 1 + li, "capline", cap, None))
         items.sort(key=lambda it: (it[0], it[1], it[2], it[3]))
         for _, _, _, _, kind, obj, para in items:
-            if kind == "line":
+            if kind == "capline":
+                out.append(OutSpan(seq, "text", obj[0], "", obj[1]))
+                seq += 1
+            elif kind == "line":
                 role = para.role
                 if role == "text" and _dominating_style(t, obj) == FORMULA_IDX:
                     role = "formula"

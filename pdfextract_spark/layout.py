@@ -221,6 +221,46 @@ def layout_document(
         if not text:
             continue
 
+        # figure caption: a "fig." span right after a media span renders
+        # INSIDE that media box (>=5 words fully contained -> P2 classifies
+        # the graphic as CONTAINER; B7 re-attaches the caption to the media)
+        if (
+            i > 0
+            and kinds[i - 1] == "media"
+            and text.startswith("fig.")
+            and media
+            and media[-1].h >= 80.0
+            and media[-1].w >= 140.0
+        ):
+            box = media[-1]
+            cap_style = styles[SMALL]
+            cap_size = F32(cap_style.x_size)
+            cap_h = F32(cap_style.y_size)
+            cap_cw = F32(cfg.char_aspect * cap_size)
+            cx = F32(box.x + F32(4.0))
+            cy = F32(box.y + F32(4.0))
+            for word in text.split(" "):
+                if not word:
+                    continue
+                ww = F32(len(word) * cap_cw)
+                if cx + ww > box.x + box.w - 4.0 and cx > box.x + 4.0:
+                    cx = F32(box.x + F32(4.0))
+                    cy = F32(cy + F32(cfg.line_leading_factor * cap_style.y_size))
+                if cy + cap_h > box.y + box.h - 2.0:
+                    break  # box full; remaining words dropped from render
+                pxs = []
+                px = cx
+                for _c in word:
+                    pxs.append(px)
+                    px = F32(px + cap_cw)
+                emit_run(
+                    box.page, pxs, cy, cap_cw, cap_h, F32(cy + cap_h),
+                    SMALL, word, offset,
+                )
+                cx = F32(px + F32(0.3 * float(cap_size)))
+            seen_text = True
+            continue
+
         prev_text = texts[i - 1] if i > 0 else ""
         if not seen_text:
             st = HEADING

@@ -83,14 +83,53 @@ def _analyze_page(
     separator bands -> P3-P5 column division -> P9 band re-split ->
     per-region B3 lines + B5 paragraphs.
     Returns (paragraphs tagged with region order, leaf-region bounds,
-    per-region block (y0, y1) lists)."""
+    per-region block (y0, y1) lists, per-media caption Line lists)."""
+    captions: Dict[int, List] = {}
     if not page_words:
-        return [], [], []
+        return [], [], [], captions
 
     wx = np.array([w.pos.x for w in page_words], dtype=np.float32)
     wy = np.array([w.pos.y for w in page_words], dtype=np.float32)
     wex = np.array([w.pos.end_x for w in page_words], dtype=np.float32)
     wey = np.array([w.pos.end_y for w in page_words], dtype=np.float32)
+
+    # P2: media roles; P1 graphical-region extraction — text fully inside a
+    # CONTAINER graphic leaves the page flow and becomes that graphic's own
+    # (caption) lines, re-attached at emission (B7)
+    hsep_ys: List[float] = []
+    roles: List[str] = []
+    if page_media:
+        roles = categorize_media(
+            np.array([m.x for m in page_media], dtype=np.float32),
+            np.array([m.y for m in page_media], dtype=np.float32),
+            np.array([m.w for m in page_media], dtype=np.float32),
+            np.array([m.h for m in page_media], dtype=np.float32),
+            wx, wy, wex, wey, region_w=float(wex.max() - wx.min()),
+        )
+        from .regions import MEDIA_CONTAINER
+
+        pulled = np.zeros(len(page_words), dtype=bool)
+        for mi, (m, role) in enumerate(zip(page_media, roles)):
+            if role != MEDIA_CONTAINER:
+                continue
+            inside = (
+                (wx >= m.x) & (wex <= m.x + m.w) & (wy >= m.y) & (wey <= m.y + m.h)
+                & ~pulled
+            )
+            if not bool(inside.any()):
+                continue
+            pulled |= inside
+            captions[mi] = create_lines(
+                [page_words[i] for i in np.nonzero(inside)[0]]
+            )
+        if bool(pulled.any()):
+            page_words = [w for w, p in zip(page_words, pulled) if not p]
+            if not page_words:
+                return [], [], [], captions
+            wx = np.array([w.pos.x for w in page_words], dtype=np.float32)
+            wy = np.array([w.pos.y for w in page_words], dtype=np.float32)
+            wex = np.array([w.pos.end_x for w in page_words], dtype=np.float32)
+            wey = np.array([w.pos.end_y for w in page_words], dtype=np.float32)
 
     x0, y0 = float(wx.min()), float(wy.min())
     x1, y1 = float(wex.max()), float(wey.max())
@@ -102,16 +141,8 @@ def _analyze_page(
     mvs_page = modal_vertical_spacing(page_words, page_rect)
     min_row = 1.1 * float(mvs_page)                   # minRowSpacing
 
-    # P2: media roles; qualifying HSEPs (cutting no words) split bands (P8)
-    hsep_ys: List[float] = []
+    # qualifying HSEPs (cutting no words) split bands (P8)
     if page_media:
-        roles = categorize_media(
-            np.array([m.x for m in page_media], dtype=np.float32),
-            np.array([m.y for m in page_media], dtype=np.float32),
-            np.array([m.w for m in page_media], dtype=np.float32),
-            np.array([m.h for m in page_media], dtype=np.float32),
-            wx, wy, wex, wey, region_w=x1 - x0,
-        )
         for m, role in zip(page_media, roles):
             if role != MEDIA_HSEP:
                 continue
@@ -187,19 +218,27 @@ def _analyze_page(
     # page paragraph LIST as reading order — restore it after block-major
     # construction (stable: block order breaks y ties)
     paragraphs.sort(key=lambda para: (para.region, float(para.pos.y)))
-    return paragraphs, bounds, block_bounds
+    return paragraphs, bounds, block_bounds, captions
 
 
 def _media_region(m: MediaBox, bounds) -> int:
-    """Region order index for a media box: max x-overlap, ties -> first."""
+    """Region order index for a media box: max overlap AREA with the region
+    bound (x-overlap alone mis-binds media to the first of several stacked
+    full-width bands); regions rarely overlap the media at all (it sits in
+    the gap between bands), so zero-area ties fall back to the smallest
+    vertical distance. Ties -> first region."""
     if not bounds:
         return 0
     cx0, cx1 = m.x, m.x + m.w
-    best, best_ov = 0, -1.0
-    for i, (bx0, _by0, bx1, _by1) in enumerate(bounds):
-        ov = min(cx1, bx1) - max(cx0, bx0)
-        if ov > best_ov:
-            best, best_ov = i, ov
+    cy0, cy1 = m.y, m.y + m.h
+    best, best_key = 0, None
+    for i, (bx0, by0, bx1, by1) in enumerate(bounds):
+        ovx = max(0.0, min(cx1, bx1) - max(cx0, bx0))
+        ovy = max(0.0, min(cy1, by1) - max(cy0, by0))
+        ydist = max(by0 - cy1, cy0 - by1, 0.0)
+        key = (-(ovx * ovy), ydist, -ovx)
+        if best_key is None or key < best_key:
+            best, best_key = i, key
     return best
 
 
@@ -236,14 +275,16 @@ def extract_document(
 
     page_regions: List[List] = []  # leaf-region bounds per page (for media)
     page_blocks: List[List] = []   # per page, per region: block (y0, y1) list
+    page_captions: List[Dict[int, List]] = []  # per page: media idx -> lines
     for p in range(n_pages):
         page_words = segment_words(_glyphs_for_page(table, table.page == p, styles))
-        paragraphs, regions, blocks = _analyze_page(
+        paragraphs, regions, blocks, captions = _analyze_page(
             page_words, media_by_page.get(p, []), page_height=cfg.page_height
         )
         pages.append(paragraphs)
         page_regions.append(regions)
         page_blocks.append(blocks)
+        page_captions.append(captions)
 
     # logical analysis (document level) — reference pipeline order
     # (LogicalAnalysis.java:36-54): metadata -> title -> page numbers ->
@@ -283,12 +324,14 @@ def extract_document(
                     (para.region, float(line.pos.y), pi, li, "line", line, para)
                 )
         for mi, m in enumerate(media_by_page.get(p, [])):
-            items.append(
-                (
-                    _media_region(m, page_regions[p]), float(m.y),
-                    1_000_000 + mi, 0, "media", m, None,
+            r = _media_region(m, page_regions[p])
+            items.append((r, float(m.y), 1_000_000 + mi, 0, "media", m, None))
+            # B7: caption lines re-attach right after their media span
+            for li, line in enumerate(page_captions[p].get(mi, [])):
+                items.append(
+                    (r, float(m.y), 1_000_000 + mi, 1 + li, "line", line,
+                     Paragraph(lines=[line]))
                 )
-            )
         items.sort(key=lambda t: (t[0], t[1], t[2], t[3]))
         for _, _, _, _, kind, obj, para in items:
             if kind == "line":
