@@ -115,6 +115,13 @@ def make_doc(seed: int, doc_index: int, skew: bool = False) -> Tuple[str, List[D
         if rng.uniform() < 0.05:
             a, b2, c = (int(v) for v in rng.integers(1, 99, 3))
             add("text", f"x{a % 9} = {a} + {b2} < {c} × {a % 7}")
+            # ~40% of formulas are fractions: a thin bar media between
+            # numerator and denominator (tokenizer renders it thin+indented;
+            # P2 classifies MATH_BAR, which must never split the region)
+            if rng.uniform() < 0.4:
+                add("media", "", f"img://{doc_id}/bar{b}")
+                d, e2 = (int(v) for v in rng.integers(1, 99, 2))
+                add("text", f"y{d % 9} = {d} × {e2} < {d + e2}")
         # digit-leading lowercase footnote (tokenizer styles SMALL; L4 tags)
         if rng.uniform() < 0.06:
             add("text", f"{int(rng.integers(1, 30))} {sentence(3, 7)}")

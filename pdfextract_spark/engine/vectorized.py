@@ -724,6 +724,7 @@ def _analyze_page_vec(
     style_xsize: np.ndarray,
     style_ysize: np.ndarray,
     page_height: float = 800.0,
+    media_roles: Optional[List[str]] = None,
 ):
     """Mirror of oracle.document._analyze_page on the columnar word table:
     P2 media roles -> P7 top split -> P8 separator bands -> P3-P5 column
@@ -752,7 +753,13 @@ def _analyze_page_vec(
         my = np.array([m.y for m in page_media], dtype=np.float32)
         mw = np.array([m.w for m in page_media], dtype=np.float32)
         mh = np.array([m.h for m in page_media], dtype=np.float32)
-        roles = categorize_media(mx, my, mw, mh, wx, wy, wex, wey, region_w=x1 - x0)
+        roles = (
+            media_roles
+            if media_roles is not None
+            else categorize_media(
+                mx, my, mw, mh, wx, wy, wex, wey, region_w=x1 - x0, w_texts=t.text
+            )
+        )
         for m, role in zip(page_media, roles):
             if role != MEDIA_HSEP:
                 continue
@@ -1106,7 +1113,9 @@ def extract_document_fast(
                 np.array([m.h for m in page_media], dtype=np.float32),
                 t.x, t.y, t.ex, t.ey,
                 region_w=float(t.ex.max() - t.x.min()),
+                w_texts=t.text,
             )
+            page_roles = roles
             pulled = np.zeros(len(t), dtype=bool)
             for mi, (m, role) in enumerate(zip(page_media, roles)):
                 if role != MEDIA_CONTAINER:
@@ -1128,9 +1137,11 @@ def extract_document_fast(
             if bool(pulled.any()):
                 keep = [w for w, pl in zip(words, pulled) if not pl]
                 t = _word_table(keep)
+        else:
+            page_roles = None
         paragraphs, bounds, blocks = _analyze_page_vec(
             t, page_media, cmp_lut, style_xsize, style_ysize,
-            page_height=cfg.page_height,
+            page_height=cfg.page_height, media_roles=page_roles,
         )
         tables.append(t)
         pages.append(paragraphs)

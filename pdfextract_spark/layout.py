@@ -201,6 +201,20 @@ def layout_document(
         draws = rng.uniform(0.0, 1.0, 3)
 
         if kind == "media":
+            if i > 0 and kinds[i - 1] == "text" and _is_formula_text(
+                (texts[i - 1] or "").split(" ")
+            ):
+                # fraction bar under a formula: thin, formula-indented,
+                # tight leading so the denominator stays within the P2
+                # MATH_BAR lookaround (GraphicSegmentatorImpl:99-146)
+                mw = F32(90.0 + draws[0] * 30.0)
+                mh = F32(2.0 + draws[1] * 2.0)
+                media.append(
+                    MediaBox(page, float(F32(col_x0() + F32(30.0))), float(cursor_y),
+                             float(mw), float(mh), media_refs[i] or "", offset)
+                )
+                cursor_y = F32(cursor_y + mh + F32(6.0))
+                continue
             if draws[2] < 0.25:
                 # separator-shaped media (thin horizontal bar; P2 HSEP role)
                 mw = F32(col_w * F32(0.8))

@@ -105,6 +105,7 @@ def _analyze_page(
             np.array([m.w for m in page_media], dtype=np.float32),
             np.array([m.h for m in page_media], dtype=np.float32),
             wx, wy, wex, wey, region_w=float(wex.max() - wx.min()),
+            w_texts=[w.text for w in page_words],
         )
         from .regions import MEDIA_CONTAINER
 

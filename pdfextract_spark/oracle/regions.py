@@ -56,6 +56,11 @@ CONTAINER_MIN_TEXTS = 5
 MEDIA_IMAGE = "image"
 MEDIA_HSEP = "hsep"
 MEDIA_CONTAINER = "container"
+MEDIA_MATH_BAR = "math_bar"
+
+MATH_BAR_MAX_HEIGHT = 5.0    # GraphicSegmentatorImpl.canBeConsideredMathBar:102
+MATH_BAR_MIN_ASPECT = 6.0    # :106
+MATH_BAR_LOOKAROUND = 10.0   # findSurrounding distance (:110)
 
 
 @dataclass
@@ -74,15 +79,50 @@ def categorize_media(
     m_x: np.ndarray, m_y: np.ndarray, m_w: np.ndarray, m_h: np.ndarray,
     w_x: np.ndarray, w_y: np.ndarray, w_ex: np.ndarray, w_ey: np.ndarray,
     region_w: float,
+    w_texts: Optional[Sequence[str]] = None,
 ) -> List[str]:
-    """P2: per media box -> role string (GraphicSegmentatorImpl semantics)."""
+    """P2: per media box -> role string (GraphicSegmentatorImpl semantics).
+    MATH_BAR checks first: a fraction bar in a narrow column can satisfy the
+    HSEP width fraction, and a math bar must never split the region."""
+    import unicodedata
+
     roles: List[str] = []
     for i in range(len(m_x)):
+        ex = m_x[i] + m_w[i]
+        ey = m_y[i] + m_h[i]
+        if (
+            w_texts is not None
+            and m_h[i] <= MATH_BAR_MAX_HEIGHT
+            and m_h[i] > 0
+            and m_w[i] / m_h[i] >= MATH_BAR_MIN_ASPECT
+        ):
+            # surrounding = words within LOOKAROUND of the bar bbox
+            # (canBeConsideredMathBarInRegion:95-146, conditions verbatim:
+            # under := y < bar.endY, over := endY > bar.y, math := any Sm)
+            L = MATH_BAR_LOOKAROUND
+            near = (
+                (w_x < ex + L) & (w_ex > m_x[i] - L)
+                & (w_y < ey + L) & (w_ey > m_y[i] - L)
+            )
+            idx = np.nonzero(near)[0]
+            over = under = math = False
+            for j in idx:
+                if w_y[j] < ey:
+                    under = True
+                if w_ey[j] > m_y[i]:
+                    over = True
+                if not math and any(
+                    unicodedata.category(c) == "Sm" for c in w_texts[int(j)]
+                ):
+                    math = True
+                if over and under and math:
+                    break
+            if over and under and math:
+                roles.append(MEDIA_MATH_BAR)
+                continue
         if m_h[i] <= HSEP_MAX_HEIGHT and m_w[i] >= SEPARATOR_MIN_WIDTH_FRAC * region_w:
             roles.append(MEDIA_HSEP)
             continue
-        ex = m_x[i] + m_w[i]
-        ey = m_y[i] + m_h[i]
         inside = (
             (w_x >= m_x[i]) & (w_ex <= ex) & (w_y >= m_y[i]) & (w_ey <= ey)
         )
