@@ -286,6 +286,18 @@ def q_multimodal_decode_meta(spark, sf_dir):
 
 # --------------------------------------------- extraction engine, SQL-checked
 
+def q_multimodal_resize(spark, sf_dir):
+    return multimodal.resize_media(
+        multimodal.media_table(_t(spark, sf_dir, "documents"))
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    return multimodal.frame_sample(
+        multimodal.media_table(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_extract_media_preservation(spark, sf_dir):
     """Runs the FULL extraction pipeline; media spans must be preserved
     exactly (multiset equality with the adapter's media assignment)."""
@@ -422,6 +434,8 @@ def queries() -> Dict[str, Callable]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_rolling_fingerprint": q_text_rolling_fingerprint,
         "multimodal_decode_meta": q_multimodal_decode_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "extract_media_preservation": q_extract_media_preservation,
         "extract_char_conservation": q_extract_char_conservation,
         "extract_pipeline": q_extract_pipeline,
@@ -455,6 +469,8 @@ def oracle_sql() -> Dict[str, str]:
         "text_bpe_tokens": textops.sql_bpe_token_stats(),
         "text_rolling_fingerprint": textops.sql_rolling_fingerprint(),
         "multimodal_decode_meta": multimodal.sql_media_meta(),
+        "multimodal_resize": multimodal.sql_resize_media(),
+        "multimodal_frames": multimodal.sql_frame_sample(),
         "extract_media_preservation": SQL_EXTRACT_MEDIA_PRESERVATION,
         "extract_char_conservation": SQL_EXTRACT_CHAR_CONSERVATION,
         "serialize_pxml": serialize.sql_to_pxml(SQL_SERIALIZER_SPANS),
