@@ -36,20 +36,36 @@ FORMULA_INDENT = 20.0  # ContentGrouper.java:182
 FORMULA_MIN_CONTENTS = 4  # Formulas.java:58
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _word_math_score(t: str) -> int:
+    score = 0
+    for c in t:
+        if unicodedata.category(c) == "Sm":
+            score += 3
+        elif c.isdigit():
+            score += 1
+    return score
+
+
+@lru_cache(maxsize=65536)
+def _word_has_sm(t: str) -> bool:
+    return any(unicodedata.category(c) == "Sm" for c in t)
+
+
 def math_score_exceeds(texts: Sequence[str]) -> bool:
     """Formulas.textSeemsToBeFormula over word texts (no math-font words or
-    math-bar graphics exist in this corpus; their terms are zero)."""
+    math-bar graphics exist in this corpus; their terms are zero). Word
+    scores are LRU-cached — vocabularies repeat heavily."""
     if len(texts) < FORMULA_MIN_CONTENTS:
         return False
     looks_like_math = 0
     word_count = 0
     for t in texts:
         word_count += len(t)
-        for c in t:
-            if unicodedata.category(c) == "Sm":
-                looks_like_math += 3
-            elif c.isdigit():
-                looks_like_math += 1
+        looks_like_math += _word_math_score(t)
     return looks_like_math > word_count
 
 
@@ -142,9 +158,7 @@ def find_blocks(
     # digit char vs 1 char of word length) and no math-font words exist here,
     # so textSeemsToBeFormula requires at least one Sm character. Most
     # regions have none — skip the row scan entirely.
-    has_math = any(
-        unicodedata.category(c) == "Sm" for t in texts for c in t
-    )
+    has_math = any(_word_has_sm(t) for t in texts)
     rx0 = float(region_bound[0])
     ry0, ry1 = float(region_bound[1]), float(region_bound[3])
     wy = w_y.astype(np.float64)

@@ -84,7 +84,7 @@ def categorize_media(
     """P2: per media box -> role string (GraphicSegmentatorImpl semantics).
     MATH_BAR checks first: a fraction bar in a narrow column can satisfy the
     HSEP width fraction, and a math bar must never split the region."""
-    import unicodedata
+    from .blocks import _word_has_sm
 
     roles: List[str] = []
     for i in range(len(m_x)):
@@ -111,9 +111,7 @@ def categorize_media(
                     under = True
                 if w_ey[j] > m_y[i]:
                     over = True
-                if not math and any(
-                    unicodedata.category(c) == "Sm" for c in w_texts[int(j)]
-                ):
+                if not math and _word_has_sm(w_texts[int(j)]):
                     math = True
                 if over and under and math:
                     break
