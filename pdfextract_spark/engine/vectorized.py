@@ -1060,6 +1060,67 @@ def _remove_page_numbers(
 
 # ------------------------------------------------------------------- pipeline
 
+def _analyze_one_page(
+    g: _Glyphs,
+    page_media: List[MediaBox],
+    cmp_lut: np.ndarray,
+    break_lut: np.ndarray,
+    style_xsize: np.ndarray,
+    style_ysize: np.ndarray,
+    cfg: EngineConfig,
+    mode: str,
+):
+    """One page's chars -> (word table, paragraphs, region bounds, block
+    bounds, captions). Page-local by construction — this is the unit the
+    page-parallel path distributes (operators/extract_paged.py)."""
+    words = _segment_words_page(g, break_lut, style_xsize, mode)
+    t = _word_table(words)
+    # P2/P1/B7: text fully inside a CONTAINER graphic leaves the page
+    # flow; its lines re-attach to the media at emission (mirror of
+    # oracle._analyze_page's extraction)
+    captions: Dict[int, List[Tuple[str, int]]] = {}
+    page_roles = None
+    if page_media and len(t):
+        from ..oracle.regions import MEDIA_CONTAINER
+
+        roles = categorize_media(
+            np.array([m.x for m in page_media], dtype=np.float32),
+            np.array([m.y for m in page_media], dtype=np.float32),
+            np.array([m.w for m in page_media], dtype=np.float32),
+            np.array([m.h for m in page_media], dtype=np.float32),
+            t.x, t.y, t.ex, t.ey,
+            region_w=float(t.ex.max() - t.x.min()),
+            w_texts=t.text,
+        )
+        page_roles = roles
+        pulled = np.zeros(len(t), dtype=bool)
+        for mi, (m, role) in enumerate(zip(page_media, roles)):
+            if role != MEDIA_CONTAINER:
+                continue
+            inside = (
+                (t.x >= m.x) & (t.ex <= m.x + m.w)
+                & (t.y >= m.y) & (t.ey <= m.y + m.h) & ~pulled
+            )
+            if not bool(inside.any()):
+                continue
+            pulled |= inside
+            cap_lines = _create_lines(
+                t, cmp_lut, subset=[int(i) for i in np.nonzero(inside)[0]]
+            )
+            captions[mi] = [
+                (_line_text(t, line), int(min(t.origin[i] for i in line)))
+                for line in cap_lines
+            ]
+        if bool(pulled.any()):
+            keep = [w for w, pl in zip(words, pulled) if not pl]
+            t = _word_table(keep)
+    paragraphs, bounds, blocks = _analyze_page_vec(
+        t, page_media, cmp_lut, style_xsize, style_ysize,
+        page_height=cfg.page_height, media_roles=page_roles,
+    )
+    return t, paragraphs, bounds, blocks, captions
+
+
 def extract_document_fast(
     doc_id: str,
     kinds: Sequence[str],
@@ -1096,52 +1157,9 @@ def extract_document_fast(
     page_captions: List[Dict[int, List[Tuple[str, int]]]] = []
     for p in range(n_pages):
         g = _page_glyphs(table, table.page == p)
-        words = _segment_words_page(g, break_lut, style_xsize, mode)
-        t = _word_table(words)
-        # P2/P1/B7: text fully inside a CONTAINER graphic leaves the page
-        # flow; its lines re-attach to the media at emission (mirror of
-        # oracle._analyze_page's extraction)
-        captions: Dict[int, List[Tuple[str, int]]] = {}
-        page_media = media_by_page.get(p, [])
-        if page_media and len(t):
-            from ..oracle.regions import MEDIA_CONTAINER
-
-            roles = categorize_media(
-                np.array([m.x for m in page_media], dtype=np.float32),
-                np.array([m.y for m in page_media], dtype=np.float32),
-                np.array([m.w for m in page_media], dtype=np.float32),
-                np.array([m.h for m in page_media], dtype=np.float32),
-                t.x, t.y, t.ex, t.ey,
-                region_w=float(t.ex.max() - t.x.min()),
-                w_texts=t.text,
-            )
-            page_roles = roles
-            pulled = np.zeros(len(t), dtype=bool)
-            for mi, (m, role) in enumerate(zip(page_media, roles)):
-                if role != MEDIA_CONTAINER:
-                    continue
-                inside = (
-                    (t.x >= m.x) & (t.ex <= m.x + m.w)
-                    & (t.y >= m.y) & (t.ey <= m.y + m.h) & ~pulled
-                )
-                if not bool(inside.any()):
-                    continue
-                pulled |= inside
-                cap_lines = _create_lines(
-                    t, cmp_lut, subset=[int(i) for i in np.nonzero(inside)[0]]
-                )
-                captions[mi] = [
-                    (_line_text(t, line), int(min(t.origin[i] for i in line)))
-                    for line in cap_lines
-                ]
-            if bool(pulled.any()):
-                keep = [w for w, pl in zip(words, pulled) if not pl]
-                t = _word_table(keep)
-        else:
-            page_roles = None
-        paragraphs, bounds, blocks = _analyze_page_vec(
-            t, page_media, cmp_lut, style_xsize, style_ysize,
-            page_height=cfg.page_height, media_roles=page_roles,
+        t, paragraphs, bounds, blocks, captions = _analyze_one_page(
+            g, media_by_page.get(p, []), cmp_lut, break_lut,
+            style_xsize, style_ysize, cfg, mode,
         )
         tables.append(t)
         pages.append(paragraphs)
@@ -1149,6 +1167,26 @@ def extract_document_fast(
         page_blocks.append(blocks)
         page_captions.append(captions)
 
+    return _finalize_document(
+        tables, pages, page_regions, page_blocks, page_captions,
+        media_by_page, n_pages, styles, cfg,
+    )
+
+
+def _finalize_document(
+    tables: List[_WordTable],
+    pages: List[List[Paragraph]],
+    page_regions: List[List],
+    page_blocks: List[List],
+    page_captions: List[Dict[int, List[Tuple[str, int]]]],
+    media_by_page: Dict[int, List[MediaBox]],
+    n_pages: int,
+    styles: List[Style],
+    cfg: EngineConfig,
+) -> List[OutSpan]:
+    """Doc-level tail: logical analysis (L1-L6) + ordered span assembly.
+    Pure function of the per-page analysis results — the page-parallel path
+    reconstructs its inputs from shuffled rows and calls this unchanged."""
     body = _find_body_style(tables, styles)
     header_candidates = _find_header_candidates(tables, pages, body, styles)
     title = _extract_title(tables, pages, header_candidates)
