@@ -102,6 +102,7 @@ def run_extraction(
     n_buckets: int = 16,
     cfg: EngineConfig = CONFIG,
     parallelism: int = 32,
+    page_parallel_oversize: bool = True,
 ) -> PipelineResult:
     """Checkpointed, resumable extraction of the interleaved documents table.
 
@@ -110,7 +111,11 @@ def run_extraction(
       output_path/spans/bucket=<b>/*.parquet       extracted spans
       output_path/quarantine/bucket=<b>/*.parquet  kind='error' rows
       output_path/manifest/*.parquet               lineage + metrics
-    """
+
+    page_parallel_oversize routes the oversized band through the
+    page-parallel operator (operators/extract_paged.py): a single
+    10k-page document fans out over (doc_id, page) instead of stalling
+    one task — the skew band beyond one-doc-per-task."""
     os.makedirs(output_path, exist_ok=True)
     done = set(completed_buckets(spark, output_path))
     docs = with_bucket(documents, n_buckets)
@@ -125,8 +130,26 @@ def run_extraction(
             continue
         t0 = time.perf_counter()
         bucket_docs = docs.filter(F.col("doc_bucket") == b).drop("doc_bucket")
-        banded = band_for_extraction(bucket_docs, cfg, parallelism)
-        spans = extract_spans(banded, cfg)
+        if page_parallel_oversize:
+            from .operators.extract_paged import extract_spans_paged
+
+            sized = bucket_docs.withColumn("_n_spans", F.size("spans"))
+            small = sized.filter(
+                F.col("_n_spans") <= cfg.oversize_span_threshold
+            ).drop("_n_spans")
+            big = sized.filter(
+                F.col("_n_spans") > cfg.oversize_span_threshold
+            ).drop("_n_spans")
+            spans = extract_spans(small.repartition(parallelism * 4), cfg,
+                                  num_partitions=-1)
+            if big.limit(1).count():
+                spans = spans.unionByName(
+                    extract_spans_paged(big, cfg,
+                                        page_partitions=parallelism * 2)
+                )
+        else:
+            banded = band_for_extraction(bucket_docs, cfg, parallelism)
+            spans = extract_spans(banded, cfg)
         spans.persist()
         try:
             n_spans_all = spans.count()
