@@ -80,6 +80,26 @@ def band_for_extraction(
     return out.drop("_n_spans")
 
 
+def write_bucketed_spans(
+    spans: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """Persist extraction output as a bucket(doc_id)-clustered, sorted table.
+
+    Downstream training-data joins are all doc_id-keyed (spans x embeddings
+    x quality scores x dedup verdicts); with both sides bucketed on doc_id
+    the join plan has ZERO Exchange — `Bucketed: true` scans feed the
+    SortMergeJoin directly (proved in tests/test_bucketed_join.py and
+    PLANS.md). On Iceberg this is `bucket(doc_id, N)` partitioning with
+    storage-partitioned joins; the Spark bucketed table is the sandbox
+    equivalent."""
+    (
+        spans.write.bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
 def read_manifest(spark: SparkSession, output_path: str) -> Optional[DataFrame]:
     path = os.path.join(output_path, "manifest")
     try:
