@@ -194,6 +194,83 @@ def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
     )
 
 
+CC_MAX_ITER = 25
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Keeper selection over near-dup pairs: (doc_id, rep) where rep is the
+    smallest doc_id reachable in the pair graph — the final step of every
+    dedup family (keep rep, drop the rest).
+
+    Iterative min-label propagation with a pointer-jumping step (labels also
+    propagate through current representatives), converging in
+    O(log diameter) rounds; each round is one shuffle join, checkpointed so
+    lineage stays flat. Near-dup components are shallow in practice, and the
+    iteration cap is a hard latency bound (reported via the fixpoint check —
+    the loop stops as soon as a round changes nothing)."""
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(CC_MAX_ITER):
+        # min over neighbours' labels
+        neigh = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "node")
+        )
+        # pointer jumping: adopt the label of your current representative
+        rep = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("rlabel")
+        )
+        new = (
+            labels.join(neigh, "node", "left")
+            .join(rep, "label", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nlabel", "label"),
+                    F.coalesce("rlabel", "label"),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if not changed:
+            break
+    return labels.select("node", "label").withColumnRenamed("node", "doc_id").withColumnRenamed("label", "rep")
+
+
+def sql_connected_components(pairs_sql: str) -> str:
+    """DuckDB oracle: min id reachable from each node (recursive CTE)."""
+    return f"""
+WITH RECURSIVE pair_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ({pairs_sql})
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM ({pairs_sql})
+),
+reach(node, r) AS (
+  SELECT src, src FROM pair_edges
+  UNION
+  SELECT e.src, reach.r FROM pair_edges e JOIN reach ON e.dst = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS rep FROM reach GROUP BY node
+"""
+
+
 def oversized_buckets(documents: DataFrame) -> DataFrame:
     """Buckets wider than MAX_BUCKET that lsh_candidate_pairs skipped
     (no-silent-caps reporting surface)."""

@@ -240,6 +240,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Keeper selection: connected components over the MinHash-LSH near-dup
+    pairs — (doc_id, rep) with rep = the kept representative."""
+    pairs = dedup.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+    return dedup.connected_components(pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -423,6 +430,7 @@ def queries() -> Dict[str, Callable]:
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_neardup": q_dedup_simhash_neardup,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -458,6 +466,9 @@ def oracle_sql() -> Dict[str, str]:
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": dedup.sql_lsh_candidate_pairs(),
+        "dedup_components": dedup.sql_connected_components(
+            f"SELECT doc_a, doc_b FROM ({dedup.sql_lsh_candidate_pairs()})"
+        ),
         "dedup_simhash": dedup.sql_simhash(),
         "dedup_simhash_neardup": dedup.sql_simhash_neardups(),
         "dedup_ngram_jaccard": dedup.sql_ngram_jaccard_pairs(),
