@@ -207,6 +207,53 @@ FROM documents
 """.replace("'", "'")
 
 
+def q_text_quality_rules(spark, sf_dir):
+    """Gopher-style document quality gates, all native columns: word-count
+    bounds, mean word length band, symbol-to-word ratio, digit-word fraction,
+    minimum stopword hits. `keep` is the conjunctive verdict a training-data
+    filter acts on; the component flags make rejects auditable."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mean_wlen = F.round(
+        F.length(F.regexp_replace("text", " ", "")) / n_words, 4
+    )
+    digit_words = F.size(F.filter(words, lambda w: w.rlike("^[0-9]+$")))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    ok_count = (n_words >= 5) & (n_words <= 100000)
+    ok_wlen = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    ok_digits = (digit_words / n_words) <= 0.3
+    ok_stops = stop_hits >= 1
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        F.round(digit_words / n_words, 4).alias("digit_word_ratio"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        (ok_count & ok_wlen & ok_digits & ok_stops).alias("keep"),
+    )
+
+
+SQL_TEXT_QUALITY_RULES = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       ROUND(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4)
+         AS mean_word_len,
+       ROUND(len(list_filter(string_split(text, ' '), w -> regexp_full_match(w, '[0-9]+')))
+             * 1.0 / len(string_split(text, ' ')), 4) AS digit_word_ratio,
+       CAST(len(list_filter(string_split(text, ' '), w -> w IN {STOPWORDS!r})) AS INT)
+         AS stopword_hits,
+       (len(string_split(text, ' ')) BETWEEN 5 AND 100000)
+         AND (ROUND(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4)
+              BETWEEN 2.0 AND 12.0)
+         AND (len(list_filter(string_split(text, ' '), w -> regexp_full_match(w, '[0-9]+')))
+              * 1.0 / len(string_split(text, ' ')) <= 0.3)
+         AND (len(list_filter(string_split(text, ' '), w -> w IN {STOPWORDS!r})) >= 1)
+         AS keep
+FROM documents
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -427,6 +474,7 @@ def queries() -> Dict[str, Callable]:
         "distinct_event_types": q_distinct_event_types,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
+        "text_quality_rules": q_text_quality_rules,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -463,6 +511,7 @@ def oracle_sql() -> Dict[str, str]:
         "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
         "text_token_count": SQL_TEXT_TOKEN_COUNT,
         "text_quality": SQL_TEXT_QUALITY,
+        "text_quality_rules": SQL_TEXT_QUALITY_RULES,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": dedup.sql_lsh_candidate_pairs(),
