@@ -78,3 +78,36 @@ def dehyphenate(spans: DataFrame, max_chain: int = MAX_CHAIN) -> DataFrame:
     for _ in range(max_chain):
         out = _merge_once(out)
     return out
+
+
+def sql_dehyphenate(spans_sql: str, max_chain: int = MAX_CHAIN) -> str:
+    """DuckDB mirror of dehyphenate: the same head/absorbed window logic,
+    nested once per merge level."""
+    kinds = "(" + ", ".join(f"'{k}'" for k in TEXT_KINDS) + ")"
+    inner = f"({spans_sql})"
+    for _ in range(max_chain):
+        inner = f"""(
+SELECT doc_id, seq, kind,
+       CASE WHEN is_head THEN substr(text, 1, length(text) - 1) || nxt
+            ELSE text END AS text,
+       media_ref, "offset"
+FROM (
+  SELECT *,
+         (kind IN {kinds}) AND ends_with(text, '-')
+           AND coalesce(lead(kind) OVER w IN {kinds}, false)
+           AND NOT coalesce((lag(kind) OVER w IN {kinds})
+                            AND ends_with(lag(text) OVER w, '-'), false)
+           AS is_head,
+         (kind IN {kinds})
+           AND coalesce((lag(kind) OVER w IN {kinds})
+                        AND ends_with(lag(text) OVER w, '-'), false)
+           AND NOT coalesce((lag(kind, 2) OVER w IN {kinds})
+                            AND ends_with(lag(text, 2) OVER w, '-'), false)
+           AS absorbed,
+         lead(text) OVER w AS nxt
+  FROM {inner}
+  WINDOW w AS (PARTITION BY doc_id ORDER BY seq)
+)
+WHERE NOT absorbed
+)"""
+    return f"SELECT doc_id, seq, kind, text, media_ref, \"offset\" FROM {inner}"

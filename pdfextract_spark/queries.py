@@ -450,6 +450,31 @@ FROM w WHERE n % 4 = 0
 """
 
 
+def q_dehyphenate_op(spark, sf_dir):
+    """S16 dehyphenation, value-checked: deterministic hyphen injection
+    (seq % 5 == 2 on non-media spans) over the serializer span stream, then
+    the window merge — identical on both sides."""
+    from .operators.postprocess import dehyphenate
+
+    sp = _serializer_spans(spark, sf_dir)
+    sp = sp.withColumn(
+        "text",
+        F.when(
+            (F.col("kind") != "media") & (F.col("seq") % 5 == 2),
+            F.concat(F.col("text"), F.lit("-")),
+        ).otherwise(F.col("text")),
+    ).withColumn("offset", F.col("seq").cast("int"))
+    return dehyphenate(sp)
+
+
+SQL_DEHYPH_SPANS = f"""
+SELECT doc_id, seq, kind,
+       CASE WHEN kind <> 'media' AND seq % 5 = 2 THEN text || '-' ELSE text END AS text,
+       media_ref, CAST(seq AS INT) AS "offset"
+FROM ({SQL_SERIALIZER_SPANS})
+"""
+
+
 def q_serialize_pxml(spark, sf_dir):
     """S15 sink: SimpleXMLOutput-style rendering (ordered agg, JVM-side)."""
     from .operators.serialize import to_pxml
@@ -462,6 +487,12 @@ def q_serialize_tei(spark, sf_dir):
     from .operators.serialize import to_tei
 
     return to_tei(_serializer_spans(spark, sf_dir))
+
+
+def _sql_dehyphenate_op() -> str:
+    from .operators.postprocess import sql_dehyphenate
+
+    return sql_dehyphenate(SQL_DEHYPH_SPANS)
 
 
 def queries() -> Dict[str, Callable]:
@@ -496,6 +527,7 @@ def queries() -> Dict[str, Callable]:
         "extract_char_conservation": q_extract_char_conservation,
         "extract_pipeline": q_extract_pipeline,
         "extract_dehyphenated": q_extract_dehyphenated,
+        "dehyphenate_op": q_dehyphenate_op,
         "serialize_pxml": q_serialize_pxml,
         "serialize_tei": q_serialize_tei,
     }
@@ -533,6 +565,7 @@ def oracle_sql() -> Dict[str, str]:
         "multimodal_frames": multimodal.sql_frame_sample(),
         "extract_media_preservation": SQL_EXTRACT_MEDIA_PRESERVATION,
         "extract_char_conservation": SQL_EXTRACT_CHAR_CONSERVATION,
+        "dehyphenate_op": _sql_dehyphenate_op(),
         "serialize_pxml": serialize.sql_to_pxml(SQL_SERIALIZER_SPANS),
         "serialize_tei": serialize.sql_to_tei(SQL_SERIALIZER_SPANS),
         # extract_pipeline: rows-only (non-SQL-expressible per-doc layout analysis)
