@@ -16,6 +16,7 @@ Coverage map (SURVEY.md §2.6 relational checklist + training-data ops):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Dict
 
@@ -387,19 +388,38 @@ FROM documents
 """
 
 
-# --------------------------------------------- extraction engine, rows-only
+# ------------------------------- extraction engine, fixture-oracle checked
+
+_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures"
+)
+
+
+def sql_expected_spans(sf: str = "0.01") -> str:
+    """Oracle relation for the flagship pipeline: span sequences precomputed
+    by the sequential Python oracle (oracle/document.extract_document — the
+    independent implementation the 99-test pytest suite checks the engine
+    against) over the REAL adapter output at fixture-gen time
+    (tools/gen_expected_spans.py). The driver's hash-compare of the live
+    vectorized engine against this relation is the span-sequence-equality
+    contract (reference: SimpleXMLOutput.java:77-242) as a hard signal."""
+    path = os.path.join(_FIXTURE_DIR, f"expected_spans_sf{sf}.parquet")
+    return (
+        f"SELECT doc_id, seq, kind, text, media_ref, \"offset\" "
+        f"FROM read_parquet('{path}')"
+    )
+
 
 def q_extract_pipeline(spark, sf_dir):
-    """Flagship: full extraction over the interleaved corpus (span-sequence
-    correctness is asserted against the Python oracle in pytest; the driver
-    records a rows-only check here)."""
+    """Flagship: full extraction over the interleaved corpus, value-checked
+    against the precomputed Python-oracle span fixture (sql_expected_spans)."""
     docs = _t(spark, sf_dir, "documents")
     return extract_spans(documents_to_interleaved(docs))
 
 
 def q_extract_dehyphenated(spark, sf_dir):
-    """Full extraction + S16 dehyphenation window pass (rows-only check;
-    the operator itself is unit-tested against hand-built fixtures)."""
+    """Full extraction + S16 dehyphenation window pass, value-checked against
+    the oracle-span fixture run through the SQL dehyphenation mirror."""
     from .operators.postprocess import dehyphenate
 
     docs = _t(spark, sf_dir, "documents")
@@ -489,10 +509,14 @@ def q_serialize_tei(spark, sf_dir):
     return to_tei(_serializer_spans(spark, sf_dir))
 
 
-def _sql_dehyphenate_op() -> str:
+def _sql_dehyphenate(spans_sql: str) -> str:
     from .operators.postprocess import sql_dehyphenate
 
-    return sql_dehyphenate(SQL_DEHYPH_SPANS)
+    return sql_dehyphenate(spans_sql)
+
+
+def _sql_dehyphenate_op() -> str:
+    return _sql_dehyphenate(SQL_DEHYPH_SPANS)
 
 
 def queries() -> Dict[str, Callable]:
@@ -568,5 +592,7 @@ def oracle_sql() -> Dict[str, str]:
         "dehyphenate_op": _sql_dehyphenate_op(),
         "serialize_pxml": serialize.sql_to_pxml(SQL_SERIALIZER_SPANS),
         "serialize_tei": serialize.sql_to_tei(SQL_SERIALIZER_SPANS),
-        # extract_pipeline: rows-only (non-SQL-expressible per-doc layout analysis)
+        # flagship: the live engine vs the precomputed Python-oracle fixture
+        "extract_pipeline": sql_expected_spans(),
+        "extract_dehyphenated": _sql_dehyphenate(sql_expected_spans()),
     }
