@@ -4,9 +4,18 @@
   At 100 TB scale this is the per-shard verification kernel, not the global
   path: the cross join is bounded by `n_query` (broadcast side) so cost is
   n_query * n_vectors, embarrassingly parallel over vector partitions.
-- ann_lsh_pairs: the scale path — random-hyperplane LSH signatures computed
-  map-side (8 sign bits), one shuffle on the bucket key, pair join within
-  buckets only. Recall tunes with bits/bands.
+- ann_lsh_pairs: the scale path for high-similarity pair mining —
+  multi-table random-hyperplane LSH (N_TABLES tables x N_PLANES sign bits,
+  4096-key tables) computed map-side, one shuffle on the (table, bucket) key,
+  JVM-side pair expansion within buckets only. Hot buckets are capped at
+  ANN_MAX_BUCKET and REPORTED (ann_oversized_buckets) — the cap is the hard
+  scale guarantee; the key space sizes recall vs drop rate and must grow with
+  the corpus (same rule as IVF cell count). Recall contract: >=0.9 of planted
+  near-duplicate vectors (cos >= 0.97) are recovered — see
+  tests/test_ann_recall.py. On weakly-similar corpora (the driver fixture's
+  random vectors: true top-3 cosine ~0.34) NO sublinear ANN retains top-k
+  recall; that regime belongs to cosine_topk (exact) or ivf_topk with
+  proportionally raised nprobe.
 
 Cross-engine determinism: float sums are order-dependent, so vectors are
 quantized to fixed-point integers (q = floor(x*10^4 + 0.5), exact in both
@@ -22,7 +31,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 DIM = 64
-N_PLANES = 8
+N_PLANES = 12          # sign bits per hash table (4096 bucket keys / table)
+N_TABLES = 6           # independent tables for recall (total 24,576 keys)
+ANN_MAX_BUCKET = 64    # bucket width cap, reported via ann_oversized_buckets
 TOPK = 3
 N_QUERY = 50          # query set = vec_id < 50 for the bounded top-k surface
 ANN_COS_MIN = 0.15
@@ -30,6 +41,15 @@ LCG_A = 1103515245
 LCG_C = 12345
 LCG_M = 2_147_483_648  # 2^31
 Q = 10_000             # fixed-point quantization scale
+
+
+def _plane_components(table_id: int, plane: int) -> list:
+    """Deterministic centered-LCG hyperplane components (exact integers,
+    identical in Spark, DuckDB and Python). Global plane index = table*N+p."""
+    gp = table_id * N_PLANES + plane
+    return [
+        ((gp * DIM + d) * LCG_A + LCG_C) % LCG_M - LCG_M // 2 for d in range(DIM)
+    ]
 
 
 def _quant(a):
@@ -126,95 +146,186 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
-def lsh_bucket(embeddings: DataFrame) -> DataFrame:
-    """(vec_id, q, n2, bucket) — 8 hyperplane sign bits via exact integer
-    dot against centered LCG components, map-side only."""
-    base = _with_quant(embeddings)
+def _planes_matrix():
+    """(N_TABLES*N_PLANES, DIM) int64 hyperplane matrix (lazy module cache)."""
+    global _PLANES_MAT
+    try:
+        return _PLANES_MAT
+    except NameError:
+        import numpy as np
 
-    def bit(p):
-        def comp(d):
-            seed = (F.lit(p * DIM).cast("long") + d.cast("long")) * F.lit(
-                LCG_A
-            ).cast("long") + F.lit(LCG_C)
-            return F.pmod(seed, F.lit(LCG_M)) - F.lit(LCG_M // 2)
-
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), comp),
-                lambda x, r: x * r,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        _PLANES_MAT = np.array(
+            [
+                _plane_components(t, p)
+                for t in range(N_TABLES)
+                for p in range(N_PLANES)
+            ],
+            dtype=np.int64,
         )
-        return F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-
-    bucket = bit(0)
-    for p in range(1, N_PLANES):
-        bucket = bucket + bit(p)
-    return base.withColumn("bucket", bucket)
+        return _PLANES_MAT
 
 
-def sql_bucket_expr(q: str = "q") -> str:
-    terms = []
-    for p in range(N_PLANES):
-        dot = (
-            f"list_reduce(list_concat([0::BIGINT], "
-            f"list_transform(range(0, {DIM}), "
-            f"d -> {q}[d+1] * ((({p * DIM} + d) * {LCG_A} + {LCG_C}) % {LCG_M}"
-            f" - {LCG_M // 2}))), (x, y) -> x + y)"
-        )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
+_SIG_SCHEMA = "vec_id long, q array<long>, n2 long, table_id int, bucket int"
+
+
+def lsh_signatures(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, q, n2, table_id, bucket) — one row per (vector, hash table).
+
+    Arrow-vectorized kernel (mapInPandas): 72 sign-bit dot products per
+    vector as ONE numpy int64 matmul per batch. The equivalent Column
+    expression tree (72 x aggregate(zip_with(...))) falls out of codegen and
+    runs ~1000x slower interpreted; integer math is bit-identical either way
+    (|dot| <= DIM * Q*maxcomp ~ 7e14 < 2^63, no overflow). Map-side only —
+    no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        planes = _planes_matrix()
+        weights = 1 << np.arange(N_PLANES, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Qm = np.floor(V * Q + 0.5).astype(np.int64)
+            n2 = (Qm * Qm).sum(axis=1)
+            bits = (Qm @ planes.T > 0).astype(np.int64)
+            buckets = (bits.reshape(len(pdf), N_TABLES, N_PLANES) * weights).sum(axis=2)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), N_TABLES),
+                    "q": [row for row in Qm for _ in range(N_TABLES)],
+                    "n2": np.repeat(n2, N_TABLES),
+                    "table_id": np.tile(
+                        np.arange(N_TABLES, dtype=np.int32), n
+                    ),
+                    "bucket": buckets.astype(np.int32).reshape(-1),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(gen, schema=_SIG_SCHEMA)
 
 
 def ann_lsh_pairs(embeddings: DataFrame) -> DataFrame:
-    """(vec_id_a, vec_id_b, cos_sim) — same-bucket pairs above ANN_COS_MIN."""
-    b = lsh_bucket(embeddings)
-    l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")),
-    ).select(
-        F.col("l.vec_id").alias("vec_id_a"),
-        F.col("r.vec_id").alias("vec_id_b"),
-        F.col("l.q").alias("qa"),
-        F.col("r.q").alias("qb"),
-        F.col("l.n2").alias("na2"),
-        F.col("r.n2").alias("nb2"),
+    """(vec_id_a, vec_id_b, cos_sim) — pairs sharing any (table, bucket) key,
+    exact fixed-point cosine re-rank, cos >= ANN_COS_MIN.
+
+    Scale shape: ONE shuffle on (table_id, bucket); hot buckets trimmed via
+    broadcast anti-join before collect_list and reported (never silent);
+    in-bucket pairs generated JVM-side, bounded C(ANN_MAX_BUCKET, 2)."""
+    sigs = lsh_signatures(embeddings)
+    # two consumers (hot-bucket census + grouping): materialize once
+    sigs = sigs.localCheckpoint(eager=False)
+    hot = (
+        sigs.groupBy("table_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .filter(F.col("width") > ANN_MAX_BUCKET)
+        .select("table_id", "bucket")
+    )
+    sigs = sigs.join(F.broadcast(hot), ["table_id", "bucket"], "left_anti")
+    grouped = (
+        sigs.groupBy("table_id", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "q", "n2"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+
+    def pair(a, b):
+        return F.struct(
+            a["vec_id"].alias("vec_id_a"),
+            b["vec_id"].alias("vec_id_b"),
+            a["q"].alias("qa"),
+            b["q"].alias("qb"),
+            a["n2"].alias("na2"),
+            b["n2"].alias("nb2"),
+        )
+
+    ms = F.col("ms")
+    pairs_col = F.flatten(
+        F.transform(
+            ms,
+            lambda a, i: F.transform(F.slice(ms, i + 2, F.size(ms)), lambda b: pair(a, b)),
+        )
+    )
+    cand = (
+        grouped.select(F.explode(pairs_col).alias("p"))
+        .select("p.vec_id_a", "p.vec_id_b", "p.qa", "p.qb", "p.na2", "p.nb2")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
     cos = _cos(_idot("qa", "qb"), F.col("na2"), F.col("nb2"))
-    return pairs.select("vec_id_a", "vec_id_b", cos.alias("cos_sim")).filter(
+    return cand.select("vec_id_a", "vec_id_b", cos.alias("cos_sim")).filter(
         F.col("cos_sim") >= ANN_COS_MIN
     )
 
 
+def ann_oversized_buckets(embeddings: DataFrame) -> DataFrame:
+    """(table_id, bucket, width) — LSH buckets wider than ANN_MAX_BUCKET that
+    ann_lsh_pairs skipped (no-silent-caps reporting surface)."""
+    return (
+        lsh_signatures(embeddings)
+        .groupBy("table_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .filter(F.col("width") > ANN_MAX_BUCKET)
+    )
+
+
+def _sql_table_bucket(t: int, q: str = "q") -> str:
+    terms = []
+    for p in range(N_PLANES):
+        comps = _plane_components(t, p)
+        dot = "(0" + "".join(
+            f" + {q}[{d + 1}] * ({comps[d]})" for d in range(DIM)
+        ) + ")"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def sql_ann_lsh_pairs(table: str = "embeddings") -> str:
-    cos = sql_cos(sql_idot("l.q", "r.q"), "l.n2", "r.n2")
+    cos = sql_cos(sql_idot("x.q", "y.q"), "x.n2", "y.n2")
+    bucket_case = "CASE t.table_id " + " ".join(
+        f"WHEN {t} THEN {_sql_table_bucket(t)}" for t in range(N_TABLES)
+    ) + " END"
+    table_ids = ", ".join(f"({t})" for t in range(N_TABLES))
     return f"""
 WITH base AS (
   SELECT vec_id, {sql_quant('embedding')} AS q,
          {sql_idot(sql_quant('embedding'), sql_quant('embedding'))} AS n2
   FROM {table}
 ),
-b AS (
-  SELECT vec_id, q, n2, {sql_bucket_expr('q')} AS bucket FROM base
+sigs AS (
+  SELECT vec_id, t.table_id, {bucket_case} AS bucket
+  FROM base, (VALUES {table_ids}) t(table_id)
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY table_id, bucket) AS bucket_width
+    FROM sigs) s
+  WHERE bucket_width <= {ANN_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS va, r.vec_id AS vb
+  FROM capped l JOIN capped r
+    ON l.table_id = r.table_id AND l.bucket = r.bucket AND l.vec_id < r.vec_id
 )
-SELECT l.vec_id AS vec_id_a, r.vec_id AS vec_id_b, {cos} AS cos_sim
-FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+SELECT va AS vec_id_a, vb AS vec_id_b, {cos} AS cos_sim
+FROM cand JOIN base x ON x.vec_id = va JOIN base y ON y.vec_id = vb
 WHERE {cos} >= {ANN_COS_MIN}
 """
 
 
-def ivf_topk(embeddings: DataFrame) -> DataFrame:
+NPROBE = 2             # cells probed per query (recall dial; 1 = classic IVF)
+
+
+def ivf_topk(embeddings: DataFrame, nprobe: int = NPROBE) -> DataFrame:
     """(vec_id, neighbor_id, cos_sim, rank) — IVF-style ANN, the scale path
     for similarity search: a coarse quantizer (per-label integer centroids,
     exact half-away rounding — no float ties) assigns every vector to its
     nearest cell (exact integer squared distance, ties -> smallest label);
-    queries probe ONLY their own cell (nprobe=1) and rank candidates by the
-    exact fixed-point cosine. At 10^12 scale the cell assignment is one
-    broadcast join + map-side argmin, and the candidate join touches
-    1/n_cells of the corpus per query instead of all of it."""
+    queries probe their `nprobe` nearest cells (multi-probe — the recall
+    dial; candidates cost nprobe/n_cells of the corpus per query) and rank
+    candidates by the exact fixed-point cosine. At 10^12 scale the cell
+    assignment is one broadcast join + map-side argmin; cell count must grow
+    with the corpus (cells = labels here because the fixture carries them)."""
     base = _with_quant(embeddings)
 
     # integer centroids, one array per label (ordered by component)
@@ -244,15 +355,18 @@ def ivf_topk(embeddings: DataFrame) -> DataFrame:
         lambda acc, v: acc + v,
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("label"))
-    assigned = (
+    ranked = (
         base.crossJoin(F.broadcast(cents))
         .withColumn("d2", d2)
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "n2", F.col("label").alias("cell"))
+        .select("vec_id", "q", "n2", F.col("label").alias("cell"), "rn")
+        # two consumers (db-side rn=1, query-side rn<=nprobe): compute once
+        .localCheckpoint(eager=False)
     )
+    assigned = ranked.filter(F.col("rn") == 1)
 
-    qs = assigned.filter(F.col("vec_id") < N_QUERY).select(
+    qs = assigned if nprobe == 1 else ranked.filter(F.col("rn") <= nprobe)
+    qs = qs.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qv"),
         F.col("n2").alias("qn2"), "cell",
     )
@@ -262,7 +376,9 @@ def ivf_topk(embeddings: DataFrame) -> DataFrame:
     )
     pairs = qs.join(cand, "cell").filter(F.col("qid") != F.col("nid"))
     cos = _cos(_idot("qv", "nv"), F.col("qn2"), F.col("nn2"))
-    scored = pairs.select("qid", "nid", cos.alias("cos_sim"))
+    scored = pairs.select("qid", "nid", cos.alias("cos_sim")).dropDuplicates(
+        ["qid", "nid"]
+    )
     wr = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(wr))
@@ -302,16 +418,15 @@ cint AS (
 cents AS (
   SELECT label, list(cq ORDER BY pos) AS cvec FROM cint GROUP BY label
 ),
-assigned AS (
-  SELECT vec_id, q, n2, cell FROM (
-    SELECT b.vec_id, b.q, b.n2, c.label AS cell,
-           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {d2} ASC, c.label ASC) AS rn
-    FROM base b CROSS JOIN cents c
-  ) WHERE rn = 1
+ranked AS (
+  SELECT b.vec_id, b.q, b.n2, c.label AS cell,
+         ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY {d2} ASC, c.label ASC) AS rn
+  FROM base b CROSS JOIN cents c
 ),
 scored AS (
-  SELECT qs.vec_id AS vec_id, cand.vec_id AS neighbor_id, {cos} AS cos_sim
-  FROM assigned qs JOIN assigned cand
+  SELECT DISTINCT qs.vec_id AS vec_id, cand.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM (SELECT * FROM ranked WHERE rn <= {NPROBE}) qs
+  JOIN (SELECT * FROM ranked WHERE rn = 1) cand
     ON qs.cell = cand.cell AND qs.vec_id < {N_QUERY} AND qs.vec_id <> cand.vec_id
 )
 SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
