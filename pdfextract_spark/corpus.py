@@ -122,6 +122,15 @@ def make_doc(seed: int, doc_index: int, skew: bool = False) -> Tuple[str, List[D
                 add("media", "", f"img://{doc_id}/bar{b}")
                 d, e2 = (int(v) for v in rng.integers(1, 99, 2))
                 add("text", f"y{d % 9} = {d} × {e2} < {d + e2}")
+        # ruled table: a run of thin full-width rule media stacked between
+        # short rows (tokenizer renders '/rule' refs as tight hsep-shaped
+        # bars; the repeated-hsep combiner must merge the stack so the page
+        # is NOT sliced into one band per rule)
+        if rng.uniform() < 0.05:
+            n_rules = int(rng.integers(2, 5))
+            for r in range(n_rules):
+                add("media", "", f"img://{doc_id}/rule{b}_{r}")
+                add("text", sentence(3, 6))
         # digit-leading lowercase footnote (tokenizer styles SMALL; L4 tags)
         if rng.uniform() < 0.06:
             add("text", f"{int(rng.integers(1, 30))} {sentence(3, 7)}")

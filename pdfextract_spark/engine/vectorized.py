@@ -30,7 +30,11 @@ from ..config import CONFIG, EngineConfig
 from ..layout import CharTable, MediaBox, layout_document
 from ..oracle.document import OutSpan
 from ..oracle.lines import find_line_boundaries
-from ..oracle.regions import MEDIA_HSEP, analyze_page_regions, categorize_media
+from ..oracle.regions import (
+    MEDIA_HSEP,
+    analyze_page_regions,
+    categorize_media_combined,
+)
 from ..oracle.scanfilters import apply_scan_filters
 from ..oracle.blocks import find_blocks, math_score_exceeds
 from ..oracle.style import (
@@ -756,7 +760,7 @@ def _analyze_page_vec(
         roles = (
             media_roles
             if media_roles is not None
-            else categorize_media(
+            else categorize_media_combined(
                 mx, my, mw, mh, wx, wy, wex, wey, region_w=x1 - x0, w_texts=t.text
             )
         )
@@ -786,19 +790,25 @@ def _analyze_page_vec(
     block_bounds: List[List[Tuple[float, float]]] = []
     for reg in regions:
         idx = np.asarray(reg.word_idx, dtype=np.int64)
-        # B1/B2: block grouping; leaf whitespace + media boxes block trails
+        # B1/B2: block grouping; leaf whitespace + media boxes block trails.
+        # MATH_BAR-roled boxes additionally join the B2 scan (containedGraphics
+        # bonus, Formulas.java:83-103) — mirror of the oracle call site
         blockers = list(reg.whitespace)
-        for m in page_media:
+        math_bars = []
+        for mi2, m in enumerate(page_media):
             if (
                 m.x < reg.bound[2] and m.x + m.w > reg.bound[0]
                 and m.y < reg.bound[3] and m.y + m.h > reg.bound[1]
             ):
                 blockers.append((m.x, m.y, m.x + m.w, m.y + m.h))
+                if roles and roles[mi2] == "math_bar":
+                    math_bars.append((m.x, m.y, m.x + m.w, m.y + m.h))
         blocks = find_blocks(
             t.x[idx], t.y[idx], t.ex[idx], t.ey[idx],
             [t.text[i] for i in idx],
             reg.bound,
             blockers,
+            math_bars=math_bars,
         )
         block_lines = [
             _create_lines(t, cmp_lut, subset=[int(idx[i]) for i in blk])
@@ -1083,7 +1093,7 @@ def _analyze_one_page(
     if page_media and len(t):
         from ..oracle.regions import MEDIA_CONTAINER
 
-        roles = categorize_media(
+        roles = categorize_media_combined(
             np.array([m.x for m in page_media], dtype=np.float32),
             np.array([m.y for m in page_media], dtype=np.float32),
             np.array([m.w for m in page_media], dtype=np.float32),

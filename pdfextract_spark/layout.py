@@ -201,6 +201,20 @@ def layout_document(
         draws = rng.uniform(0.0, 1.0, 3)
 
         if kind == "media":
+            if "/rule" in (media_refs[i] or ""):
+                # table rule: deterministic thin full-width bar, stacked
+                # tightly under the previous row (repeated-hsep combining
+                # fodder — GraphicSegmentatorImpl.combineHorizontalSeparators)
+                mw = F32(col_w * F32(0.8))
+                mh = F32(3.0)
+                if cursor_y + mh > page_h - margin:
+                    advance_column()
+                media.append(
+                    MediaBox(page, float(col_x0()), float(cursor_y),
+                             float(mw), float(mh), media_refs[i] or "", offset)
+                )
+                cursor_y = F32(cursor_y + mh + F32(8.0))
+                continue
             if i > 0 and kinds[i - 1] == "text" and _is_formula_text(
                 (texts[i - 1] or "").split(" ")
             ):

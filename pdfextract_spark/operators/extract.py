@@ -100,6 +100,11 @@ def extract_spans(documents_df, cfg: EngineConfig = CONFIG, num_partitions: int 
         # real scale the scan already has >= cores splits and this is a no-op
         # (we never reduce partitioning). Pass num_partitions=-1 to opt out.
         target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        # file count approximates scan splits without materializing df.rdd
+        try:
+            n_splits = len(df.inputFiles())
+        except Exception:
+            n_splits = 0
+        if n_splits < target:
             df = df.repartition(target)
     return df.mapInPandas(process, schema=OUTPUT_SCHEMA)

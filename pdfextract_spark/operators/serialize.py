@@ -17,7 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-_XML_ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]
+# quotes escaped too: doc_id/media_ref land inside XML attribute values
+# (reference uses escapeHtml, which covers quotes — SimpleXMLOutput.java)
+_XML_ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")]
 
 
 def _esc(col):
@@ -27,9 +29,11 @@ def _esc(col):
 
 
 def _sql_esc(expr: str) -> str:
-    return (
-        f"replace(replace(replace({expr}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
-    )
+    out = expr
+    for raw, rep in _XML_ESCAPES:
+        raw_sql = raw.replace("'", "''")
+        out = f"replace({out}, '{raw_sql}', '{rep}')"
+    return out
 
 
 def _line_elem():

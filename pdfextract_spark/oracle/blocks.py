@@ -55,17 +55,29 @@ def _word_has_sm(t: str) -> bool:
     return any(unicodedata.category(c) == "Sm" for c in t)
 
 
-def math_score_exceeds(texts: Sequence[str]) -> bool:
-    """Formulas.textSeemsToBeFormula over word texts (no math-font words or
-    math-bar graphics exist in this corpus; their terms are zero). Word
-    scores are LRU-cached — vocabularies repeat heavily."""
-    if len(texts) < FORMULA_MIN_CONTENTS:
+def math_score_exceeds(texts: Sequence[str], contained_graphics: int = 0) -> bool:
+    """Formulas.textSeemsToBeFormula over word texts (Formulas.java:56-106;
+    no math-font words exist in this corpus, so that term is zero). Word
+    scores are LRU-cached — vocabularies repeat heavily.
+
+    contained_graphics = GRAPHIC_MATH_BAR contents in the line-set
+    (Formulas.java:77-81): each skips the word count and the total applies
+    the :103 bonus `looksLikeMath += containedGraphics * looksLikeMath *
+    0.1f` — Java compound assignment truncates the float sum back to int."""
+    if len(texts) + contained_graphics < FORMULA_MIN_CONTENTS:
         return False
     looks_like_math = 0
     word_count = 0
     for t in texts:
         word_count += len(t)
         looks_like_math += _word_math_score(t)
+    if contained_graphics:
+        looks_like_math = int(
+            np.float32(looks_like_math)
+            + np.float32(contained_graphics)
+            * np.float32(looks_like_math)
+            * np.float32(0.1)
+        )
     return looks_like_math > word_count
 
 
@@ -142,10 +154,18 @@ def find_blocks(
     texts: Sequence[str],
     region_bound: Tuple[float, float, float, float],
     blockers: Optional[Sequence[Tuple[float, float, float, float]]] = None,
+    math_bars: Optional[Sequence[Tuple[float, float, float, float]]] = None,
 ) -> List[List[int]]:
     """Blocks of one region as lists of LOCAL word indices, ordered by
     regionComparator on the block bound. B2 formula pre-grouping runs first;
-    B1 union-find groups the rest."""
+    B1 union-find groups the rest.
+
+    math_bars: MATH_BAR-roled graphic boxes in the region. They participate
+    in the B2 row scan exactly like contents (the reference's region contents
+    include assignable GRAPHIC_MATH_BAR graphics, which are StyledText with
+    empty text): they join the working set, move minX/endY, and each one in
+    the set feeds the Formulas.java:103 containedGraphics score bonus. They
+    are never emitted as block members (media spans stay 1:1)."""
     n = len(w_x)
     if n == 0:
         return []
@@ -163,21 +183,34 @@ def find_blocks(
     ry0, ry1 = float(region_bound[1]), float(region_bound[3])
     wy = w_y.astype(np.float64)
     wey = w_ey.astype(np.float64)
+    bars = [tuple(float(v) for v in b) for b in (math_bars or [])]
+    bar_y = np.array([b[1] for b in bars], dtype=np.float64)
+    bar_ey = np.array([b[3] for b in bars], dtype=np.float64)
+    bar_assigned = np.zeros(len(bars), dtype=bool)
     working: List[int] = []
     in_working: set = set()
+    bar_working: set = set()
     skip = False
     has_skipped = False
     min_x = np.inf
     end_y = -np.inf
     prev_merged_into: Optional[int] = None
     y = np.floor(ry0)
-    if not has_math:
+    if not has_math and not bars:
+        # (with bars present the scan must run: the contained-graphics bonus
+        # can tip an all-digit line-set, where score == char count, over)
         y = ry1 + 1.0  # skip the scan; B1 handles everything
     while y <= ry1:
         row = np.nonzero((wy <= y) & (wey >= y) & ~assigned)[0]
-        if row.size == 0:
+        bar_row = (
+            np.nonzero((bar_y <= y) & (bar_ey >= y) & ~bar_assigned)[0]
+            if bars
+            else ()
+        )
+        if row.size == 0 and len(bar_row) == 0:
             working.clear()
             in_working.clear()
+            bar_working.clear()
             skip = False
             min_x = np.inf
             y += 1.0
@@ -192,12 +225,18 @@ def find_blocks(
                 working.append(ii)
                 min_x = min(min_x, float(w_x[ii]))
                 end_y = max(end_y, float(w_ey[ii]))
+        for i in bar_row:
+            ii = int(i)
+            if ii not in bar_working:
+                bar_working.add(ii)
+                min_x = min(min_x, bars[ii][0])
+                end_y = max(end_y, bars[ii][3])
         if min_x < rx0 + FORMULA_INDENT:
             skip = True
             has_skipped = True
             y += 1.0
             continue
-        if math_score_exceeds([texts[i] for i in working]):
+        if math_score_exceeds([texts[i] for i in working], len(bar_working)):
             # hungry absorb of contiguous rows
             while y <= end_y + 1.0:
                 row = np.nonzero((wy <= y) & (wey >= y) & ~assigned)[0]
@@ -207,9 +246,19 @@ def find_blocks(
                         in_working.add(ii)
                         working.append(ii)
                         end_y = max(end_y, float(w_ey[ii]))
+                if bars:
+                    for i in np.nonzero(
+                        (bar_y <= y) & (bar_ey >= y) & ~bar_assigned
+                    )[0]:
+                        ii = int(i)
+                        if ii not in bar_working:
+                            bar_working.add(ii)
+                            end_y = max(end_y, bars[ii][3])
                 y += 1.0
             members = [i for i in working if not assigned[i]]
             assigned[np.array(members, dtype=np.int64)] = True
+            for ii in bar_working:
+                bar_assigned[ii] = True
             if not has_skipped and blocks:
                 blocks[-1].extend(members)
             else:
@@ -217,6 +266,7 @@ def find_blocks(
             has_skipped = False
             working.clear()
             in_working.clear()
+            bar_working.clear()
             min_x = np.inf
             continue
         y += 1.0

@@ -37,7 +37,7 @@ from .logical import (
 )
 from .blocks import find_blocks
 from .paragraphs import Paragraph, avg_font_sizes, modal_vertical_spacing, segment_paragraphs
-from .regions import MEDIA_HSEP, analyze_page_regions, categorize_media
+from .regions import MEDIA_HSEP, analyze_page_regions, categorize_media_combined
 from .scanfilters import apply_scan_filters
 from .style import Style
 from .words import Glyph, segment_words
@@ -99,7 +99,7 @@ def _analyze_page(
     hsep_ys: List[float] = []
     roles: List[str] = []
     if page_media:
-        roles = categorize_media(
+        roles = categorize_media_combined(
             np.array([m.x for m in page_media], dtype=np.float32),
             np.array([m.y for m in page_media], dtype=np.float32),
             np.array([m.w for m in page_media], dtype=np.float32),
@@ -175,14 +175,19 @@ def _analyze_page(
     block_bounds: List[List[Tuple[float, float]]] = []  # per region: (y0, y1)
     for ri, reg in enumerate(regions):
         reg_words = [page_words[i] for i in reg.word_idx]
-        # B1/B2: block grouping; leaf whitespace + media boxes block trails
+        # B1/B2: block grouping; leaf whitespace + media boxes block trails.
+        # MATH_BAR-roled boxes additionally join the B2 scan (containedGraphics
+        # bonus, Formulas.java:83-103)
         blockers = list(reg.whitespace)
-        for m in page_media:
+        math_bars = []
+        for mi2, m in enumerate(page_media):
             if (
                 m.x < reg.bound[2] and m.x + m.w > reg.bound[0]
                 and m.y < reg.bound[3] and m.y + m.h > reg.bound[1]
             ):
                 blockers.append((m.x, m.y, m.x + m.w, m.y + m.h))
+                if roles and roles[mi2] == "math_bar":
+                    math_bars.append((m.x, m.y, m.x + m.w, m.y + m.h))
         blocks = find_blocks(
             np.array([w.pos.x for w in reg_words], dtype=np.float32),
             np.array([w.pos.y for w in reg_words], dtype=np.float32),
@@ -191,6 +196,7 @@ def _analyze_page(
             [w.text for w in reg_words],
             reg.bound,
             blockers,
+            math_bars=math_bars,
         )
         block_lines = [create_lines([reg_words[i] for i in blk]) for blk in blocks]
         all_lines = [l for lines in block_lines for l in lines]

@@ -131,6 +131,96 @@ def categorize_media(
     return roles
 
 
+HSEP_COMBINE_DIV = 3          # GraphicSegmentatorImpl.combineHorizontalSeparators:187 (x/3, w/3 "as rounding")
+HSEP_COMBINE_DISTANCE = 50.0  # :216 — chain break distance
+
+
+def _rect_distance(ax, ay, aex, aey, bx, by, bex, bey) -> float:
+    """Rectangle.distance(Rectangle):220-241 — 0 when intersecting, else the
+    euclidean gap between the nearest edges (float32 math)."""
+    d = F32(0.0)
+    if ax > bex:
+        d += (F32(ax) - F32(bex)) * (F32(ax) - F32(bex))
+    elif bx > aex:
+        d += (F32(bx) - F32(aex)) * (F32(bx) - F32(aex))
+    if ay > bey:
+        d += (F32(ay) - F32(bey)) * (F32(ay) - F32(bey))
+    elif by > aey:
+        d += (F32(by) - F32(aey)) * (F32(by) - F32(aey))
+    return float(np.sqrt(d))
+
+
+def combine_hsep_stacks(roles, m_x, m_y, m_w, m_h):
+    """GraphicSegmentatorImpl.combineHorizontalSeparators:182-232 — the
+    'table drawn with horizontal lines only' hack. HSEPs sharing the combine
+    key (int(x)//3, int(w)//3; the reference key also includes stroke color,
+    which this input model does not carry) form a stack; each stack sorts by
+    lower y (stable, like Collections.sort) and chains: a member within
+    distance 50 of the running box unions into it, a farther one flushes the
+    chunk. Returns [(member_indices, (x, y, ex, ey))] per flushed chunk."""
+    groups: dict = {}
+    for i, r in enumerate(roles):
+        if r != MEDIA_HSEP:
+            continue
+        key = (int(m_x[i]) // HSEP_COMBINE_DIV, int(m_w[i]) // HSEP_COMBINE_DIV)
+        groups.setdefault(key, []).append(i)
+
+    out: List[Tuple[List[int], Tuple[float, float, float, float]]] = []
+    for key in groups:
+        idxs = groups[key]
+        if len(idxs) < 2:
+            continue
+        idxs.sort(key=lambda i: float(m_y[i]))
+        run = [idxs[0]]
+        i0 = idxs[0]
+        bx, by = float(m_x[i0]), float(m_y[i0])
+        bex, bey = float(m_x[i0] + m_w[i0]), float(m_y[i0] + m_h[i0])
+        for j in idxs[1:]:
+            jx, jy = float(m_x[j]), float(m_y[j])
+            jex, jey = float(m_x[j] + m_w[j]), float(m_y[j] + m_h[j])
+            if _rect_distance(bx, by, bex, bey, jx, jy, jex, jey) > HSEP_COMBINE_DISTANCE:
+                out.append((run, (bx, by, bex, bey)))
+                run, bx, by, bex, bey = [j], jx, jy, jex, jey
+            else:
+                run.append(j)
+                bx, by = min(bx, jx), min(by, jy)
+                bex, bey = max(bex, jex), max(bey, jey)
+        out.append((run, (bx, by, bex, bey)))
+    return out
+
+
+def categorize_media_combined(
+    m_x: np.ndarray, m_y: np.ndarray, m_w: np.ndarray, m_h: np.ndarray,
+    w_x: np.ndarray, w_y: np.ndarray, w_ex: np.ndarray, w_ey: np.ndarray,
+    region_w: float,
+    w_texts: Optional[Sequence[str]] = None,
+) -> List[str]:
+    """P2 + repeated-hsep combining: categorize, then re-categorize each
+    merged hsep stack's bounding box (the reference's second
+    categorizeGraphics pass, GraphicSegmentatorImpl.java:73-75) and assign
+    the merged role to every member. A stack of table rules merges into a
+    tall box that fails the HSEP height bound and stops splitting the region
+    into bands; the member media SPANS are still emitted 1:1 (span-sequence
+    contract) — combining affects layout analysis only. Chunks that flush as
+    a single unchanged box re-categorize to the same role (no-op)."""
+    roles = categorize_media(
+        m_x, m_y, m_w, m_h, w_x, w_y, w_ex, w_ey, region_w, w_texts
+    )
+    for run, (bx, by, bex, bey) in combine_hsep_stacks(roles, m_x, m_y, m_w, m_h):
+        if len(run) < 2:
+            continue
+        merged_role = categorize_media(
+            np.array([bx], dtype=np.float32),
+            np.array([by], dtype=np.float32),
+            np.array([bex - bx], dtype=np.float32),
+            np.array([bey - by], dtype=np.float32),
+            w_x, w_y, w_ex, w_ey, region_w, w_texts,
+        )[0]
+        for i in run:
+            roles[i] = merged_role
+    return roles
+
+
 def merge_row_obstacles(o_x, o_y, o_ex, o_ey):
     """Merge obstacles on the same int-y row whose horizontal gap is below
     COLUMN_MIN_CLEARANCE into single segments. Equivalence-preserving for

@@ -123,6 +123,7 @@ def run_extraction(
     cfg: EngineConfig = CONFIG,
     parallelism: int = 32,
     page_parallel_oversize: bool = True,
+    concurrency: int = 4,
 ) -> PipelineResult:
     """Checkpointed, resumable extraction of the interleaved documents table.
 
@@ -132,22 +133,36 @@ def run_extraction(
       output_path/quarantine/bucket=<b>/*.parquet  kind='error' rows
       output_path/manifest/*.parquet               lineage + metrics
 
+    `concurrency` buckets are submitted at once from a driver thread pool:
+    Spark's scheduler interleaves their stages, so the cluster never idles in
+    one bucket's tail while the next waits (the round-1 serial loop left
+    scheduling dead time between buckets). The per-bucket manifest commit
+    point is unchanged — a bucket is 'done' only after its files are written —
+    and the manifest append itself is serialized under a lock because
+    concurrent appends share one staging dir.
+
+    Per-bucket metrics come from ONE aggregate over the persisted spans
+    (count / error count / distinct docs) instead of three separate count
+    actions; n_docs therefore counts documents that produced output or an
+    error row (equal to the input count for any non-degenerate corpus — every
+    doc yields at least one span or a quarantine row).
+
     page_parallel_oversize routes the oversized band through the
     page-parallel operator (operators/extract_paged.py): a single
     10k-page document fans out over (doc_id, page) instead of stalling
     one task — the skew band beyond one-doc-per-task."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(output_path, exist_ok=True)
     done = set(completed_buckets(spark, output_path))
     docs = with_bucket(documents, n_buckets)
 
-    buckets_done: List[int] = []
-    buckets_skipped: List[int] = []
-    total_docs = total_spans = total_errors = 0
+    buckets_skipped = [b for b in range(n_buckets) if b in done]
+    todo = [b for b in range(n_buckets) if b not in done]
+    manifest_lock = threading.Lock()
 
-    for b in range(n_buckets):
-        if b in done:
-            buckets_skipped.append(b)
-            continue
+    def process_bucket(b: int):
         t0 = time.perf_counter()
         bucket_docs = docs.filter(F.col("doc_bucket") == b).drop("doc_bucket")
         if page_parallel_oversize:
@@ -172,19 +187,25 @@ def run_extraction(
             spans = extract_spans(banded, cfg)
         spans.persist()
         try:
-            n_spans_all = spans.count()
-            errors = spans.filter(F.col("kind") == "error")
-            good = spans.filter(F.col("kind") != "error")
-            n_errors = errors.count()
-            n_docs = bucket_docs.count()
+            stats = spans.agg(
+                F.count(F.lit(1)).alias("n_all"),
+                F.sum(
+                    F.when(F.col("kind") == "error", 1).otherwise(0)
+                ).alias("n_err"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            ).collect()[0]
+            n_spans_all = int(stats.n_all or 0)
+            n_errors = int(stats.n_err or 0)
+            n_docs = int(stats.n_docs or 0)
 
+            good = spans.filter(F.col("kind") != "error")
             good.write.mode("overwrite").parquet(
                 os.path.join(output_path, "spans", f"bucket={b}")
             )
             if n_errors:
-                errors.write.mode("overwrite").parquet(
-                    os.path.join(output_path, "quarantine", f"bucket={b}")
-                )
+                spans.filter(F.col("kind") == "error").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(output_path, "quarantine", f"bucket={b}"))
             wall = time.perf_counter() - t0
             row = spark.createDataFrame(
                 [(b, n_docs, n_spans_all - n_errors, n_errors, float(round(wall, 3)),
@@ -194,13 +215,23 @@ def run_extraction(
             )
             # manifest append is the commit point: a bucket is 'done' only
             # after its output files are fully written
-            row.write.mode("append").parquet(os.path.join(output_path, "manifest"))
+            with manifest_lock:
+                row.write.mode("append").parquet(
+                    os.path.join(output_path, "manifest")
+                )
         finally:
             spans.unpersist()
-        buckets_done.append(b)
-        total_docs += n_docs
-        total_spans += n_spans_all - n_errors
-        total_errors += n_errors
+        return b, n_docs, n_spans_all - n_errors, n_errors
+
+    buckets_done: List[int] = []
+    total_docs = total_spans = total_errors = 0
+    if todo:
+        with ThreadPoolExecutor(max_workers=max(1, min(concurrency, len(todo)))) as ex:
+            for b, n_docs, n_spans, n_errors in ex.map(process_bucket, todo):
+                buckets_done.append(b)
+                total_docs += n_docs
+                total_spans += n_spans
+                total_errors += n_errors
 
     return PipelineResult(
         buckets_done=buckets_done,

@@ -47,7 +47,8 @@ def windowed_event_counts(events: DataFrame) -> DataFrame:
 
 
 RUNNING_SCHEMA = "user_id long, n_events long, total double"
-_STATE_SCHEMA = "n long, total double"
+_STATE_SCHEMA = "n long, total_fp long"
+_FP = 10_000  # fixed-point scale (matches similarity.py's quantization rule)
 
 
 def _update_user_state(
@@ -56,15 +57,27 @@ def _update_user_state(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Custom stateful operator: per-user running event count + value sum.
-    State lives across micro-batches; a processing-time timeout would expire
-    idle users (set below)."""
-    n, total = state.get if state.exists else (0, 0.0)
+    State lives across micro-batches with GroupStateTimeout.NoTimeout (users
+    never expire; switch to ProcessingTimeTimeout to drop idle keys).
+
+    The running sum accumulates in FIXED-POINT integers: float addition is
+    non-associative, so a float accumulator would make totals depend on
+    row/micro-batch arrival order — integers keep the operator deterministic
+    across replays and batch/stream runs (the cross-engine rule everywhere
+    else in this codebase)."""
+    import numpy as np
+
+    n, total_fp = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        total_fp += int(
+            np.floor(pdf["value"].to_numpy(dtype="float64") * _FP + 0.5)
+            .astype("int64")
+            .sum()
+        )
+    state.update((n, total_fp))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total": [round(total, 4)]}
+        {"user_id": [key[0]], "n_events": [n], "total": [total_fp / _FP]}
     )
 
 
