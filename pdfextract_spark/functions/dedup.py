@@ -488,6 +488,20 @@ def simhash_oversized_buckets(documents: DataFrame) -> DataFrame:
     )
 
 
+def sql_simhash_oversized_buckets(table: str = "documents") -> str:
+    rb = SIMHASH_BITS // SIMHASH_BANDS
+    return f"""
+WITH sh AS ({sql_simhash(table)}),
+bands AS (
+  SELECT doc_id, simhash, j AS band_id,
+         (simhash >> (j * {rb})) & {(1 << rb) - 1} AS band_val
+  FROM sh, (SELECT unnest(range({SIMHASH_BANDS})) AS j)
+)
+SELECT CAST(band_id AS INT) AS band_id, band_val, COUNT(*) AS width
+FROM bands GROUP BY 1, 2 HAVING COUNT(*) > {SIMHASH_MAX_BUCKET}
+"""
+
+
 def sql_simhash_neardups(table: str = "documents") -> str:
     rb = SIMHASH_BITS // SIMHASH_BANDS
     return f"""

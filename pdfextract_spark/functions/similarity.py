@@ -280,6 +280,25 @@ def _sql_table_bucket(t: int, q: str = "q") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def sql_ann_oversized_buckets(table: str = "embeddings") -> str:
+    bucket_case = "CASE t.table_id " + " ".join(
+        f"WHEN {t} THEN {_sql_table_bucket(t)}" for t in range(N_TABLES)
+    ) + " END"
+    table_ids = ", ".join(f"({t})" for t in range(N_TABLES))
+    return f"""
+WITH base AS (
+  SELECT vec_id, {sql_quant('embedding')} AS q FROM {table}
+),
+sigs AS (
+  SELECT vec_id, t.table_id, {bucket_case} AS bucket
+  FROM base, (VALUES {table_ids}) t(table_id)
+)
+SELECT CAST(table_id AS INT) AS table_id, CAST(bucket AS INT) AS bucket,
+       COUNT(*) AS width
+FROM sigs GROUP BY 1, 2 HAVING COUNT(*) > {ANN_MAX_BUCKET}
+"""
+
+
 def sql_ann_lsh_pairs(table: str = "embeddings") -> str:
     cos = sql_cos(sql_idot("x.q", "y.q"), "x.n2", "y.n2")
     bucket_case = "CASE t.table_id " + " ".join(

@@ -303,6 +303,17 @@ def q_dedup_simhash_neardup(spark, sf_dir):
     return dedup.simhash_neardups(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_hot_buckets(spark, sf_dir):
+    """No-silent-caps surface: buckets simhash_neardups trimmed (usually 0
+    rows at fixture scale; a boilerplate-heavy corpus populates it)."""
+    return dedup.simhash_oversized_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_sim_ann_hot_buckets(spark, sf_dir):
+    """No-silent-caps surface for the ANN pair miner."""
+    return similarity.ann_oversized_buckets(_t(spark, sf_dir, "embeddings"))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
@@ -536,9 +547,11 @@ def queries() -> Dict[str, Callable]:
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_neardup": q_dedup_simhash_neardup,
+        "dedup_simhash_hot_buckets": q_dedup_simhash_hot_buckets,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
         "sim_ivf_topk": q_sim_ivf_topk,
         "embed_label_centroids": q_embed_label_centroids,
         "text_lang_id": q_text_lang_id,
@@ -576,9 +589,11 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "dedup_simhash": dedup.sql_simhash(),
         "dedup_simhash_neardup": dedup.sql_simhash_neardups(),
+        "dedup_simhash_hot_buckets": dedup.sql_simhash_oversized_buckets(),
         "dedup_ngram_jaccard": dedup.sql_ngram_jaccard_pairs(),
         "sim_cosine_topk": similarity.sql_cosine_topk(),
         "sim_ann_lsh": similarity.sql_ann_lsh_pairs(),
+        "sim_ann_hot_buckets": similarity.sql_ann_oversized_buckets(),
         "sim_ivf_topk": similarity.sql_ivf_topk(),
         "embed_label_centroids": similarity.sql_label_centroids_agg(),
         "text_lang_id": textops.sql_language_id(),

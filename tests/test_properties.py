@@ -137,3 +137,78 @@ def test_math_score_matches_direct_computation(texts):
     chars = sum(len(t) for t in texts)
     expected = len(texts) >= 4 and score > chars
     assert math_score_exceeds(texts) == expected
+
+
+# ------------------------- repeated-hsep combining (GraphicSegmentatorImpl) --
+
+def _naive_combine_hseps(roles, m_x, m_y, m_w, m_h):
+    """Verbatim transliteration of combineHorizontalSeparators:182-232:
+    HashMap grouping by (int(x)/3, int(w)/3), stable sortByLowerY, distance-50
+    chain with bbox union. Property oracle for combine_hsep_stacks."""
+    import math
+
+    groups = {}
+    for i, r in enumerate(roles):
+        if r != "hsep":
+            continue
+        key = (int(m_x[i]) // 3, int(m_w[i]) // 3)
+        groups.setdefault(key, []).append(i)
+    out = []
+    for key, sep_list in groups.items():
+        if len(sep_list) < 2:
+            continue
+        sep_list = sorted(sep_list, key=lambda i: float(m_y[i]))
+        cur = [sep_list[0]]
+        i0 = sep_list[0]
+        bb = [float(m_x[i0]), float(m_y[i0]),
+              float(m_x[i0] + m_w[i0]), float(m_y[i0] + m_h[i0])]
+
+        def dist(a, b):
+            d = np.float32(0.0)
+            if a[0] > b[2]:
+                d += (np.float32(a[0]) - np.float32(b[2])) ** 2
+            elif b[0] > a[2]:
+                d += (np.float32(b[0]) - np.float32(a[2])) ** 2
+            if a[1] > b[3]:
+                d += (np.float32(a[1]) - np.float32(b[3])) ** 2
+            elif b[1] > a[3]:
+                d += (np.float32(b[1]) - np.float32(a[3])) ** 2
+            return math.sqrt(float(d))
+
+        for j in sep_list[1:]:
+            box = [float(m_x[j]), float(m_y[j]),
+                   float(m_x[j] + m_w[j]), float(m_y[j] + m_h[j])]
+            if dist(bb, box) > 50.0:
+                out.append((cur, tuple(bb)))
+                cur, bb = [j], box
+            else:
+                cur.append(j)
+                bb = [min(bb[0], box[0]), min(bb[1], box[1]),
+                      max(bb[2], box[2]), max(bb[3], box[3])]
+        out.append((cur, tuple(bb)))
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0, 500, width=32), st.floats(0, 700, width=32),
+            st.floats(1, 400, width=32), st.floats(1, 12, width=32),
+            st.booleans(),
+        ),
+        min_size=0, max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_combine_hsep_stacks_matches_verbatim(boxes):
+    from pdfextract_spark.oracle.regions import combine_hsep_stacks
+
+    m_x = np.array([b[0] for b in boxes], dtype=np.float32)
+    m_y = np.array([b[1] for b in boxes], dtype=np.float32)
+    m_w = np.array([b[2] for b in boxes], dtype=np.float32)
+    m_h = np.array([b[3] for b in boxes], dtype=np.float32)
+    roles = ["hsep" if b[4] else "image" for b in boxes]
+    got = combine_hsep_stacks(roles, m_x, m_y, m_w, m_h)
+    want = _naive_combine_hseps(roles, m_x, m_y, m_w, m_h)
+    norm = lambda runs: sorted((sorted(r), tuple(round(v, 3) for v in bb)) for r, bb in runs)
+    assert norm(got) == norm(want)
