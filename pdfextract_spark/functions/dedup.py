@@ -235,25 +235,27 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     )
     prev_sig = None
     for _ in range(CC_MAX_ITER):
-        # min over neighbours' labels
+        # One join instead of two: augmenting the edge set with the current
+        # pointer edges (node -> label) makes the neighbour-min include
+        # label(label(node)) — the pointer-jumping term — so the separate
+        # rep join disappears (per-round cost drops by one shuffle join; the
+        # union itself is narrow). least(own, min over aug neighbours) is
+        # exactly least(own, min neigh labels, rlabel) of the two-join form.
+        aug = edges.union(
+            labels.select(F.col("node").alias("src"), F.col("label").alias("dst"))
+        )
         neigh = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            aug.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src").agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("src", "node")
         )
-        # pointer jumping: adopt the label of your current representative
-        rep = labels.select(
-            F.col("node").alias("label"), F.col("label").alias("rlabel")
-        )
         new = (
             labels.join(neigh, "node", "left")
-            .join(rep, "label", "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"),
                     F.coalesce("nlabel", "label"),
-                    F.coalesce("rlabel", "label"),
                 ).alias("label"),
             )
             .localCheckpoint(eager=False)
