@@ -255,6 +255,74 @@ FROM documents
 """
 
 
+def q_text_vocabulary(spark, sf_dir):
+    """Corpus vocabulary: top-100 tokens by frequency with document
+    frequency — the vocab-building pass of a tokenizer-training pipeline.
+    One explode + one groupBy shuffle; deterministic order (count desc,
+    token asc) so the LIMIT boundary is engine-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+
+
+SQL_TEXT_VOCABULARY = """
+SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+"""
+
+
+def q_text_length_quantiles(spark, sf_dir):
+    """Exact p50/p90/p99 of document char length, computed scale-shaped:
+    histogram groupBy (one shuffle over |distinct lengths| keys) + cumulative
+    sum over the small distinct-value domain, then smallest value whose
+    cumulative count reaches ceil(p*N). No global row sort, no
+    approx-percentile nondeterminism — exact and engine-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.groupBy(F.length("text").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "v", F.sum("c").over(w).alias("cum"), F.sum("c").over(wt).alias("total")
+    )
+    out = None
+    for p in (50, 90, 99):
+        need = F.ceil(F.col("total") * F.lit(p) / F.lit(100.0))
+        sel = (
+            cum.filter(F.col("cum") >= need)
+            .agg(F.min("v").alias("n_chars"))
+            .select(F.lit(p).alias("p"), "n_chars")
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+SQL_TEXT_LENGTH_QUANTILES = """
+WITH hist AS (
+  SELECT length(text) AS v, COUNT(*) AS c FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS total FROM hist
+)
+SELECT p, MIN(v) AS n_chars
+FROM cum, (VALUES (50), (90), (99)) t(p)
+WHERE cum >= ceil(total * p / 100.0)
+GROUP BY p
+"""
+
+
 def q_text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -541,6 +609,8 @@ def queries() -> Dict[str, Callable]:
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_quality_rules": q_text_quality_rules,
+        "text_vocabulary": q_text_vocabulary,
+        "text_length_quantiles": q_text_length_quantiles,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -581,6 +651,8 @@ def oracle_sql() -> Dict[str, str]:
         "text_token_count": SQL_TEXT_TOKEN_COUNT,
         "text_quality": SQL_TEXT_QUALITY,
         "text_quality_rules": SQL_TEXT_QUALITY_RULES,
+        "text_vocabulary": SQL_TEXT_VOCABULARY,
+        "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": dedup.sql_lsh_candidate_pairs(),

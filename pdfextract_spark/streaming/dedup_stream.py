@@ -1,0 +1,64 @@
+"""Streaming exact deduplication: first-seen-wins over an unbounded stream.
+
+A production ingestion pipeline dedups continuously — the batch md5-groupBy
+(queries.q_dedup_exact) cannot see across micro-batches, so the streaming
+form keeps one state record per content fingerprint (applyInPandasWithState)
+and emits only the FIRST document that carried it; later arrivals (same batch
+or any later batch) are dropped. State is one tiny record per distinct
+fingerprint, partitioned by the groupBy key — the same hash-partitioned
+layout the batch dedup shuffles on, so the operator scales with distinct
+content volume, not stream volume.
+
+First-seen-wins inside a micro-batch is made deterministic by ordering the
+batch's rows by doc_id (arrival order within a micro-batch is not a stable
+notion; the reference rule "keep the smallest doc_id of the batch, then
+stream order across batches" is reproducible for tests)."""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEDUP_SCHEMA = "fingerprint string, keeper_doc_id string"
+_SEEN_SCHEMA = "seen boolean"
+
+
+def _first_seen(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        # fingerprint already emitted in an earlier micro-batch: drop all
+        for _ in pdfs:
+            pass
+        return
+    best = None
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        cand = pdf["doc_id"].astype(str).min()
+        best = cand if best is None else min(best, cand)
+    if best is None:
+        return
+    state.update((True,))
+    yield pd.DataFrame({"fingerprint": [key[0]], "keeper_doc_id": [best]})
+
+
+def streaming_dedup(documents: DataFrame) -> DataFrame:
+    """documents stream (doc_id, text) -> (fingerprint, keeper_doc_id):
+    one output row per NEW distinct fingerprint, none for repeats."""
+    fp = documents.select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+    )
+    return fp.groupBy("fingerprint").applyInPandasWithState(
+        _first_seen,
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType=_SEEN_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
