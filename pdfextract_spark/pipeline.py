@@ -56,6 +56,15 @@ class PipelineResult:
 
 
 def with_bucket(documents: DataFrame, n_buckets: int) -> DataFrame:
+    """Assign the bucket column — unless the input already carries one.
+
+    A pre-bucketed input (the Iceberg `bucket(doc_id, N)`-partitioned table,
+    or a parquet staging dir written with partitionBy('doc_bucket')) lets
+    each per-bucket job prune to its own partition instead of re-scanning
+    the whole corpus once per bucket — the difference between O(corpus) and
+    O(corpus x n_buckets) total scan work in run_extraction."""
+    if "doc_bucket" in documents.columns:
+        return documents
     return documents.withColumn(
         "doc_bucket", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets))
     )
