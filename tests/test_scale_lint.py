@@ -1,0 +1,68 @@
+"""Self-enforcing scale-design lints over the package source.
+
+The 100 TB design rules the engine claims (north rule: vectorized
+pandas/Arrow UDFs only, no per-row Python; no driver-side collect loops in
+operators) are enforced as tests so a future change cannot silently regress
+them.
+"""
+
+import os
+import re
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "pdfextract_spark")
+
+# files allowed to call .collect(): tiny manifest/metrics reads and the
+# CC fixpoint aggregate (one row per round)
+COLLECT_ALLOWED = {"pipeline.py", "dedup.py"}
+
+
+def _py_files():
+    for root, _dirs, files in os.walk(PKG):
+        for f in files:
+            if f.endswith(".py"):
+                yield os.path.join(root, f)
+
+
+def test_no_per_row_python_udfs():
+    # row-at-a-time UDFs would appear as F.udf( / @udf / @pandas_udf with
+    # SCALAR over rows; the engine only uses mapInPandas/applyInPandas*
+    bad = []
+    for path in _py_files():
+        src = open(path).read()
+        if re.search(r"\bF\.udf\(|@udf\b|functions\.udf\(", src):
+            bad.append(path)
+    assert not bad, f"row-at-a-time UDFs found: {bad}"
+
+
+def test_collect_only_on_tiny_results():
+    bad = []
+    for path in _py_files():
+        name = os.path.basename(path)
+        src = open(path).read()
+        if ".collect()" in src and name not in COLLECT_ALLOWED:
+            bad.append(path)
+    assert not bad, f"unexpected .collect() callers: {bad}"
+
+
+def test_no_to_pandas_in_operators():
+    # toPandas() pulls a full distributed result to the driver; only tools
+    # and tests may do that
+    bad = []
+    for path in _py_files():
+        src = open(path).read()
+        if ".toPandas()" in src:
+            bad.append(path)
+    assert not bad, f"driver-side toPandas in package code: {bad}"
+
+
+def test_no_rdd_materialization():
+    # df.rdd conversions defeat Catalyst and were a round-1 finding; the
+    # package must not reintroduce them
+    bad = []
+    for path in _py_files():
+        for line in open(path):
+            code = line.split("#", 1)[0]
+            if re.search(r"\.rdd\b", code):
+                bad.append(path)
+                break
+    assert not bad, f"df.rdd usage in package code: {bad}"
