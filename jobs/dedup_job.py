@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Cluster entry point: near-dup deduplication via spark-submit --py-files.
+
+    spark-submit --py-files dist/pdfextract_spark.zip jobs/dedup_job.py \\
+        --input  /path/to/documents.parquet \\
+        --output /path/to/dedup_out \\
+        [--method minhash|simhash|ngram] [--n-buckets 64]
+
+Pipeline: candidate pairs (capped + reported hot buckets) -> connected
+components (min-label + pointer-edge-augmented join rounds) -> one verdict
+row per document (doc_id, rep, is_keeper), written bucketed by doc_id so the
+downstream keep-filter join against any doc_id-keyed table is Exchange-free
+(pipeline.write_bucketed_spans rationale). Oversized-bucket reports are
+written alongside — caps are never silent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--method", default="minhash",
+                    choices=["minhash", "simhash", "ngram"])
+    ap.add_argument("--n-buckets", type=int, default=64)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("pdfextract-spark-dedup").getOrCreate()
+    # imports AFTER the session exists so --py-files zips resolve on executors
+    from pdfextract_spark.functions import dedup
+
+    docs = spark.read.parquet(args.input)
+
+    if args.method == "minhash":
+        pairs = dedup.lsh_candidate_pairs(docs)
+        report = dedup.oversized_buckets(docs)
+    elif args.method == "simhash":
+        pairs = dedup.simhash_neardups(docs).select(
+            "doc_a", "doc_b", F.lit(None).cast("double").alias("jaccard_est")
+        )
+        report = dedup.simhash_oversized_buckets(docs)
+    else:
+        pairs = dedup.ngram_jaccard_pairs(docs).select(
+            "doc_a", "doc_b", F.col("jaccard").alias("jaccard_est")
+        )
+        report = None
+
+    comps = dedup.connected_components(pairs)
+    verdicts = (
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep", "doc_id").alias("rep"),
+            (F.coalesce("rep", "doc_id") == F.col("doc_id")).alias("is_keeper"),
+        )
+    )
+
+    (
+        verdicts.write.mode("overwrite")
+        .bucketBy(args.n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .option("path", f"{args.output}/verdicts")
+        .saveAsTable("dedup_verdicts")
+    )
+    if report is not None:
+        report.write.mode("overwrite").parquet(f"{args.output}/hot_buckets")
+
+    out = spark.table("dedup_verdicts")
+    stats = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.col("is_keeper"), 0).otherwise(1)).alias("dropped"),
+    ).collect()[0]
+    print(json.dumps({"docs": stats.docs, "dropped_near_dups": int(stats.dropped or 0),
+                      "method": args.method}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
