@@ -26,39 +26,63 @@ DEDUP_SCHEMA = "fingerprint string, keeper_doc_id string"
 _SEEN_SCHEMA = "seen boolean"
 
 
-def _first_seen(
-    key: Tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        # fingerprint already emitted in an earlier micro-batch: drop all
-        for _ in pdfs:
-            pass
-        return
-    best = None
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        cand = pdf["doc_id"].astype(str).min()
-        best = cand if best is None else min(best, cand)
-    if best is None:
-        return
-    state.update((True,))
-    yield pd.DataFrame({"fingerprint": [key[0]], "keeper_doc_id": [best]})
+def _make_first_seen(ttl_ms: int):
+    def _first_seen(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL expiry tick: forget the fingerprint (bounded state — a
+            # repeat arriving later than the TTL re-emits, the documented
+            # at-least-once window of TTL'd streaming dedup)
+            state.remove()
+            return
+        if state.exists:
+            # fingerprint already emitted in an earlier micro-batch: drop all
+            for _ in pdfs:
+                pass
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf["doc_id"].astype(str).min()
+            best = cand if best is None else min(best, cand)
+        if best is None:
+            return
+        state.update((True,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"fingerprint": [key[0]], "keeper_doc_id": [best]})
+
+    return _first_seen
 
 
-def streaming_dedup(documents: DataFrame) -> DataFrame:
+def streaming_dedup(documents: DataFrame, ttl_minutes: int = 0) -> DataFrame:
     """documents stream (doc_id, text) -> (fingerprint, keeper_doc_id):
-    one output row per NEW distinct fingerprint, none for repeats."""
+    one output row per NEW distinct fingerprint, none for repeats.
+
+    ttl_minutes=0 keeps state forever (exact dedup; state = one record per
+    distinct fingerprint). A positive TTL switches to ProcessingTimeTimeout
+    and expires fingerprints idle longer than the TTL — bounding state to the
+    churn window at the cost of re-admitting repeats that arrive after it
+    (the standard state/exactness dial for unbounded streams)."""
     fp = documents.select(
         F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
         F.col("doc_id").cast("string").alias("doc_id"),
     )
+    ttl_ms = int(ttl_minutes * 60_000)
     return fp.groupBy("fingerprint").applyInPandasWithState(
-        _first_seen,
+        _make_first_seen(ttl_ms),
         outputStructType=DEDUP_SCHEMA,
         stateStructType=_SEEN_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )

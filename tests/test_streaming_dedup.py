@@ -70,3 +70,32 @@ def test_streaming_dedup_first_seen_wins(spark, doc_batches, tmp_path):
     assert len(got2) == 3
     keepers = {k for _, k in got2}
     assert keepers == {"a", "c", "e"}
+
+
+def test_streaming_dedup_with_ttl_runs_and_dedups(spark, doc_batches, tmp_path):
+    """TTL variant: ProcessingTimeTimeout configured; within-window behavior
+    is identical first-seen-wins (expiry itself is time-dependent and not
+    unit-testable deterministically — the TTL path is exercised, the drop
+    semantics asserted inside the window)."""
+    from pdfextract_spark.streaming.dedup_stream import streaming_dedup
+
+    in_dir, b1, b2 = doc_batches
+    in_dir = in_dir + "_ttl"
+    out = str(tmp_path / "out_ttl")
+    ckpt = str(tmp_path / "ckpt_ttl")
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id string, text string").parquet(in_dir)
+    q = (
+        streaming_dedup(stream, ttl_minutes=60)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    keepers = {r["keeper_doc_id"] for r in rows}
+    assert len(rows) == 3 and keepers == {"a", "c", "e"}
