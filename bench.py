@@ -246,13 +246,15 @@ def write_bench_md(sf_dir: str, sf: float, scaling: dict, timings: dict) -> None
     ]
     lines += [f"| {k} | {v} |" for k, v in sorted(timings.items())]
     lines.append("")
-    with open(os.path.join(_REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # BENCH/BASELINE.md is the curated multi-run report (variance disclosure,
+    # soak, concurrency notes) — a single --scaling run must not clobber it
+    with open(os.path.join(_REPO, "BENCH", "scaling_latest.md"), "w") as f:
         f.write("\n".join(lines))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scaling", action="store_true", help="also run the two-level scaling protocol and write BENCH/BASELINE.md")
+    ap.add_argument("--scaling", action="store_true", help="also run the two-level scaling protocol and write BENCH/scaling_latest.md")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
