@@ -62,9 +62,21 @@ def with_bucket(documents: DataFrame, n_buckets: int) -> DataFrame:
     or a parquet staging dir written with partitionBy('doc_bucket')) lets
     each per-bucket job prune to its own partition instead of re-scanning
     the whole corpus once per bucket — the difference between O(corpus) and
-    O(corpus x n_buckets) total scan work in run_extraction."""
+    O(corpus x n_buckets) total scan work in run_extraction.
+
+    A pre-existing column is VALIDATED before being trusted: if it was
+    produced with a larger modulus than n_buckets, documents with
+    doc_bucket >= n_buckets would silently never be extracted
+    (run_extraction only iterates range(n_buckets)) — so an out-of-range
+    assignment is recomputed. The check is one cheap min/max aggregate over a
+    partition column (metadata-sized on a partitioned staging table)."""
     if "doc_bucket" in documents.columns:
-        return documents
+        lo, hi = documents.agg(
+            F.min("doc_bucket"), F.max("doc_bucket")
+        ).first()
+        if hi is not None and 0 <= int(lo) and int(hi) < n_buckets:
+            return documents
+        documents = documents.drop("doc_bucket")
     return documents.withColumn(
         "doc_bucket", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(n_buckets))
     )

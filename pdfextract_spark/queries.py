@@ -474,15 +474,31 @@ _FIXTURE_DIR = os.path.join(
 )
 
 
-def sql_expected_spans(sf: str = "0.01") -> str:
+def _oracle_sf() -> str:
+    """Scale-factor key for the fixture-backed flagship oracles. The driver's
+    correctness gate runs at sf0.01 (the documented contract), which is the
+    default; local tooling (tools/check_oracle.py) exports PDFX_ORACLE_SF so
+    the fixture follows the sf_dir actually under test instead of producing a
+    spurious hard FAIL at any other scale."""
+    return os.environ.get("PDFX_ORACLE_SF", "0.01")
+
+
+def sql_expected_spans(sf: str | None = None):
     """Oracle relation for the flagship pipeline: span sequences precomputed
     by the sequential Python oracle (oracle/document.extract_document — the
     independent implementation the 99-test pytest suite checks the engine
     against) over the REAL adapter output at fixture-gen time
     (tools/gen_expected_spans.py). The driver's hash-compare of the live
     vectorized engine against this relation is the span-sequence-equality
-    contract (reference: SimpleXMLOutput.java:77-242) as a hard signal."""
+    contract (reference: SimpleXMLOutput.java:77-242) as a hard signal.
+
+    Returns None when no fixture exists for the active scale factor — the
+    caller then omits the oracle entry so the driver records the (weaker,
+    honest) rows-only check instead of a false mismatch."""
+    sf = sf if sf is not None else _oracle_sf()
     path = os.path.join(_FIXTURE_DIR, f"expected_spans_sf{sf}.parquet")
+    if not os.path.exists(path):
+        return None
     return (
         f"SELECT doc_id, seq, kind, text, media_ref, \"offset\" "
         f"FROM read_parquet('{path}')"
@@ -641,7 +657,7 @@ def queries() -> Dict[str, Callable]:
 
 
 def oracle_sql() -> Dict[str, str]:
-    return {
+    out = {
         "agg_pricing_summary": SQL_AGG_PRICING,
         "join_revenue_by_nation": SQL_REVENUE_BY_NATION,
         "filter_high_value": SQL_FILTER_HIGH_VALUE,
@@ -679,7 +695,12 @@ def oracle_sql() -> Dict[str, str]:
         "dehyphenate_op": _sql_dehyphenate_op(),
         "serialize_pxml": serialize.sql_to_pxml(SQL_SERIALIZER_SPANS),
         "serialize_tei": serialize.sql_to_tei(SQL_SERIALIZER_SPANS),
-        # flagship: the live engine vs the precomputed Python-oracle fixture
-        "extract_pipeline": sql_expected_spans(),
-        "extract_dehyphenated": _sql_dehyphenate(sql_expected_spans()),
     }
+    # flagship: the live engine vs the precomputed Python-oracle fixture.
+    # When no fixture exists for the active sf the entries are omitted and
+    # the driver falls back to the rows-only check (never a spurious FAIL).
+    expected = sql_expected_spans()
+    if expected is not None:
+        out["extract_pipeline"] = expected
+        out["extract_dehyphenated"] = _sql_dehyphenate(expected)
+    return out

@@ -32,6 +32,11 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main(sf_dir: str) -> int:
+    # fixture-backed oracles (extract_pipeline) must follow the sf under test
+    sf_key = os.path.basename(sf_dir.rstrip("/"))
+    if sf_key.startswith("sf"):
+        os.environ["PDFX_ORACLE_SF"] = sf_key[2:]
+
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
 
