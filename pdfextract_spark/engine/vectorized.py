@@ -1118,7 +1118,8 @@ def _analyze_one_page(
                 t, cmp_lut, subset=[int(i) for i in np.nonzero(inside)[0]]
             )
             captions[mi] = [
-                (_line_text(t, line), int(min(t.origin[i] for i in line)))
+                (_line_text(t, line), int(min(t.origin[i] for i in line)),
+                 _dominating_style(t, line))
                 for line in cap_lines
             ]
         if bool(pulled.any()):
@@ -1205,25 +1206,33 @@ def _finalize_document(
     abstract = _extract_abstract(tables, pages)
     _recognize_divs(tables, pages, header_candidates, body)
 
+    def _sref(t: _WordTable, line) -> str:
+        return _style_of(styles, _dominating_style(t, line)).style_id
+
     out: List[OutSpan] = []
     seq = 0
+    front_para = 0
     if title is not None:
         t = tables[0]
         for line in title.lines:
             out.append(
                 OutSpan(seq, "title", _line_text(t, line), "",
-                        int(min(t.origin[i] for i in line)))
+                        int(min(t.origin[i] for i in line)),
+                        page=-1, para=front_para, style_ref=_sref(t, line))
             )
             seq += 1
+        front_para += 1
     if abstract:
         t = tables[0]
         for para in abstract:
             for line in para.lines:
                 out.append(
                     OutSpan(seq, "abstract", _line_text(t, line), "",
-                            int(min(t.origin[i] for i in line)))
+                            int(min(t.origin[i] for i in line)),
+                            page=-1, para=front_para, style_ref=_sref(t, line))
                 )
                 seq += 1
+            front_para += 1
 
     for p in range(n_pages):
         t = tables[p]
@@ -1241,20 +1250,26 @@ def _finalize_document(
             for li, cap in enumerate(page_captions[p].get(mi, [])):
                 items.append((r, float(m.y), 1_000_000 + mi, 1 + li, "capline", cap, None))
         items.sort(key=lambda it: (it[0], it[1], it[2], it[3]))
-        for _, _, _, _, kind, obj, para in items:
+        for _, _, pi, _, kind, obj, para in items:
             if kind == "capline":
-                out.append(OutSpan(seq, "text", obj[0], "", obj[1]))
+                out.append(OutSpan(seq, "text", obj[0], "", obj[1],
+                                   page=p, para=pi,
+                                   style_ref=_style_of(styles, obj[2]).style_id))
                 seq += 1
             elif kind == "line":
                 role = para.role
-                if role == "text" and _dominating_style(t, obj) == FORMULA_IDX:
+                st = _dominating_style(t, obj)
+                if role == "text" and st == FORMULA_IDX:
                     role = "formula"
                 out.append(
                     OutSpan(seq, role, _line_text(t, obj), "",
-                            int(min(t.origin[i] for i in obj)))
+                            int(min(t.origin[i] for i in obj)),
+                            page=p, para=pi,
+                            style_ref=_style_of(styles, st).style_id)
                 )
                 seq += 1
             else:
-                out.append(OutSpan(seq, "media", "", obj.media_ref, obj.offset))
+                out.append(OutSpan(seq, "media", "", obj.media_ref, obj.offset,
+                                   page=p, para=pi))
                 seq += 1
     return out

@@ -81,13 +81,12 @@ def _fan_out(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    # file count approximates scan splits without the df.rdd materialization
+    # bin-packing-aware split estimate without the df.rdd materialization
     # hop (which builds the RDD conversion per query — judge finding #5); at
-    # real scale the scan has thousands of files and this returns unchanged.
-    try:
-        n_splits = len(df.inputFiles())
-    except Exception:
-        n_splits = 0
+    # real scale the scan has thousands of splits and this returns unchanged.
+    from ..scanutil import estimate_scan_splits
+
+    n_splits = estimate_scan_splits(df)
     if n_splits >= target:
         return df
     return df.repartition(target)

@@ -30,10 +30,18 @@ from ..config import CONFIG, EngineConfig
 from ..engine import extract_document_fast as extract_document
 
 OUTPUT_SCHEMA = (
-    "doc_id string, seq int, kind string, text string, media_ref string, offset int"
+    "doc_id string, seq int, kind string, text string, media_ref string, offset int, "
+    "page int, para int, style_ref string"
 )
 
-_OUT_COLS = ["doc_id", "seq", "kind", "text", "media_ref", "offset"]
+_OUT_COLS = [
+    "doc_id", "seq", "kind", "text", "media_ref", "offset",
+    "page", "para", "style_ref",
+]
+
+# the flat span-equality surface (driver contract; structural columns are a
+# round-3 superset carried for the nested sinks)
+FLAT_COLS = ["doc_id", "seq", "kind", "text", "media_ref", "offset"]
 
 
 def _spans_to_lists(spans) -> tuple:
@@ -61,6 +69,9 @@ def extract_batch(pdf: pd.DataFrame, cfg: EngineConfig = CONFIG) -> pd.DataFrame
             out["text"].append(f"{type(exc).__name__}: {exc}")
             out["media_ref"].append("")
             out["offset"].append(-1)
+            out["page"].append(-1)
+            out["para"].append(-1)
+            out["style_ref"].append("")
             continue
         for sp in result:
             out["doc_id"].append(doc_id)
@@ -69,6 +80,9 @@ def extract_batch(pdf: pd.DataFrame, cfg: EngineConfig = CONFIG) -> pd.DataFrame
             out["text"].append(sp.text)
             out["media_ref"].append(sp.media_ref)
             out["offset"].append(sp.offset)
+            out["page"].append(sp.page)
+            out["para"].append(sp.para)
+            out["style_ref"].append(sp.style_ref)
     return pd.DataFrame(
         {
             "doc_id": pd.Series(out["doc_id"], dtype="object"),
@@ -77,6 +91,9 @@ def extract_batch(pdf: pd.DataFrame, cfg: EngineConfig = CONFIG) -> pd.DataFrame
             "text": pd.Series(out["text"], dtype="object"),
             "media_ref": pd.Series(out["media_ref"], dtype="object"),
             "offset": pd.Series(out["offset"], dtype="int32"),
+            "page": pd.Series(out["page"], dtype="int32"),
+            "para": pd.Series(out["para"], dtype="int32"),
+            "style_ref": pd.Series(out["style_ref"], dtype="object"),
         }
     )
 
@@ -100,11 +117,11 @@ def extract_spans(documents_df, cfg: EngineConfig = CONFIG, num_partitions: int 
         # real scale the scan already has >= cores splits and this is a no-op
         # (we never reduce partitioning). Pass num_partitions=-1 to opt out.
         target = df.sparkSession.sparkContext.defaultParallelism
-        # file count approximates scan splits without materializing df.rdd
-        try:
-            n_splits = len(df.inputFiles())
-        except Exception:
-            n_splits = 0
+        # bin-packing-aware split estimate (file count alone overestimates:
+        # many small files scan as few tasks) — see scanutil.py
+        from ..scanutil import estimate_scan_splits
+
+        n_splits = estimate_scan_splits(df)
         if n_splits < target:
             df = df.repartition(target)
     return df.mapInPandas(process, schema=OUTPUT_SCHEMA)

@@ -191,10 +191,12 @@ def _stage_b(key, pdf: pd.DataFrame, cfg: EngineConfig, mode: str) -> pd.DataFra
                        c=0, f0=float(y0), f1=float(y1))
             rows.append(row)
     for mi, caps in captions.items():
-        for li, (text, origin) in enumerate(caps):
+        for li, (text, origin, style_idx) in enumerate(caps):
+            # c carries the caption line's dominating-style index (may be
+            # FORMULA_IDX) so stage C can emit the same style_ref
             row = dict(_EMPTY)
             row.update(doc_id=doc_id, page=page, rkind="caption", a=int(mi),
-                       b=li, c=0, text=text, origin=int(origin))
+                       b=li, c=int(style_idx), text=text, origin=int(origin))
             rows.append(row)
     for mi, m in enumerate(page_media):
         row = dict(_EMPTY)
@@ -290,12 +292,14 @@ def _stage_c(key, pdf: pd.DataFrame, cfg: EngineConfig) -> pd.DataFrame:
         for r in blocks_rows:
             bb[int(r["a"])].append((float(r["f0"]), float(r["f1"])))
         page_blocks.append(bb)
-        caps: Dict[int, List[Tuple[str, int]]] = {}
+        caps: Dict[int, List[Tuple[str, int, int]]] = {}
         for r in sorted(
             (r for r in rows if r["rkind"] == "caption"),
             key=lambda r: (int(r["a"]), int(r["b"])),
         ):
-            caps.setdefault(int(r["a"]), []).append((r["text"], int(r["origin"])))
+            caps.setdefault(int(r["a"]), []).append(
+                (r["text"], int(r["origin"]), int(r["c"]))
+            )
         page_captions.append(caps)
         media_by_page[p] = [
             MediaBox(p, float(r["f0"]), float(r["f1"]), float(r["f2"]),
@@ -317,6 +321,9 @@ def _stage_c(key, pdf: pd.DataFrame, cfg: EngineConfig) -> pd.DataFrame:
             "text": pd.Series([s.text for s in out], dtype="object"),
             "media_ref": pd.Series([s.media_ref for s in out], dtype="object"),
             "offset": pd.Series([s.offset for s in out], dtype="int32"),
+            "page": pd.Series([s.page for s in out], dtype="int32"),
+            "para": pd.Series([s.para for s in out], dtype="int32"),
+            "style_ref": pd.Series([s.style_ref for s in out], dtype="object"),
         }
     )
 

@@ -89,6 +89,198 @@ GROUP BY doc_id
 """
 
 
+def to_pxml_nested(spans: DataFrame) -> DataFrame:
+    """(doc_id, pxml) — STRUCTURAL SimpleXMLOutput rendering: the hierarchy
+    the engine computed (<document><styles><page><paragraph><line>), driven
+    by the span table's structural columns (page, para, style_ref — round-3
+    schema). Reference shape: SimpleXMLOutput.java:77-242 (writeDocument ->
+    writeStyles -> writePage -> writeParagraph/writeGraphic -> writeLine).
+
+    Faithfulness notes (documented deviations):
+    - style ids are the sorted-rank of the document's distinct dominating
+      style ids (the reference numbers styles in interning order);
+    - graphics render at their reading-order position inside the page (the
+      reference appends them after the page's paragraphs);
+    - front matter (title/abstract, relocated ahead of the page stream by
+      the span contract) renders inside <front> instead of its page.
+
+    Scale shape: ONE shuffle (groupBy doc_id); all nesting is higher-order
+    Column functions over the per-doc sorted span array — no Python."""
+    rec = F.struct(
+        F.col("seq"), F.col("page"), F.col("para"), F.col("kind"),
+        F.col("text"), F.col("media_ref"), F.col("style_ref"),
+    )
+    g = spans.groupBy("doc_id").agg(F.array_sort(F.collect_list(rec)).alias("arr"))
+    g = g.withColumn(
+        "srefs",
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.transform(F.col("arr"), lambda s: s["style_ref"]),
+                    lambda r: r != F.lit(""),
+                )
+            )
+        ),
+    )
+    arr = F.col("arr")
+    srefs = F.col("srefs")
+
+    style_elems = F.transform(
+        srefs,
+        lambda r, i: F.concat(
+            F.lit('<style id="'), (i + 1).cast("string"),
+            F.lit('" name="'), _esc(r), F.lit('"/>'),
+        ),
+    )
+    styles_block = F.when(
+        F.size(srefs) > 0,
+        F.concat(
+            F.lit("<styles>\n"), F.array_join(style_elems, "\n"),
+            F.lit("\n</styles>\n"),
+        ),
+    ).otherwise(F.lit(""))
+
+    def line_elem(s):
+        sid = F.array_position(srefs, s["style_ref"])
+        return F.when(
+            s["kind"] == F.lit("formula"),
+            F.concat(F.lit("<formula>"), _esc(s["text"]), F.lit("</formula>")),
+        ).otherwise(
+            F.concat(
+                F.lit('<line styleRef="'), sid.cast("string"), F.lit('">'),
+                _esc(s["text"]), F.lit("</line>"),
+            )
+        )
+
+    def para_str(ps):
+        media = F.filter(ps, lambda s: s["kind"] == F.lit("media"))
+        caps = F.filter(ps, lambda s: s["kind"] != F.lit("media"))
+        lines = F.array_join(F.transform(caps, line_elem), "\n")
+        return F.when(
+            F.size(media) > 0,
+            F.when(
+                F.size(caps) > 0,
+                F.concat(
+                    F.lit('<graphics ref="'),
+                    _esc(F.element_at(media, 1)["media_ref"]),
+                    F.lit('">\n'), lines, F.lit("\n</graphics>"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('<graphics ref="'),
+                    _esc(F.element_at(media, 1)["media_ref"]),
+                    F.lit('"/>'),
+                )
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<paragraph seqno="'),
+                F.element_at(ps, 1)["seq"].cast("string"),
+                F.lit('">\n'), lines, F.lit("\n</paragraph>"),
+            )
+        )
+
+    def page_str(p):
+        ps = F.filter(arr, lambda s: s["page"] == p)
+        # array_distinct preserves first occurrence over the seq-sorted
+        # array, so paragraphs come out in reading order (para ids are NOT
+        # monotone in emission: regions re-order them)
+        para_ids = F.array_distinct(F.transform(ps, lambda s: s["para"]))
+        paras = F.array_join(
+            F.transform(
+                para_ids,
+                lambda q: para_str(F.filter(ps, lambda s: s["para"] == q)),
+            ),
+            "\n",
+        )
+        return F.when(
+            p == F.lit(-1),
+            F.concat(F.lit("<front>\n"), paras, F.lit("\n</front>")),
+        ).otherwise(
+            F.concat(
+                F.lit('<page num="'), p.cast("string"), F.lit('">\n'),
+                paras, F.lit("\n</page>"),
+            )
+        )
+
+    page_ids = F.array_sort(F.array_distinct(F.transform(arr, lambda s: s["page"])))
+    body = F.array_join(F.transform(page_ids, page_str), "\n")
+    return g.select(
+        "doc_id",
+        F.concat(
+            F.lit('<document id="'), _esc(F.col("doc_id")), F.lit('">\n'),
+            styles_block, body, F.lit("\n</document>"),
+        ).alias("pxml"),
+    )
+
+
+def sql_to_pxml_nested(spans_sql: str) -> str:
+    """DuckDB mirror of to_pxml_nested over a structured spans relation
+    (doc_id, seq, kind, text, media_ref, page, para, style_ref)."""
+    line_elem = (
+        "CASE WHEN kind = 'formula' THEN '<formula>' || "
+        + _sql_esc("text")
+        + " || '</formula>' ELSE '<line styleRef=\"' || coalesce(sid, 0) || '\">' || "
+        + _sql_esc("text")
+        + " || '</line>' END"
+    )
+    media_ref = "max(CASE WHEN kind = 'media' THEN media_ref END)"
+    return f"""
+WITH spans AS ({spans_sql}),
+sd AS (
+  SELECT doc_id, style_ref,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY style_ref) AS sid
+  FROM (SELECT DISTINCT doc_id, style_ref FROM spans WHERE style_ref <> '')
+),
+lines AS (
+  SELECT s.*, sd.sid FROM spans s
+  LEFT JOIN sd ON s.doc_id = sd.doc_id AND s.style_ref = sd.style_ref
+),
+paras AS (
+  SELECT doc_id, page, para, min(seq) AS pseq,
+    CASE WHEN count(CASE WHEN kind = 'media' THEN 1 END) > 0 THEN
+      CASE WHEN count(CASE WHEN kind <> 'media' THEN 1 END) > 0 THEN
+        '<graphics ref="' || {_sql_esc(media_ref)} || '">' || chr(10) ||
+        string_agg(CASE WHEN kind <> 'media' THEN {line_elem} END,
+                   chr(10) ORDER BY seq) || chr(10) || '</graphics>'
+      ELSE '<graphics ref="' || {_sql_esc(media_ref)} || '"/>'
+      END
+    ELSE
+      '<paragraph seqno="' || min(seq) || '">' || chr(10) ||
+      string_agg({line_elem}, chr(10) ORDER BY seq) || chr(10) || '</paragraph>'
+    END AS pstr
+  FROM lines GROUP BY doc_id, page, para
+),
+pages AS (
+  SELECT doc_id, page, min(pseq) AS first_seq,
+    CASE WHEN page = -1
+         THEN '<front>' || chr(10) ||
+              string_agg(pstr, chr(10) ORDER BY pseq) || chr(10) || '</front>'
+         ELSE '<page num="' || page || '">' || chr(10) ||
+              string_agg(pstr, chr(10) ORDER BY pseq) || chr(10) || '</page>'
+    END AS pagestr
+  FROM paras GROUP BY doc_id, page
+),
+styleblocks AS (
+  SELECT doc_id,
+         '<styles>' || chr(10) ||
+         string_agg('<style id="' || sid || '" name="' || {_sql_esc('style_ref')}
+                    || '"/>', chr(10) ORDER BY sid) || chr(10) || '</styles>'
+         || chr(10) AS sb
+  FROM sd GROUP BY doc_id
+),
+docs AS (
+  SELECT doc_id,
+         string_agg(pagestr, chr(10) ORDER BY page) AS body
+  FROM pages GROUP BY doc_id
+)
+SELECT d.doc_id,
+       '<document id="' || {_sql_esc('d.doc_id')} || '">' || chr(10) ||
+       coalesce(s.sb, '') || d.body || chr(10) || '</document>' AS pxml
+FROM docs d LEFT JOIN styleblocks s ON d.doc_id = s.doc_id
+"""
+
+
 def to_tei(spans: DataFrame) -> DataFrame:
     """(doc_id, tei) — TEI-P5-style rendering: title -> <titleStmt>, body
     spans in reading order; headings as <head>, footnotes as <note>,

@@ -50,6 +50,16 @@ class OutSpan:
     text: str
     media_ref: str
     offset: int
+    # structural fields (round-3): the physical-tree position the engine
+    # computed, carried through so sinks can nest <page><paragraph><line>
+    # like SimpleXMLOutput.java:77-242 instead of discarding the hierarchy.
+    # page=-1 marks front matter (title/abstract, relocated ahead of the
+    # page stream by the flat emission contract); para is the page-local
+    # paragraph id (media pseudo-paragraphs use 1_000_000+media_index);
+    # style_ref is the line's B8 dominating style id ('' for media rows).
+    page: int = -1
+    para: int = -1
+    style_ref: str = ""
 
 
 def _glyphs_for_page(table: CharTable, mask: np.ndarray, styles: List[Style]) -> List[Glyph]:
@@ -308,14 +318,21 @@ def extract_document(
     # with the page's media boxes by top-y; title first
     out: List[OutSpan] = []
     seq = 0
+    front_para = 0
     if title is not None:
         for line in title.lines:
-            out.append(OutSpan(seq, "title", line.text, "", _line_offset(line)))
+            out.append(OutSpan(seq, "title", line.text, "", _line_offset(line),
+                               page=-1, para=front_para,
+                               style_ref=line.dominating_style().style_id))
             seq += 1
+        front_para += 1
     for p_abs in abstract:
         for line in p_abs.lines:
-            out.append(OutSpan(seq, "abstract", line.text, "", _line_offset(line)))
+            out.append(OutSpan(seq, "abstract", line.text, "", _line_offset(line),
+                               page=-1, para=front_para,
+                               style_ref=line.dominating_style().style_id))
             seq += 1
+        front_para += 1
 
     for p in range(n_pages):
         # B6: the output span stream is ordered at LINE granularity within
@@ -340,14 +357,17 @@ def extract_document(
                      Paragraph(lines=[line]))
                 )
         items.sort(key=lambda t: (t[0], t[1], t[2], t[3]))
-        for _, _, _, _, kind, obj, para in items:
+        for _, _, pi, _, kind, obj, para in items:
             if kind == "line":
                 role = para.role
                 if role == "text" and obj.dominating_style().sentinel == "FORMULA":
                     role = "formula"
-                out.append(OutSpan(seq, role, obj.text, "", _line_offset(obj)))
+                out.append(OutSpan(seq, role, obj.text, "", _line_offset(obj),
+                                   page=p, para=pi,
+                                   style_ref=obj.dominating_style().style_id))
                 seq += 1
             else:
-                out.append(OutSpan(seq, "media", "", obj.media_ref, obj.offset))
+                out.append(OutSpan(seq, "media", "", obj.media_ref, obj.offset,
+                                   page=p, para=pi))
                 seq += 1
     return out

@@ -505,11 +505,40 @@ def sql_expected_spans(sf: str | None = None):
     )
 
 
+def sql_expected_spans_structured(sf: str | None = None):
+    """9-column oracle relation (adds page/para/style_ref) for the nested
+    sink; None when the fixture for the active sf does not exist."""
+    sf = sf if sf is not None else _oracle_sf()
+    path = os.path.join(_FIXTURE_DIR, f"expected_spans_sf{sf}.parquet")
+    if not os.path.exists(path):
+        return None
+    return (
+        f"SELECT doc_id, seq, kind, text, media_ref, \"offset\", "
+        f"page, para, style_ref FROM read_parquet('{path}')"
+    )
+
+
 def q_extract_pipeline(spark, sf_dir):
     """Flagship: full extraction over the interleaved corpus, value-checked
-    against the precomputed Python-oracle span fixture (sql_expected_spans)."""
+    against the precomputed Python-oracle span fixture (sql_expected_spans).
+    Projects the flat span-equality surface; the structural columns
+    (page/para/style_ref) are exercised by serialize_pxml_nested."""
+    from .operators.extract import FLAT_COLS
+
     docs = _t(spark, sf_dir, "documents")
-    return extract_spans(documents_to_interleaved(docs))
+    return extract_spans(documents_to_interleaved(docs)).select(*FLAT_COLS)
+
+
+def q_serialize_pxml_nested(spark, sf_dir):
+    """Structural .pxml sink over the LIVE engine's structured span output
+    (page/para/style_ref), value-checked against the Python-oracle fixture
+    run through the DuckDB nesting mirror — this hash-checks the whole
+    physical hierarchy (page ids, paragraph grouping, dominating-style refs),
+    not just the flat span stream."""
+    from .operators.serialize import to_pxml_nested
+
+    docs = _t(spark, sf_dir, "documents")
+    return to_pxml_nested(extract_spans(documents_to_interleaved(docs)))
 
 
 def q_extract_dehyphenated(spark, sf_dir):
@@ -653,6 +682,7 @@ def queries() -> Dict[str, Callable]:
         "dehyphenate_op": q_dehyphenate_op,
         "serialize_pxml": q_serialize_pxml,
         "serialize_tei": q_serialize_tei,
+        "serialize_pxml_nested": q_serialize_pxml_nested,
     }
 
 
@@ -703,4 +733,7 @@ def oracle_sql() -> Dict[str, str]:
     if expected is not None:
         out["extract_pipeline"] = expected
         out["extract_dehyphenated"] = _sql_dehyphenate(expected)
+    structured = sql_expected_spans_structured()
+    if structured is not None:
+        out["serialize_pxml_nested"] = serialize.sql_to_pxml_nested(structured)
     return out

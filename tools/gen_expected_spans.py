@@ -38,7 +38,11 @@ def expected_for_sf(spark, sf_dir: str) -> pd.DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     inter = documents_to_interleaved(docs).toPandas()
 
-    out = {c: [] for c in ["doc_id", "seq", "kind", "text", "media_ref", "offset"]}
+    cols = [
+        "doc_id", "seq", "kind", "text", "media_ref", "offset",
+        "page", "para", "style_ref",
+    ]
+    out = {c: [] for c in cols}
     for doc_id, spans in zip(inter["doc_id"], inter["spans"]):
         result = extract_document(
             doc_id,
@@ -54,6 +58,9 @@ def expected_for_sf(spark, sf_dir: str) -> pd.DataFrame:
             out["text"].append(sp.text)
             out["media_ref"].append(sp.media_ref)
             out["offset"].append(sp.offset)
+            out["page"].append(sp.page)
+            out["para"].append(sp.para)
+            out["style_ref"].append(sp.style_ref)
     return pd.DataFrame(
         {
             "doc_id": pd.Series(out["doc_id"], dtype="object"),
@@ -62,6 +69,9 @@ def expected_for_sf(spark, sf_dir: str) -> pd.DataFrame:
             "text": pd.Series(out["text"], dtype="object"),
             "media_ref": pd.Series(out["media_ref"], dtype="object"),
             "offset": pd.Series(out["offset"], dtype="int32"),
+            "page": pd.Series(out["page"], dtype="int32"),
+            "para": pd.Series(out["para"], dtype="int32"),
+            "style_ref": pd.Series(out["style_ref"], dtype="object"),
         }
     )
 
