@@ -728,7 +728,7 @@ def _analyze_page_vec(
     style_xsize: np.ndarray,
     style_ysize: np.ndarray,
     page_height: float = 800.0,
-    media_roles: Optional[List[str]] = None,
+    media_roles: "Optional[Tuple[List[str], List[tuple]]]" = None,
 ):
     """Mirror of oracle.document._analyze_page on the columnar word table:
     P2 media roles -> P7 top split -> P8 separator bands -> P3-P5 column
@@ -757,7 +757,7 @@ def _analyze_page_vec(
         my = np.array([m.y for m in page_media], dtype=np.float32)
         mw = np.array([m.w for m in page_media], dtype=np.float32)
         mh = np.array([m.h for m in page_media], dtype=np.float32)
-        roles = (
+        roles, synth_hseps = (
             media_roles
             if media_roles is not None
             else categorize_media_combined(
@@ -768,6 +768,12 @@ def _analyze_page_vec(
             if role != MEDIA_HSEP:
                 continue
             sep_y = m.y + m.h / 2.0
+            if not bool(np.any((wy < sep_y) & (wey > sep_y))):
+                hsep_ys.append(sep_y)
+        # merged stacks that still qualify: ONE synthetic separator in place
+        # of the members (reference removeAll + re-add) — mirror of oracle
+        for (_bx, by, _bex, bey) in synth_hseps:
+            sep_y = (by + bey) / 2.0
             if not bool(np.any((wy < sep_y) & (wey > sep_y))):
                 hsep_ys.append(sep_y)
         media_obs = (mx, my, mx + mw, my + mh)
@@ -1093,7 +1099,7 @@ def _analyze_one_page(
     if page_media and len(t):
         from ..oracle.regions import MEDIA_CONTAINER
 
-        roles = categorize_media_combined(
+        roles, synth_hseps = categorize_media_combined(
             np.array([m.x for m in page_media], dtype=np.float32),
             np.array([m.y for m in page_media], dtype=np.float32),
             np.array([m.w for m in page_media], dtype=np.float32),
@@ -1102,7 +1108,7 @@ def _analyze_one_page(
             region_w=float(t.ex.max() - t.x.min()),
             w_texts=t.text,
         )
-        page_roles = roles
+        page_roles = (roles, synth_hseps)
         pulled = np.zeros(len(t), dtype=bool)
         for mi, (m, role) in enumerate(zip(page_media, roles)):
             if role != MEDIA_CONTAINER:

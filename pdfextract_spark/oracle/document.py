@@ -108,8 +108,9 @@ def _analyze_page(
     # (caption) lines, re-attached at emission (B7)
     hsep_ys: List[float] = []
     roles: List[str] = []
+    synth_hseps: List[tuple] = []
     if page_media:
-        roles = categorize_media_combined(
+        roles, synth_hseps = categorize_media_combined(
             np.array([m.x for m in page_media], dtype=np.float32),
             np.array([m.y for m in page_media], dtype=np.float32),
             np.array([m.w for m in page_media], dtype=np.float32),
@@ -152,12 +153,18 @@ def _analyze_page(
     mvs_page = modal_vertical_spacing(page_words, page_rect)
     min_row = 1.1 * float(mvs_page)                   # minRowSpacing
 
-    # qualifying HSEPs (cutting no words) split bands (P8)
+    # qualifying HSEPs (cutting no words) split bands (P8); a combined stack
+    # that still qualifies contributes ONE synthetic merged separator in
+    # place of its members (reference removeAll + re-add)
     if page_media:
         for m, role in zip(page_media, roles):
             if role != MEDIA_HSEP:
                 continue
             sep_y = m.y + m.h / 2.0
+            if not bool(np.any((wy < sep_y) & (wey > sep_y))):
+                hsep_ys.append(sep_y)
+        for (_bx, by, _bex, bey) in synth_hseps:
+            sep_y = (by + bey) / 2.0
             if not bool(np.any((wy < sep_y) & (wey > sep_y))):
                 hsep_ys.append(sep_y)
 

@@ -57,6 +57,11 @@ MEDIA_IMAGE = "image"
 MEDIA_HSEP = "hsep"
 MEDIA_CONTAINER = "container"
 MEDIA_MATH_BAR = "math_bar"
+# member of a combined hsep stack whose MERGED box still qualifies as a
+# separator: the reference removes the members and keeps ONE merged separator
+# (combineHorizontalSeparators removeAll + re-add), so members become inert
+# for band splitting and the merged box is returned as a synthetic separator
+MEDIA_HSEP_MEMBER = "hsep_member"
 
 MATH_BAR_MAX_HEIGHT = 5.0    # GraphicSegmentatorImpl.canBeConsideredMathBar:102
 MATH_BAR_MIN_ASPECT = 6.0    # :106
@@ -197,15 +202,22 @@ def categorize_media_combined(
 ) -> List[str]:
     """P2 + repeated-hsep combining: categorize, then re-categorize each
     merged hsep stack's bounding box (the reference's second
-    categorizeGraphics pass, GraphicSegmentatorImpl.java:73-75) and assign
-    the merged role to every member. A stack of table rules merges into a
+    categorizeGraphics pass, GraphicSegmentatorImpl.java:73-75).
+
+    Returns (roles, synthetic_hseps). A stack of table rules merges into a
     tall box that fails the HSEP height bound and stops splitting the region
-    into bands; the member media SPANS are still emitted 1:1 (span-sequence
-    contract) — combining affects layout analysis only. Chunks that flush as
-    a single unchanged box re-categorize to the same role (no-op)."""
+    into bands (members take the merged role). When the merged box STILL
+    qualifies as a separator (members nearly coincide), the reference keeps
+    ONE merged separator in place of the members (removeAll + re-add) — so
+    members demote to MEDIA_HSEP_MEMBER and the merged box is returned in
+    synthetic_hseps for the caller's band splitting. The member media SPANS
+    are still emitted 1:1 (span-sequence contract) — combining affects
+    layout analysis only. Chunks that flush as a single unchanged box
+    re-categorize to the same role (no-op)."""
     roles = categorize_media(
         m_x, m_y, m_w, m_h, w_x, w_y, w_ex, w_ey, region_w, w_texts
     )
+    synth: List[Tuple[float, float, float, float]] = []
     for run, (bx, by, bex, bey) in combine_hsep_stacks(roles, m_x, m_y, m_w, m_h):
         if len(run) < 2:
             continue
@@ -216,9 +228,12 @@ def categorize_media_combined(
             np.array([bey - by], dtype=np.float32),
             w_x, w_y, w_ex, w_ey, region_w, w_texts,
         )[0]
+        if merged_role == MEDIA_HSEP:
+            merged_role = MEDIA_HSEP_MEMBER
+            synth.append((bx, by, bex, bey))
         for i in run:
             roles[i] = merged_role
-    return roles
+    return roles, synth
 
 
 def merge_row_obstacles(o_x, o_y, o_ex, o_ey):

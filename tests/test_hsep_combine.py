@@ -9,6 +9,7 @@ from pdfextract_spark.engine import extract_document_fast
 from pdfextract_spark.oracle.document import extract_document
 from pdfextract_spark.oracle.regions import (
     MEDIA_HSEP,
+    MEDIA_HSEP_MEMBER,
     MEDIA_IMAGE,
     categorize_media,
     categorize_media_combined,
@@ -71,13 +72,39 @@ def test_categorize_media_combined_demotes_stack():
     texts = ["word"] * len(w_x)
     before = categorize_media(m_x, m_y, m_w, m_h, w_x, w_y, w_ex, w_ey, region_w, texts)
     assert before == [MEDIA_HSEP] * 4
-    after = categorize_media_combined(
+    after, synth = categorize_media_combined(
         m_x, m_y, m_w, m_h, w_x, w_y, w_ex, w_ey, region_w, texts
     )
     # the 3-stack merges into a 23px-tall box -> fails HSEP height -> image;
     # the isolated rule at y=30 is >50 away -> flushes alone -> stays hsep
     assert after[:3] == [MEDIA_IMAGE] * 3
     assert after[3] == MEDIA_HSEP
+    assert synth == []
+
+
+def test_merged_stack_still_hsep_yields_one_synthetic_separator():
+    """When the merged box STILL qualifies as a separator (members nearly
+    coincide), the reference keeps ONE merged separator in place of the
+    members (combineHorizontalSeparators removeAll + re-add): members demote
+    to MEDIA_HSEP_MEMBER (inert for band splitting) and the merged box comes
+    back as a synthetic separator."""
+    w_x, w_y, w_ex, w_ey = _words_grid()
+    region_w = float(w_ex.max() - w_x.min())
+    # two rules 4px apart: union is 6px tall -> still <= HSEP_MAX_HEIGHT
+    m_x = np.array([50.0, 50.0], dtype=F32)
+    m_y = np.array([262.0, 266.0], dtype=F32)
+    m_w = np.full(2, region_w * 0.8, dtype=F32)
+    m_h = np.array([2.0, 2.0], dtype=F32)
+    texts = ["word"] * len(w_x)
+    before = categorize_media(m_x, m_y, m_w, m_h, w_x, w_y, w_ex, w_ey, region_w, texts)
+    assert before == [MEDIA_HSEP] * 2
+    after, synth = categorize_media_combined(
+        m_x, m_y, m_w, m_h, w_x, w_y, w_ex, w_ey, region_w, texts
+    )
+    assert after == [MEDIA_HSEP_MEMBER] * 2
+    assert len(synth) == 1
+    bx, by, bex, bey = synth[0]
+    assert (by, bey) == (262.0, 268.0)
 
 
 def _ruled_table_doc():
