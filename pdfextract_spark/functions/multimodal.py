@@ -1,12 +1,23 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Media payloads are opaque `binary` columns with typed metadata. The decode /
+Media payloads are `binary` columns with typed metadata. The decode /
 feature-extract step runs as a vectorized mapInPandas over Arrow batches —
-the real Spark-side machinery (schema, batching, binary transport) — while
-the codec itself is STUBBED: the container has no image/audio libraries, so
-`decode_image_meta` is a clearly-marked deterministic fake that parses the
-first bytes; `decode_image_real` raises NotImplementedError until PIL/ffmpeg
-are available (import-gated).
+the real Spark-side machinery (schema, batching, binary transport).
+
+Header decode is REAL: `parse_image_header` reads actual PNG IHDR chunks,
+JPEG SOF segment markers, and GIF logical-screen descriptors in pure Python
+(reference analog: the image handling entry point
+DrawingSurfaceImpl.drawImage, datasource-pdfbox/.../DrawingSurfaceImpl.java:67-108
+— there the codec is PDFBox/ImageIO; here the container has no PIL/opencv,
+so dimensions come from the headers and the pixel-level resample remains a
+deterministic stub, see resize_media). Unknown formats fall back to
+`_fake_decode`, a clearly-marked deterministic fake.
+
+The synthesized corpus (media_table) emits all three bands — real PNG
+headers, real JPEG headers (SOF behind APP0+COM segments, so the marker
+scan is exercised), and opaque bytes — with dimensions derived from
+md5(ref), so the DuckDB oracle recomputes them independently: a parser
+that silently fell back to the stub would hash-mismatch.
 
 Scale notes: decode is the classic CPU-heavy map stage — no shuffle, scales
 linearly with executors; `arrow.maxRecordsPerBatch` bounds per-batch memory
@@ -16,62 +27,186 @@ oversized documents in the extraction path.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 META_SCHEMA = "doc_id string, media_ref string, width int, height int, fmt string"
+
+# dimension domain for the header bands: 16 + md5-derived % 2048 (distinct
+# from the stub's 64 + % 512 so a stub fallback cannot masquerade as a parse)
+DIM_MOD = 2048
+DIM_MIN = 16
+
+
+def _dims_from_ref(md5hex: Column) -> Tuple[Column, Column]:
+    w = F.conv(F.substring(md5hex, 1, 4), 16, 10).cast("long") % DIM_MOD + DIM_MIN
+    h = F.conv(F.substring(md5hex, 5, 4), 16, 10).cast("long") % DIM_MOD + DIM_MIN
+    return w, h
+
+
+def _png_hex(md5hex: Column, w: Column, h: Column) -> Column:
+    """PNG signature + IHDR chunk (width/height big-endian at the fixed
+    offsets 16..23), bit depth 8 / color type 6, md5 bytes standing in for
+    CRC + following chunks."""
+    return F.concat(
+        F.lit("89504E470D0A1A0A"),          # \x89PNG\r\n\x1a\n
+        F.lit("0000000D49484452"),          # IHDR length 13 + type
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("0806000000"),                # depth 8, color 6, comp/filter/interlace
+        md5hex,
+    )
+
+
+def _jpeg_hex(md5hex: Column, w: Column, h: Column) -> Column:
+    """SOI + APP0(JFIF) + COM + SOF0 (height THEN width, big-endian) + md5
+    trailing bytes; the APP0/COM segments force a real marker-scan to SOF."""
+    return F.concat(
+        F.lit("FFD8"),
+        F.lit("FFE000104A46494600010100004800480000"),  # APP0 len 16
+        F.lit("FFFE00040000"),                           # COM len 4
+        F.lit("FFC0001108"),                             # SOF0 len 17, precision 8
+        F.lpad(F.hex(h), 4, "0"),
+        F.lpad(F.hex(w), 4, "0"),
+        F.lit("03011100021101031101"),                   # 3 components
+        md5hex,
+    )
+
+
+# band split for media docs (doc_id % 4 == 0): (doc_id/4) % 3
+BAND_PNG, BAND_JPEG, BAND_OPAQUE = 0, 1, 2
 
 
 def media_table(documents: DataFrame) -> DataFrame:
     """Synthesize the media table for docs carrying media (doc_id % 4 == 0,
     matching sources.adapters): (doc_id, media_ref, payload:binary).
-    The payload is deterministic opaque bytes (md5 of the ref)."""
+    Payloads rotate through three bands by (doc_id/4) % 3: real PNG header,
+    real JPEG header, opaque md5 bytes (the unknown-format fallback path).
+    All construction is Column-native (JVM-side hex assembly, one unhex)."""
     doc_id = F.col("doc_id").cast("string")
+    did = F.col("doc_id").cast("long")
     ref = F.concat(F.lit("img://"), doc_id, F.lit("/fig0"))
+    md5hex = F.upper(F.md5(ref))
+    w, h = _dims_from_ref(md5hex)
+    band = F.pmod((did / 4).cast("long"), 3)
+    payload_hex = (
+        F.when(band == BAND_PNG, _png_hex(md5hex, w, h))
+        .when(band == BAND_JPEG, _jpeg_hex(md5hex, w, h))
+        .otherwise(md5hex)
+    )
     return (
-        documents.filter(F.col("doc_id").cast("long") % 4 == 0)
+        documents.filter(did % 4 == 0)
         .select(
             doc_id.alias("doc_id"),
             ref.alias("media_ref"),
-            F.unhex(F.md5(ref)).alias("payload"),
+            F.unhex(payload_hex).alias("payload"),
         )
     )
 
 
+_SOF_MARKERS = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def parse_image_header(payload: bytes) -> Optional[Tuple[int, int, str]]:
+    """REAL header decode, pure Python: (width, height, fmt) or None when the
+    payload is not a recognized image format.
+
+    - PNG: 8-byte signature, IHDR chunk type at offset 12, width/height
+      big-endian at 16..23.
+    - JPEG: SOI then segment-marker scan (skipping fill bytes, standalone
+      TEM/RST markers, and variable-length segments) to the first SOFn
+      (C0-CF except DHT C4 / JPG C8 / DAC CC): precision byte, then height
+      and width big-endian.
+    - GIF: GIF87a/GIF89a signature, logical screen width/height
+      LITTLE-endian at 6..9.
+    """
+    if (
+        len(payload) >= 24
+        and payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and payload[12:16] == b"IHDR"
+    ):
+        return (
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+            "png",
+        )
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None  # lost sync: not a well-formed segment stream
+            marker = payload[i + 1]
+            if marker == 0xFF:      # fill byte padding before a marker
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:   # TEM / RSTn
+                i += 2
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / start-of-scan: no SOF found
+                return None
+            if i + 9 <= n and marker in _SOF_MARKERS:
+                height = int.from_bytes(payload[i + 5:i + 7], "big")
+                width = int.from_bytes(payload[i + 7:i + 9], "big")
+                return (width, height, "jpg")
+            i += 2 + int.from_bytes(payload[i + 2:i + 4], "big")
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+            "gif",
+        )
+    return None
+
+
 def _fake_decode(payload: bytes) -> tuple:
-    """STUB CODEC (deterministic fake): 'width'/'height' from the first four
-    big-endian bytes, format from byte 0 parity. Replaces a real image
-    decoder; the surrounding Arrow/batch plumbing is production-shaped."""
+    """STUB fallback for unrecognized formats (deterministic fake):
+    'width'/'height' from the first four big-endian bytes, format from
+    byte 0 parity. The recognized-format path is parse_image_header."""
     width = 64 + int.from_bytes(payload[0:2], "big") % 512
     height = 64 + int.from_bytes(payload[2:4], "big") % 512
     fmt = "png" if payload[0] % 2 == 0 else "jpg"
     return width, height, fmt
 
 
-def decode_image_real(payload: bytes):
-    """Real decode path — unavailable in this container (no PIL/opencv)."""
+def decode_any(payload: bytes) -> tuple:
+    """Header parse for recognized formats, deterministic stub otherwise."""
+    parsed = parse_image_header(payload)
+    return parsed if parsed is not None else _fake_decode(payload)
+
+
+def decode_pixels_real(payload: bytes):
+    """Pixel-level decode — unavailable in this container (no PIL/opencv);
+    header-level metadata decode IS implemented (parse_image_header)."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image codecs not installed in this environment; "
-            "decode uses the deterministic stub (_fake_decode)"
+            "pixel codecs not installed in this environment; header metadata "
+            "comes from parse_image_header, pixel ops use deterministic stubs"
         ) from exc
-    raise NotImplementedError("real decode wiring lands with the codec dependency")
+    raise NotImplementedError("real pixel decode lands with the codec dependency")
+
+
+# backwards-compatible name
+decode_image_real = decode_pixels_real
 
 
 def decode_media_meta(media: DataFrame) -> DataFrame:
     """(doc_id, media_ref, width, height, fmt) via vectorized mapInPandas
-    over the binary payload column."""
+    over the binary payload column; real header parsing with stub fallback."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            meta = [_fake_decode(p) for p in pdf["payload"]]
+            meta = [decode_any(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype(object),
@@ -96,11 +231,12 @@ RESIZE_SCHEMA = (
 
 
 def resize_media(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
-    """Resize stage: vectorized mapInPandas over binary payloads. The
-    geometry math is real (integer floor scaling to fit max_dim, no-op when
-    already small enough); the pixel resample is STUBBED — the output
-    payload is a deterministic digest of (ref, new dims) standing in for
-    re-encoded bytes."""
+    """Resize stage: vectorized mapInPandas over binary payloads. Source
+    dimensions come from the REAL header parse (stub fallback for opaque
+    payloads); the geometry math is real (integer floor scaling to fit
+    max_dim, no-op when already small enough); the pixel resample is
+    STUBBED — the output payload is a deterministic digest of
+    (ref, new dims) standing in for re-encoded bytes."""
     import hashlib
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -109,7 +245,7 @@ def resize_media(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
                 continue
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                w, h, _fmt = _fake_decode(payload)
+                w, h, _fmt = decode_any(payload)
                 m = max(w, h)
                 if m > max_dim:
                     nw = w * max_dim // m
@@ -131,10 +267,22 @@ def resize_media(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
     return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
 
 
+def _sql_source_dims(ref: str) -> Tuple[str, str, str]:
+    """DuckDB mirrors of the banded source dimensions: header bands (PNG/
+    JPEG, band 0/1) carry md5-derived dims % DIM_MOD + DIM_MIN in the real
+    header; the opaque band (2) goes through the stub, whose 'dims' are the
+    first four md5 bytes % 512 + 64. Returns (band, width, height) exprs."""
+    band = "((doc_id // 4) % 3)"
+    w16 = f"('0x' || substr(md5({ref}), 1, 4))::BIGINT"
+    h16 = f"('0x' || substr(md5({ref}), 5, 4))::BIGINT"
+    w = f"(CASE WHEN {band} < 2 THEN {w16} % {DIM_MOD} + {DIM_MIN} ELSE 64 + {w16} % 512 END)"
+    h = f"(CASE WHEN {band} < 2 THEN {h16} % {DIM_MOD} + {DIM_MIN} ELSE 64 + {h16} % 512 END)"
+    return band, w, h
+
+
 def sql_resize_media(table: str = "documents", max_dim: int = RESIZE_MAX_DIM) -> str:
     ref = "('img://' || CAST(doc_id AS VARCHAR) || '/fig0')"
-    w = f"(64 + ('0x' || substr(md5({ref}), 1, 4))::BIGINT % 512)"
-    h = f"(64 + ('0x' || substr(md5({ref}), 5, 4))::BIGINT % 512)"
+    _band, w, h = _sql_source_dims(ref)
     m = f"greatest({w}, {h})"
     nw = f"CASE WHEN {m} > {max_dim} THEN {w} * {max_dim} // {m} ELSE {w} END"
     nh = f"CASE WHEN {m} > {max_dim} THEN {h} * {max_dim} // {m} ELSE {h} END"
@@ -167,7 +315,11 @@ def frame_sample(media: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
                 continue
             out = {k: [] for k in ("doc_id", "media_ref", "frame_idx", "ts_ms", "frame_sha")}
             for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
-                duration_ms = 1000 + int.from_bytes(payload[4:6], "big") % 60_000
+                # duration from the trailing md5 bytes (bytes 4:6 of the
+                # 16-byte tail) — present in every band: the header bands
+                # append md5(ref), the opaque band IS md5(ref)
+                tail = payload[-16:]
+                duration_ms = 1000 + int.from_bytes(tail[4:6], "big") % 60_000
                 for k in range(n_frames):
                     out["doc_id"].append(doc_id)
                     out["media_ref"].append(ref)
@@ -203,15 +355,21 @@ WHERE doc_id % 4 = 0
 
 
 def sql_media_meta(table: str = "documents") -> str:
-    """DuckDB oracle: the stub parses md5(ref) bytes; big-endian first two
-    byte pairs == first four hex digits."""
+    """DuckDB oracle for the banded decode: header bands get the md5-derived
+    dims the real parser must extract from the PNG IHDR / JPEG SOF bytes
+    (computed here INDEPENDENTLY — a silent stub fallback on those bands
+    would land in the 64+%512 domain and hash-mismatch); the opaque band
+    mirrors the stub (first md5 bytes big-endian, fmt by byte-0 parity)."""
     ref = "('img://' || CAST(doc_id AS VARCHAR) || '/fig0')"
+    band, w, h = _sql_source_dims(ref)
     return f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        {ref} AS media_ref,
-       CAST(64 + ('0x' || substr(md5({ref}), 1, 4))::BIGINT % 512 AS INT) AS width,
-       CAST(64 + ('0x' || substr(md5({ref}), 5, 4))::BIGINT % 512 AS INT) AS height,
-       CASE WHEN ('0x' || substr(md5({ref}), 1, 2))::BIGINT % 2 = 0
+       CAST({w} AS INT) AS width,
+       CAST({h} AS INT) AS height,
+       CASE WHEN {band} = 0 THEN 'png'
+            WHEN {band} = 1 THEN 'jpg'
+            WHEN ('0x' || substr(md5({ref}), 1, 2))::BIGINT % 2 = 0
             THEN 'png' ELSE 'jpg' END AS fmt
 FROM {table}
 WHERE doc_id % 4 = 0
