@@ -261,7 +261,6 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
-    prev_sig = None
     for _ in range(CC_MAX_ITER):
         # One join instead of two: augmenting the edge set with the current
         # pointer edges (node -> label) makes the neighbour-min include
@@ -277,31 +276,29 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .groupBy("src").agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("src", "node")
         )
+        nlabel = F.least(F.col("label"), F.coalesce("nlabel", "label"))
         new = (
             labels.join(neigh, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("nlabel", "label"),
-                ).alias("label"),
+                nlabel.alias("label"),
+                # EXACT fixpoint bookkeeping, free of extra joins: the old
+                # label is still in scope in this very select, so "did this
+                # round move anything" is a per-row flag summed by the same
+                # aggregate that materializes the checkpoint. (An earlier
+                # revision compared a sum-of-xxhash64 signature across
+                # rounds — one collision away from silently-wrong
+                # components; this is exact at identical per-round cost.
+                # Min-propagation labels are monotone non-increasing, so
+                # `!=` and `<` coincide and no change can cancel another.)
+                (nlabel != F.col("label")).cast("long").alias("_moved"),
             )
             .localCheckpoint(eager=False)
         )
-        # fixpoint check from ONE aggregate on `new` (which materializes its
-        # checkpoint anyway): the (node,label) hash-sum is stable iff no label
-        # moved this round. Replaces the round-1 join-and-count bookkeeping
-        # that cost ~2 extra jobs per round (judge finding #3).
-        sig_row = new.agg(
-            # decimal(38,0) sum: exact and overflow-free for any row count
-            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("s"),
-            F.count(F.lit(1)).alias("c"),
-        ).collect()[0]
-        sig = (sig_row.s, sig_row.c)
-        labels = new
-        if sig == prev_sig:
+        n_moved = new.agg(F.sum("_moved")).collect()[0][0]
+        labels = new.drop("_moved")
+        if not n_moved:
             break
-        prev_sig = sig
     return labels.select("node", "label").withColumnRenamed("node", "doc_id").withColumnRenamed("label", "rep")
 
 

@@ -292,6 +292,11 @@ def q_text_length_quantiles(spark, sf_dir):
     hist = docs.groupBy(F.length("text").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
+    # BOUNDED single-partition window: its input is the histogram, whose row
+    # count is |distinct lengths| <= max doc length (a few thousand), NOT the
+    # corpus. Copying this pattern onto an unbounded domain funnels the whole
+    # dataset through one task — tests/test_scale_lint.py flags any new
+    # Window without partitionBy for exactly that reason (allowlisted here).
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     cum = hist.select(

@@ -55,6 +55,37 @@ def test_no_to_pandas_in_operators():
     assert not bad, f"driver-side toPandas in package code: {bad}"
 
 
+# Window specs that never call partitionBy run as ONE task over the whole
+# input. The only legitimate uses are over provably bounded domains; each
+# must be allowlisted here (file -> max occurrences) and carry a guardrail
+# comment at the use site.
+SINGLE_PARTITION_WINDOW_ALLOWED = {
+    # q_text_length_quantiles: windows over the length histogram
+    # (|distinct lengths| rows, bounded by max doc length, not corpus size)
+    "queries.py": 2,
+}
+
+
+def test_single_partition_windows_are_allowlisted():
+    pat = re.compile(r"\bWindow\.(orderBy|rowsBetween|rangeBetween)\(")
+    counts = {}
+    for path in _py_files():
+        name = os.path.basename(path)
+        for line in open(path):
+            code = line.split("#", 1)[0]
+            if pat.search(code):
+                counts[name] = counts.get(name, 0) + 1
+    bad = {
+        name: n
+        for name, n in counts.items()
+        if n > SINGLE_PARTITION_WINDOW_ALLOWED.get(name, 0)
+    }
+    assert not bad, (
+        f"Window spec without partitionBy (single-partition window) in {bad}; "
+        "partition it or allowlist with a bounded-domain guardrail comment"
+    )
+
+
 def test_no_rdd_materialization():
     # df.rdd conversions defeat Catalyst and were a round-1 finding; the
     # package must not reintroduce them
