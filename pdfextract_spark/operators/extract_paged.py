@@ -7,10 +7,14 @@ known-hard #4). This operator splits the per-document pipeline at its two
 natural seams, both already factored in engine/vectorized.py:
 
   stage A (per doc, cheap):  tokenize + scan filters (S6-S10 are doc-local)
-                             -> char/media rows keyed (doc_id, page)
+                             -> ONE packed row per (doc_id, page): char
+                             geometry as float32 arrays, glyph text as a
+                             string array, media boxes as parallel arrays
   stage B (per PAGE):        word segmentation + full geometric analysis
                              (_analyze_one_page) -> line/region/block/caption
-                             rows keyed doc_id   [the expensive 70-80%]
+                             rows keyed doc_id   [the expensive 70-80%];
+                             a packed row IS a complete page group, so this
+                             is mapInPandas — no groupBy
   stage C (per doc, cheap):  rebuild the per-page structures and run the
                              UNCHANGED doc-level tail (_finalize_document:
                              L1-L6 + ordered assembly)
@@ -18,9 +22,13 @@ natural seams, both already factored in engine/vectorized.py:
 Pages are independent through stage B (proved in SURVEY.md §3 — the only
 doc-level couplings are the scan filters, kept in stage A, and the logical
 ops, kept in stage C), so one huge document fans out across the cluster and
-re-converges as a single small group of line rows. Costs two shuffles, so
-it is the OVERSIZED band's path — pipeline.run_extraction routes normal
-documents through the narrow operator.
+re-converges as a single small group of line rows. Shuffle volume is rows =
+pages (packed arrays), NOT rows = chars: the per-char-row formulation was
+measured 1.3x SLOWER than whole-doc routing on a 2000x-amplified soak
+because Arrow + two shuffles on 10^6 13-field rows per monster doc
+swamped the analysis win. Costs one round-robin repartition + one groupBy
+shuffle, so it is the OVERSIZED band's path — pipeline.run_extraction
+routes normal documents through the narrow operator.
 
 Output is row-for-row identical to extract_spans (tests/test_extract_paged.py
 asserts equality): float32 geometry survives the shuffle because the word
@@ -49,10 +57,20 @@ from ..layout import MediaBox, doc_styles, layout_document
 from ..operators.extract import OUTPUT_SCHEMA, _spans_to_lists
 from ..oracle.scanfilters import apply_scan_filters
 
-CHAR_SCHEMA = (
-    "doc_id string, page int, ord long, is_media boolean, x float, y float, "
-    "w float, h float, baseline float, style_idx int, char string, off int, "
-    "media_ref string"
+# ONE ROW PER (doc, page), char/media fields packed as arrays. The first
+# revision shipped one row PER CHARACTER here; a 1M-char document then paid
+# Arrow + shuffle costs on 10^6 13-field rows twice (repartition + groupBy),
+# which more than cancelled the page-parallel analysis win (measured: the
+# paged band was 1.3x SLOWER than whole-doc routing on a 2000x-amplified
+# soak). Packing makes shuffle rows = pages, and — since a packed row IS a
+# complete page group — stage B becomes mapInPandas with NO groupBy: one
+# shuffle fewer.
+PAGE_CHAR_SCHEMA = (
+    "doc_id string, page int, x array<float>, y array<float>, w array<float>, "
+    "h array<float>, baseline array<float>, style_idx array<int>, "
+    "chars array<string>, off array<int>, "
+    "mx array<float>, my array<float>, mw array<float>, mh array<float>, "
+    "mref array<string>, moff array<int>"
 )
 
 PAGE_SCHEMA = (
@@ -70,10 +88,12 @@ _EMPTY = {
 
 
 def _stage_a(batches: Iterator[pd.DataFrame], cfg: EngineConfig) -> Iterator[pd.DataFrame]:
-    """Per doc: tokenize + doc-local scan filters -> char/media rows
-    (columnar construction — a 10k-page doc emits ~10^6 char rows)."""
+    """Per doc: tokenize + doc-local scan filters -> packed per-page rows.
+    Char order within each page is the table order (the narrow path's 'ord'),
+    preserved because the page mask is applied to an already-ordered table;
+    media is packed sorted by offset (what stage B's sort_values did)."""
     for pdf in batches:
-        frames: List[pd.DataFrame] = []
+        rows: List[dict] = []
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             kinds, texts, refs, offs = _spans_to_lists(spans)
             order = np.argsort(np.asarray(offs, dtype=np.int64), kind="stable")
@@ -83,38 +103,43 @@ def _stage_a(batches: Iterator[pd.DataFrame], cfg: EngineConfig) -> Iterator[pd.
             offs = [int(offs[i]) for i in order]
             table, media, styles = layout_document(doc_id, kinds, texts, refs, offs, cfg)
             table = apply_scan_filters(table, styles, cfg)
-            n = len(table)
-            frames.append(pd.DataFrame({
-                "doc_id": pd.Series([doc_id] * n, dtype="object"),
-                "page": table.page.astype(np.int32),
-                "ord": np.arange(n, dtype=np.int64),
-                "is_media": np.zeros(n, dtype=bool),
-                "x": table.x, "y": table.y, "w": table.w, "h": table.h,
-                "baseline": table.baseline,
-                "style_idx": table.style_idx.astype(np.int32),
-                "char": pd.Series(table.char, dtype="object"),
-                "off": table.offset.astype(np.int32),
-                "media_ref": pd.Series([""] * n, dtype="object"),
-            }))
-            if media:
-                m_n = len(media)
-                frames.append(pd.DataFrame({
-                    "doc_id": pd.Series([doc_id] * m_n, dtype="object"),
-                    "page": np.array([m.page for m in media], dtype=np.int32),
-                    "ord": np.arange(m_n, dtype=np.int64),
-                    "is_media": np.ones(m_n, dtype=bool),
-                    "x": np.array([m.x for m in media], dtype=np.float32),
-                    "y": np.array([m.y for m in media], dtype=np.float32),
-                    "w": np.array([m.w for m in media], dtype=np.float32),
-                    "h": np.array([m.h for m in media], dtype=np.float32),
-                    "baseline": np.zeros(m_n, dtype=np.float32),
-                    "style_idx": np.zeros(m_n, dtype=np.int32),
-                    "char": pd.Series([""] * m_n, dtype="object"),
-                    "off": np.array([m.offset for m in media], dtype=np.int32),
-                    "media_ref": pd.Series([m.media_ref for m in media], dtype="object"),
-                }))
-        if frames:
-            yield pd.concat(frames, ignore_index=True)
+            media_by_page: Dict[int, list] = {}
+            for m in media:
+                media_by_page.setdefault(int(m.page), []).append(m)
+            chars = np.asarray(table.char, dtype=object)
+            # ONE stable argsort groups chars by page while preserving the
+            # in-page table order (a per-page boolean mask would be
+            # O(pages x chars) — ~10s for a 1k-page doc; this is O(n log n))
+            order = np.argsort(table.page, kind="stable")
+            sorted_pages = table.page[order]
+            page_vals = np.unique(sorted_pages)
+            starts = np.searchsorted(sorted_pages, page_vals, side="left")
+            ends = np.searchsorted(sorted_pages, page_vals, side="right")
+            slices = {
+                int(p): order[s:e] for p, s, e in zip(page_vals, starts, ends)
+            }
+            empty = np.empty(0, dtype=np.int64)
+            for p in sorted(set(slices) | set(media_by_page)):
+                idx = slices.get(p, empty)
+                ms = sorted(media_by_page.get(p, []), key=lambda m: m.offset)
+                rows.append({
+                    "doc_id": doc_id,
+                    "page": int(p),
+                    "x": table.x[idx], "y": table.y[idx],
+                    "w": table.w[idx], "h": table.h[idx],
+                    "baseline": table.baseline[idx],
+                    "style_idx": table.style_idx[idx].astype(np.int32),
+                    "chars": chars[idx].tolist(),
+                    "off": table.offset[idx].astype(np.int32),
+                    "mx": np.array([m.x for m in ms], dtype=np.float32),
+                    "my": np.array([m.y for m in ms], dtype=np.float32),
+                    "mw": np.array([m.w for m in ms], dtype=np.float32),
+                    "mh": np.array([m.h for m in ms], dtype=np.float32),
+                    "mref": [m.media_ref for m in ms],
+                    "moff": np.array([m.offset for m in ms], dtype=np.int32),
+                })
+        if rows:
+            yield pd.DataFrame(rows)
 
 
 def _word_row(doc_id, page, rkind, a, b, c, t: _WordTable, idxs: List[int], **kw):
@@ -133,31 +158,30 @@ def _word_row(doc_id, page, rkind, a, b, c, t: _WordTable, idxs: List[int], **kw
     return row
 
 
-def _stage_b(key, pdf: pd.DataFrame, cfg: EngineConfig, mode: str) -> pd.DataFrame:
-    """Per (doc, page): geometric analysis -> structure rows."""
-    doc_id, page = key[0], int(key[1])
+def _analyze_packed_page(row, cfg: EngineConfig, mode: str) -> pd.DataFrame:
+    """One packed page row -> structure rows (geometric analysis)."""
+    doc_id, page = row["doc_id"], int(row["page"])
     styles = doc_styles(doc_id)
     cmp_lut, break_lut = _style_luts(styles)
     style_xsize = np.array([s.x_size for s in styles], dtype=np.int64)
     style_ysize = np.array([s.y_size for s in styles], dtype=np.int64)
 
-    ch = pdf[~pdf["is_media"]].sort_values("ord", kind="stable")
-    md = pdf[pdf["is_media"]].sort_values("off", kind="stable")
-    x = ch["x"].to_numpy(dtype=np.float32)
-    y = ch["y"].to_numpy(dtype=np.float32)
-    w = ch["w"].to_numpy(dtype=np.float32)
-    h = ch["h"].to_numpy(dtype=np.float32)
+    x = np.asarray(row["x"], dtype=np.float32)
+    y = np.asarray(row["y"], dtype=np.float32)
+    w = np.asarray(row["w"], dtype=np.float32)
+    h = np.asarray(row["h"], dtype=np.float32)
     g = _Glyphs(
         x=x, y=y, w=w, h=h, ex=x + w, ey=y + h,
-        baseline=ch["baseline"].to_numpy(dtype=np.float32),
-        style=ch["style_idx"].to_numpy(dtype=np.int32),
-        text=list(ch["char"]),
-        origin=ch["off"].to_numpy(dtype=np.int64),
+        baseline=np.asarray(row["baseline"], dtype=np.float32),
+        style=np.asarray(row["style_idx"], dtype=np.int32),
+        text=list(row["chars"]),
+        origin=np.asarray(row["off"], dtype=np.int64),
     )
     page_media = [
-        MediaBox(page, float(r.x), float(r.y), float(r.w), float(r.h),
-                 r.media_ref, int(r.off))
-        for r in md.itertuples()
+        MediaBox(page, float(mx), float(my), float(mw), float(mh), ref, int(off))
+        for mx, my, mw, mh, ref, off in zip(
+            row["mx"], row["my"], row["mw"], row["mh"], row["mref"], row["moff"]
+        )
     ]
 
     t, paragraphs, bounds, blocks, captions = _analyze_one_page(
@@ -207,6 +231,15 @@ def _stage_b(key, pdf: pd.DataFrame, cfg: EngineConfig, mode: str) -> pd.DataFra
     if not rows:
         return pd.DataFrame(columns=[f.split()[0] for f in PAGE_SCHEMA.split(", ")])
     return pd.DataFrame(rows)
+
+
+def _stage_b(batches: Iterator[pd.DataFrame], cfg: EngineConfig, mode: str) -> Iterator[pd.DataFrame]:
+    """mapInPandas over packed page rows — each row is a full page group."""
+    for pdf in batches:
+        for _, row in pdf.iterrows():
+            out = _analyze_packed_page(row, cfg, mode)
+            if len(out):
+                yield out
 
 
 def _rebuild_table(word_rows: List[dict]) -> Tuple[_WordTable, List[List[int]]]:
@@ -333,16 +366,30 @@ def extract_spans_paged(
     cfg: EngineConfig = CONFIG,
     mode: str = "tuned",
     page_partitions: int = 0,
+    doc_partitions: int = 0,
 ) -> DataFrame:
     """Page-parallel extraction: identical output to extract_spans, with the
-    per-page geometric analysis distributed over (doc_id, page)."""
-    chars = documents_df.mapInPandas(
-        lambda it: _stage_a(it, cfg), schema=CHAR_SCHEMA
+    per-page geometric analysis distributed over (doc_id, page).
+
+    doc_partitions > 0 round-robins the INPUT docs first: the oversized band
+    usually arrives as one scan split (it is a filter of a bucket's parquet),
+    which would serialize every monster's stage A — the per-doc floor, ~half
+    the monster's cost — into one task. With the fan-out, stage A costs
+    max-over-docs instead of sum-over-docs. (Stage A itself is the residual
+    skew bound: tokenize + doc-local scan filters are O(doc) in one task by
+    construction; span-range splitting of stage A is the next band if single
+    documents ever outgrow that.)"""
+    if doc_partitions > 0:
+        documents_df = documents_df.repartition(doc_partitions)
+    pages = documents_df.mapInPandas(
+        lambda it: _stage_a(it, cfg), schema=PAGE_CHAR_SCHEMA
     )
     if page_partitions > 0:
-        chars = chars.repartition(page_partitions, "doc_id", "page")
-    structure = chars.groupBy("doc_id", "page").applyInPandas(
-        lambda key, pdf: _stage_b(key, pdf, cfg, mode), schema=PAGE_SCHEMA
+        # round-robin: page rows are near-uniform work units, so an even
+        # count balance beats hashing (which can co-locate a doc's pages)
+        pages = pages.repartition(page_partitions)
+    structure = pages.mapInPandas(
+        lambda it: _stage_b(it, cfg, mode), schema=PAGE_SCHEMA
     )
     return structure.groupBy("doc_id").applyInPandas(
         lambda key, pdf: _stage_c(key, pdf, cfg), schema=OUTPUT_SCHEMA

@@ -201,7 +201,8 @@ def run_extraction(
             if big.limit(1).count():
                 spans = spans.unionByName(
                     extract_spans_paged(big, cfg,
-                                        page_partitions=parallelism * 2)
+                                        page_partitions=parallelism * 2,
+                                        doc_partitions=parallelism)
                 )
         else:
             banded = band_for_extraction(bucket_docs, cfg, parallelism)

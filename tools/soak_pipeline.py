@@ -27,7 +27,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SKEW_EVERY = 1000  # ~0.1% of docs amplified in skew mode
+# ~0.1% of docs amplified in skew mode. PRIME on purpose: selection uses the
+# same xxhash64(doc_id) as bucket assignment, so a modulus sharing a factor
+# with n_buckets correlates them — at 1000 (divisible by 8) every skew doc
+# satisfied h % 1000 == 0 => h % 8 == 0 and ALL monsters piled into bucket 0,
+# which measures adversarial concentration, not routing.
+SKEW_EVERY = 997
 
 
 def _bucket_wall_stats(spark, out: str) -> dict:
