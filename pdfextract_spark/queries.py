@@ -534,6 +534,22 @@ def q_extract_pipeline(spark, sf_dir):
     return extract_spans(documents_to_interleaved(docs)).select(*FLAT_COLS)
 
 
+def q_extract_paged(spark, sf_dir):
+    """The page-parallel oversized-band operator over the WHOLE corpus,
+    value-checked against the SAME fixture as the flagship — the driver
+    hash gate then pins extract_spans_paged == extract_spans == Python
+    oracle (the skew band's correctness is not just a pytest claim)."""
+    from .operators.extract import FLAT_COLS
+    from .operators.extract_paged import extract_spans_paged
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_spans_paged(
+        documents_to_interleaved(docs),
+        page_partitions=32,
+        doc_partitions=32,
+    ).select(*FLAT_COLS)
+
+
 def q_serialize_pxml_nested(spark, sf_dir):
     """Structural .pxml sink over the LIVE engine's structured span output
     (page/para/style_ref), value-checked against the Python-oracle fixture
@@ -683,6 +699,7 @@ def queries() -> Dict[str, Callable]:
         "extract_media_preservation": q_extract_media_preservation,
         "extract_char_conservation": q_extract_char_conservation,
         "extract_pipeline": q_extract_pipeline,
+        "extract_paged": q_extract_paged,
         "extract_dehyphenated": q_extract_dehyphenated,
         "dehyphenate_op": q_dehyphenate_op,
         "serialize_pxml": q_serialize_pxml,
@@ -737,6 +754,7 @@ def oracle_sql() -> Dict[str, str]:
     expected = sql_expected_spans()
     if expected is not None:
         out["extract_pipeline"] = expected
+        out["extract_paged"] = expected
         out["extract_dehyphenated"] = _sql_dehyphenate(expected)
     structured = sql_expected_spans_structured()
     if structured is not None:
