@@ -23,7 +23,7 @@ from typing import Dict
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import dedup, multimodal, similarity, textops
+from .functions import dedup, htmlops, multimodal, similarity, textops
 from .operators import serialize
 from .operators.extract import extract_spans
 from .sources.adapters import documents_to_interleaved
@@ -419,6 +419,27 @@ def q_text_rolling_fingerprint(spark, sf_dir):
     return textops.rolling_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_html_synthesize(spark, sf_dir):
+    """Deterministic chrome-laden page per document, native Columns; the
+    DuckDB oracle rebuilds the same bytes independently (gate on the corpus
+    side so an html_main_content failure localizes to the extractor)."""
+    return htmlops.synthesize_html(_t(spark, sf_dir, "documents"))
+
+
+def q_html_main_content(spark, sf_dir):
+    """HTML boilerplate strip (north-rule operator): DOM-prior +
+    link-density block classification must recover the document's exact
+    text from the synthesized page — the oracle is the identity."""
+    docs = _t(spark, sf_dir, "documents")
+    return htmlops.strip_boilerplate(htmlops.synthesize_html(docs))
+
+
+def q_html_block_stats(spark, sf_dir):
+    """Block census from the real DOM walk vs the closed-form count."""
+    docs = _t(spark, sf_dir, "documents")
+    return htmlops.block_stats(htmlops.synthesize_html(docs))
+
+
 def q_multimodal_decode_meta(spark, sf_dir):
     return multimodal.media_meta_query(_t(spark, sf_dir, "documents"))
 
@@ -703,6 +724,9 @@ def queries() -> Dict[str, Callable]:
         "text_lang_id": q_text_lang_id,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_rolling_fingerprint": q_text_rolling_fingerprint,
+        "html_synthesize": q_html_synthesize,
+        "html_main_content": q_html_main_content,
+        "html_block_stats": q_html_block_stats,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -749,6 +773,9 @@ def oracle_sql() -> Dict[str, str]:
         "text_lang_id": textops.sql_language_id(),
         "text_bpe_tokens": textops.sql_bpe_token_stats(),
         "text_rolling_fingerprint": textops.sql_rolling_fingerprint(),
+        "html_synthesize": htmlops.sql_synthesize_html(),
+        "html_main_content": htmlops.sql_main_content(),
+        "html_block_stats": htmlops.sql_block_stats(),
         "multimodal_decode_meta": multimodal.sql_media_meta(),
         "multimodal_resize": multimodal.sql_resize_media(),
         "multimodal_frames": multimodal.sql_frame_sample(),
