@@ -125,3 +125,101 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    (acc, h) -> (acc * {HORNER_BASE} + h) % {P31}) AS fingerprint
 FROM {table}
 """
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
+    repetition-removal rules of a training-data quality filter), per
+    document with ZERO shuffle: top-2-gram fraction and duplicated-3-gram
+    fraction. The corpus documents are single-line, so the line-level dup
+    signals are vacuous here; the n-gram pair are the load-bearing ones.
+
+    Scale shape: a naive formulation explodes n-grams and double-groupBys
+    (doc_id, gram) — two wide shuffles whose key count is ~total corpus
+    tokens. The per-document statistic needs neither: sort the gram array
+    in place and fold run lengths with F.aggregate, all whole-stage
+    codegen, narrow end to end."""
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+
+    def grams(k: int):
+        g = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + off) for off in range(k)]
+            ),
+        )
+        # sequence(1, n-k+1) DESCENDS when n < k — guard to an empty array
+        return F.when(n >= k, F.array_sort(g)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def max_run(sorted_arr):
+        acc0 = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(sorted_arr, acc0, step, lambda acc: acc["best"])
+
+    def dup_members(sorted_arr):
+        """Count of elements belonging to runs of length > 1."""
+        acc0 = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("dup")
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            add = (
+                F.when(run == 2, F.lit(2))  # both members turn duplicate
+                .when(run > 2, F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            return F.struct(
+                x.alias("prev"), run.alias("run"), (acc["dup"] + add).alias("dup")
+            )
+
+        return F.aggregate(sorted_arr, acc0, step, lambda acc: acc["dup"])
+
+    top2 = max_run(grams(2))
+    dup3 = dup_members(grams(3))
+    return documents.select(
+        "doc_id",
+        top2.cast("int").alias("top_bigram_count"),
+        F.round(top2 / F.greatest(n - 1, F.lit(1)), 4).alias("top_bigram_frac"),
+        F.round(dup3 / F.greatest(n - 2, F.lit(1)), 4).alias("dup_trigram_frac"),
+    )
+
+
+def sql_repetition_stats(table: str = "documents") -> str:
+    """Independent formulation: explode n-grams, GROUP BY (doc, gram) —
+    fine for the oracle at fixture scale, exactly the shuffle shape the
+    Spark side avoids."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM {table}),
+bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+  FROM t, unnest(range(1, n)) u(i) WHERE n >= 2),
+bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bga AS (SELECT doc_id, MAX(c) AS topc FROM bgc GROUP BY 1),
+tg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM t, unnest(range(1, n - 1)) u(i) WHERE n >= 3),
+tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+tga AS (SELECT doc_id, COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup
+        FROM tgc GROUP BY 1)
+SELECT t.doc_id,
+  CAST(COALESCE(bga.topc, 0) AS INT) AS top_bigram_count,
+  ROUND(COALESCE(bga.topc, 0) * 1.0 / GREATEST(t.n - 1, 1), 4) AS top_bigram_frac,
+  ROUND(COALESCE(tga.dup, 0) * 1.0 / GREATEST(t.n - 2, 1), 4) AS dup_trigram_frac
+FROM t LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id)
+"""

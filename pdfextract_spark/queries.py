@@ -419,6 +419,12 @@ def q_text_rolling_fingerprint(spark, sf_dir):
     return textops.rolling_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher repetition signals, shuffle-free (sorted-gram run folds vs
+    the oracle's explode+groupBy formulation)."""
+    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_html_synthesize(spark, sf_dir):
     """Deterministic chrome-laden page per document, native Columns; the
     DuckDB oracle rebuilds the same bytes independently (gate on the corpus
@@ -724,6 +730,7 @@ def queries() -> Dict[str, Callable]:
         "text_lang_id": q_text_lang_id,
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_rolling_fingerprint": q_text_rolling_fingerprint,
+        "text_repetition": q_text_repetition,
         "html_synthesize": q_html_synthesize,
         "html_main_content": q_html_main_content,
         "html_block_stats": q_html_block_stats,
@@ -773,6 +780,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_lang_id": textops.sql_language_id(),
         "text_bpe_tokens": textops.sql_bpe_token_stats(),
         "text_rolling_fingerprint": textops.sql_rolling_fingerprint(),
+        "text_repetition": textops.sql_repetition_stats(),
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),
         "html_block_stats": htmlops.sql_block_stats(),
