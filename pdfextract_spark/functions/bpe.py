@@ -1,0 +1,138 @@
+"""BPE merge training: learn the top-K byte-pair merges over the corpus.
+
+The tokenizer-training pass of a training-data pipeline (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units"): start
+from characters + an end-of-word marker, repeatedly merge the globally most
+frequent adjacent symbol pair. `textops.bpe_token_stats` applies a FIXED
+tokenization; this module LEARNS the merge table — the reference pipeline's
+missing-by-design analog (the reference has no trainable stage), included
+because a 100 TB corpus engine trains its tokenizer on the corpus it cleans.
+
+Spark shape (the CC-fixpoint pattern, functions/dedup.connected_components):
+- ONE wide shuffle up front: word -> count (the vocabulary table; all later
+  rounds run on distinct words, each weighted by its count — corpus size
+  drops out after this stage).
+- per round: one vocab-sized aggregation for pair counts, a 1-ROW collect
+  (the argmax pair — the only driver traffic, same as the fixpoint's
+  changed-count), and a map-side `replace` applying the merge;
+  `localCheckpoint` keeps the lineage flat across rounds.
+- symbol sequences are stored as a DOUBLE-separator-padded string
+  ("\\x1f\\x1fa\\x1f\\x1fb\\x1f\\x1f…"): applying a merge is then a plain
+  non-overlapping left-to-right string replace of "\\x1fa\\x1f\\x1fb\\x1f"
+  with "\\x1fab\\x1f", which consumes one half of each boundary and leaves
+  the other half for the NEXT adjacent match — exactly the fold semantics
+  BPE needs ("abab" -> [ab][ab], "aaa" -> [aa][a]) without any per-row
+  Python or O(n^2) array rebuilds.
+
+Tie-break is total and engine-independent: (count DESC, left ASC, right
+ASC). The DuckDB oracle (sql_bpe_train_merges) unrolls the same K rounds
+as chained CTEs over the same padded-string representation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SEP = "\x1f"  # unit separator: never appears in corpus text or '</w>'
+SEP2 = SEP + SEP
+EOW = "</w>"
+N_MERGES = 8
+
+
+def _initial_state(documents: DataFrame) -> DataFrame:
+    """(c, s): word count + padded symbol string (chars + EOW)."""
+    wc = (
+        documents.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = F.concat(
+        F.lit(SEP2),
+        F.regexp_replace("w", "(.)", "$1" + SEP2),
+        F.lit(EOW + SEP2),
+    )
+    return wc.select("c", s.alias("s"))
+
+
+def bpe_train_merges(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """(round, left_sym, right_sym, pair_count) — the learned merge table,
+    one row per round in merge order."""
+    spark = documents.sparkSession
+    state = _initial_state(documents).localCheckpoint(eager=True)
+    merges = []
+    for r in range(1, n_merges + 1):
+        arr = F.filter(F.split("s", SEP2), lambda x: x != "")
+        adjacent = F.transform(
+            F.sequence(F.lit(1), F.size("l") - 1),
+            lambda i: F.struct(
+                F.element_at("l", i).alias("a"),
+                F.element_at("l", i + 1).alias("b"),
+            ),
+        )
+        # sequence(1, 0) DESCENDS: a fully-merged word (one symbol left)
+        # must contribute an empty pair list, not an out-of-bounds index
+        pairs = state.select("c", arr.alias("l")).select(
+            "c",
+            F.explode(
+                F.when(F.size("l") >= 2, adjacent).otherwise(
+                    F.array().cast("array<struct<a:string,b:string>>")
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((r, a, b, cnt))
+        pat = SEP + a + SEP2 + b + SEP
+        rep = SEP + a + b + SEP
+        state = state.withColumn(
+            "s", F.replace("s", F.lit(pat), F.lit(rep))
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def sql_bpe_train_merges(n_merges: int = N_MERGES, table: str = "documents") -> str:
+    """The same K rounds unrolled as chained CTEs (independent formulation:
+    list slicing + scalar-subquery argmax per round)."""
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {table})
+  WHERE w <> '' GROUP BY w),
+s0 AS MATERIALIZED (
+  SELECT c, '{SEP2}' || regexp_replace(w, '(.)', '\\1{SEP2}', 'g')
+         || '{EOW}{SEP2}' AS s
+  FROM w0)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT l[i] AS a, l[i+1] AS b, SUM(c) AS cnt
+  FROM (SELECT c, list_filter(string_split(s, '{SEP2}'), x -> x <> '') AS l
+        FROM s{p}),
+       unnest(range(1, len(l))) u(i)
+  GROUP BY 1, 2),
+m{r} AS MATERIALIZED (SELECT {r} AS round, a, b, cnt FROM p{r}
+         ORDER BY cnt DESC, a, b LIMIT 1),
+s{r} AS MATERIALIZED (
+  SELECT c, replace(s,
+    '{SEP}' || (SELECT a FROM m{r}) || '{SEP2}' || (SELECT b FROM m{r}) || '{SEP}',
+    '{SEP}' || (SELECT a FROM m{r}) || (SELECT b FROM m{r}) || '{SEP}') AS s
+  FROM s{p})"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY round"

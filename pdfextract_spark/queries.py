@@ -23,7 +23,7 @@ from typing import Dict
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import dedup, htmlops, multimodal, similarity, textops
+from .functions import bpe, dedup, htmlops, multimodal, similarity, textops
 from .operators import serialize
 from .operators.extract import extract_spans
 from .sources.adapters import documents_to_interleaved
@@ -425,6 +425,12 @@ def q_text_repetition(spark, sf_dir):
     return textops.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_train_merges(spark, sf_dir):
+    """Tokenizer training: top-8 BPE merges learned over the corpus
+    vocabulary (iterative argmax + merge, CC-fixpoint driver pattern)."""
+    return bpe.bpe_train_merges(_t(spark, sf_dir, "documents"))
+
+
 def q_html_synthesize(spark, sf_dir):
     """Deterministic chrome-laden page per document, native Columns; the
     DuckDB oracle rebuilds the same bytes independently (gate on the corpus
@@ -731,6 +737,7 @@ def queries() -> Dict[str, Callable]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_rolling_fingerprint": q_text_rolling_fingerprint,
         "text_repetition": q_text_repetition,
+        "bpe_train_merges": q_bpe_train_merges,
         "html_synthesize": q_html_synthesize,
         "html_main_content": q_html_main_content,
         "html_block_stats": q_html_block_stats,
@@ -781,6 +788,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_bpe_tokens": textops.sql_bpe_token_stats(),
         "text_rolling_fingerprint": textops.sql_rolling_fingerprint(),
         "text_repetition": textops.sql_repetition_stats(),
+        "bpe_train_merges": bpe.sql_bpe_train_merges(),
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),
         "html_block_stats": htmlops.sql_block_stats(),
