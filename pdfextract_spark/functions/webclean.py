@@ -1,0 +1,348 @@
+"""Web-corpus hygiene operators over the `documents` table.
+
+The training-data passes every web-scale pipeline runs between crawl and
+tokenizer: cross-document boilerplate-line removal (the CCNet/C4 frequency
+rule), PII redaction, URL/domain statistics, and deterministic hash
+sampling. Reference analog: the reference strips recurring page furniture
+*within* a document by a frequency threshold + modal style
+(`RemovePageNumbers.java:48-138` — candidate on >= half the pages);
+`boilerplate_lines` applies the same idea corpus-wide across documents.
+
+The sandbox documents carry flat low-vocab text (TESTDATA.md), so — exactly
+like `functions/htmlops.synthesize_html` and `functions/multimodal`'s banded
+headers — a native-Column synthesizer fabricates the structure these
+operators exist for (line structure, injected boilerplate lines, PII
+strings, URLs), deterministically from md5(doc_id), mirrored byte-exact by
+a DuckDB oracle. The operators themselves never look at how the input was
+made.
+
+100 TB shapes:
+- boilerplate detection: ONE shuffle (groupBy line over per-doc-distinct
+  lines); the accepted set is df-thresholded AND capped (top-`cap` by
+  frequency, deterministic tie-break) so the broadcast stays bounded — the
+  strip pass is then a broadcast + narrow map, NO explode/regroup shuffle
+  of the corpus itself.
+- PII redaction / URL extraction: pure Column regexes, whole-stage codegen,
+  zero shuffle (domain stats aggregate is one shuffle on a tiny key space).
+- hash sampling: stateless narrow filter — reproducible across runs,
+  cluster sizes and retries, unlike rand()-based sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+LINE_WORDS = 8
+BOILERPLATE = (
+    "subscribe to our newsletter for updates",
+    "all rights reserved terms of service",
+    "accept cookies to continue reading",
+    "share this article on social media",
+)
+MIN_DF = 10  # a line in >= MIN_DF docs is boilerplate (corpus furniture)
+CAP = 256  # broadcast bound: top-CAP lines by doc_freq (ties: line asc)
+
+RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+RE_URL = r"https?://[A-Za-z0-9._/-]+"
+RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+RE_PHONE = r"\+\d{1,3}-\d{3}-\d{4}"
+SAMPLE_PCT = 37  # keep docs whose md5 bucket (0..99) < SAMPLE_PCT
+
+
+def _hx(h, pos: int, n: int):
+    """Hex digits h[pos:pos+n] (1-based) as a non-negative long."""
+    return F.conv(F.substring(h, pos, n), 16, 10).cast("long")
+
+
+def _sql_hx(h: str, pos: int, n: int) -> str:
+    return f"(('0x' || substr({h}, {pos}, {n}))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# synthesis (native Column, mirrored byte-exact in sql_synthesize_web)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_web(documents: DataFrame) -> DataFrame:
+    """(doc_id, web_text, n_lines) — deterministic web-page-shaped text:
+    the document's words chunked into LINE_WORDS-word lines, plus
+    md5(doc_id)-selected boilerplate lines (~1/3 of docs each) and PII
+    lines (contact line with email/phone/IP/URL in ~2/3, a second
+    email-only line in ~1/4)."""
+    doc_id = F.col("doc_id").cast("string")
+    h = F.md5(F.concat(F.lit("web|"), doc_id))
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.floor((F.size(words) + (LINE_WORDS - 1)) / LINE_WORDS).cast("int")
+    base = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * LINE_WORDS + 1, LINE_WORDS), " "),
+    )
+
+    empty = F.array().cast("array<string>")
+
+    def opt(cond, text_col):
+        return F.when(cond, F.array(text_col)).otherwise(empty)
+
+    parts = [base]
+    for k, btext in enumerate(BOILERPLATE):
+        parts.append(opt(_hx(h, 1 + 2 * k, 2) % 3 == 0, F.lit(btext)))
+
+    e1 = _hx(h, 13, 4).cast("string")
+    dom = (_hx(h, 17, 2) % 10).cast("string")
+    ph = F.lpad((_hx(h, 19, 4) % 10000).cast("string"), 4, "0")
+    ip_a = (_hx(h, 23, 2)).cast("string")
+    ip_b = (_hx(h, 25, 2)).cast("string")
+    ip_c = (_hx(h, 27, 2)).cast("string")
+    site = (_hx(h, 29, 2) % 100).cast("string")
+    page = (_hx(h, 31, 2) % 100).cast("string")
+    contact = F.concat(
+        F.lit("contact user"), e1,
+        F.lit("@mail"), dom,
+        F.lit(".example.com or call +1-555-"), ph,
+        F.lit(" from 10."), ip_a, F.lit("."), ip_b, F.lit("."), ip_c,
+        F.lit(" visit https://www.site"), site,
+        F.lit(".example.org/page/p"), page,
+    )
+    mailto = F.concat(F.lit("mailto admin"), e1, F.lit("@example.net now"))
+    parts.append(opt(_hx(h, 9, 2) % 3 != 2, contact))
+    parts.append(opt(_hx(h, 11, 2) % 4 == 0, mailto))
+
+    lines = F.concat(*parts)
+    return documents.select(
+        doc_id.alias("doc_id"),
+        F.array_join(lines, "\n").alias("web_text"),
+        F.size(lines).cast("int").alias("n_lines"),
+    )
+
+
+def sql_synthesize_web(table: str = "documents") -> str:
+    h = "md5('web|' || CAST(doc_id AS VARCHAR))"
+    w = LINE_WORDS
+    base = (
+        f"list_transform(range(0, CAST((len(string_split(text, ' ')) + {w - 1}) // {w} AS INT)), "
+        f"i -> array_to_string(list_slice(string_split(text, ' '), i * {w} + 1, i * {w} + {w}), ' '))"
+    )
+    parts = [base]
+    for k, btext in enumerate(BOILERPLATE):
+        parts.append(
+            f"(CASE WHEN {_sql_hx(h, 1 + 2 * k, 2)} % 3 = 0 THEN ['{btext}'] "
+            f"ELSE CAST([] AS VARCHAR[]) END)"
+        )
+    e1 = f"CAST({_sql_hx(h, 13, 4)} AS VARCHAR)"
+    dom = f"CAST({_sql_hx(h, 17, 2)} % 10 AS VARCHAR)"
+    ph = f"lpad(CAST({_sql_hx(h, 19, 4)} % 10000 AS VARCHAR), 4, '0')"
+    ip_a = f"CAST({_sql_hx(h, 23, 2)} AS VARCHAR)"
+    ip_b = f"CAST({_sql_hx(h, 25, 2)} AS VARCHAR)"
+    ip_c = f"CAST({_sql_hx(h, 27, 2)} AS VARCHAR)"
+    site = f"CAST({_sql_hx(h, 29, 2)} % 100 AS VARCHAR)"
+    page = f"CAST({_sql_hx(h, 31, 2)} % 100 AS VARCHAR)"
+    contact = (
+        f"('contact user' || {e1} || '@mail' || {dom} || '.example.com or call +1-555-' || {ph}"
+        f" || ' from 10.' || {ip_a} || '.' || {ip_b} || '.' || {ip_c}"
+        f" || ' visit https://www.site' || {site} || '.example.org/page/p' || {page})"
+    )
+    mailto = f"('mailto admin' || {e1} || '@example.net now')"
+    parts.append(
+        f"(CASE WHEN {_sql_hx(h, 9, 2)} % 3 != 2 THEN [{contact}] ELSE CAST([] AS VARCHAR[]) END)"
+    )
+    parts.append(
+        f"(CASE WHEN {_sql_hx(h, 11, 2)} % 4 = 0 THEN [{mailto}] ELSE CAST([] AS VARCHAR[]) END)"
+    )
+    lines = " || ".join(parts)
+    return (
+        f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        f"COALESCE(array_to_string({lines}, chr(10)), '') AS web_text, "
+        f"CAST(len({lines}) AS INT) AS n_lines FROM {table}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate-line removal (CCNet/C4 frequency rule)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_lines(web: DataFrame, min_df: int = MIN_DF, cap: int = CAP) -> DataFrame:
+    """(line, doc_freq) — lines appearing in >= min_df distinct documents,
+    top-`cap` by frequency (line asc on ties). One shuffle: groupBy(line)
+    over per-document-distinct lines (array_distinct BEFORE the explode, so
+    a line repeated within one doc counts once and the shuffle carries one
+    row per (doc, distinct line))."""
+    per_doc = web.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("web_text", "\n"))).alias("line"),
+    )
+    counts = per_doc.groupBy("line").agg(F.count("*").cast("long").alias("doc_freq"))
+    return (
+        counts.filter(F.col("doc_freq") >= min_df)
+        .orderBy(F.desc("doc_freq"), "line")
+        .limit(cap)
+    )
+
+
+def strip_boilerplate(web: DataFrame, min_df: int = MIN_DF, cap: int = CAP) -> DataFrame:
+    """(doc_id, n_lines, n_removed, clean_text) — drop corpus-frequent lines
+    from every document. The accepted set (bounded by `cap`) is broadcast
+    as ONE array row; the strip itself is a narrow higher-order filter —
+    the corpus is never exploded or regrouped."""
+    blist = boilerplate_lines(web, min_df, cap).agg(
+        F.sort_array(F.collect_list("line")).alias("blines")
+    )
+    lines = F.split("web_text", "\n")
+    kept = F.filter(lines, lambda l: ~F.array_contains(F.col("blines"), l))
+    return web.crossJoin(F.broadcast(blist)).select(
+        "doc_id",
+        F.size(lines).cast("int").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_removed"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def sql_boilerplate_lines(table: str = "documents", min_df: int = MIN_DF, cap: int = CAP) -> str:
+    return f"""
+WITH synth AS ({sql_synthesize_web(table)}),
+per_doc AS (
+  SELECT DISTINCT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(web_text, chr(10))) AS line FROM synth
+  )
+)
+SELECT line, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM per_doc GROUP BY line HAVING COUNT(*) >= {min_df}
+ORDER BY doc_freq DESC, line LIMIT {cap}
+"""
+
+
+def sql_strip_boilerplate(table: str = "documents", min_df: int = MIN_DF, cap: int = CAP) -> str:
+    return f"""
+WITH synth AS ({sql_synthesize_web(table)}),
+bl AS (
+  SELECT COALESCE(list(line), CAST([] AS VARCHAR[])) AS blines
+  FROM ({sql_boilerplate_lines(table, min_df, cap)})
+)
+SELECT s.doc_id,
+       CAST(len(string_split(s.web_text, chr(10))) AS INT) AS n_lines,
+       CAST(len(string_split(s.web_text, chr(10)))
+            - len(list_filter(string_split(s.web_text, chr(10)),
+                              l -> NOT list_contains(bl.blines, l))) AS INT) AS n_removed,
+       COALESCE(array_to_string(
+         list_filter(string_split(s.web_text, chr(10)),
+                     l -> NOT list_contains(bl.blines, l)), chr(10)), '') AS clean_text
+FROM synth s, bl
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def redact_pii(web: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_urls, n_ips, n_phones, redacted_text) — counts
+    measured on the original text; replacement chain ordered so earlier
+    tokens cannot create or destroy later matches (emails carry '@' which
+    URLs never do; '<URL>'/'<EMAIL>' contain no digits for the IP/phone
+    passes). Pure Column regexes — zero shuffle."""
+    t = F.col("web_text")
+    red = F.regexp_replace(t, RE_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, RE_URL, "<URL>")
+    red = F.regexp_replace(red, RE_IPV4, "<IP>")
+    red = F.regexp_replace(red, RE_PHONE, "<PHONE>")
+    return web.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(RE_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(RE_URL)).cast("int").alias("n_urls"),
+        F.regexp_count(t, F.lit(RE_IPV4)).cast("int").alias("n_ips"),
+        F.regexp_count(t, F.lit(RE_PHONE)).cast("int").alias("n_phones"),
+        red.alias("redacted_text"),
+    )
+
+
+def sql_redact_pii(table: str = "documents") -> str:
+    def cnt(pat: str) -> str:
+        return f"CAST(len(regexp_extract_all(web_text, '{pat}')) AS INT)"
+
+    red = "web_text"
+    for pat, tok in (
+        (RE_EMAIL, "<EMAIL>"),
+        (RE_URL, "<URL>"),
+        (RE_IPV4, "<IP>"),
+        (RE_PHONE, "<PHONE>"),
+    ):
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"""
+WITH synth AS ({sql_synthesize_web(table)})
+SELECT doc_id,
+       {cnt(RE_EMAIL)} AS n_emails,
+       {cnt(RE_URL)} AS n_urls,
+       {cnt(RE_IPV4)} AS n_ips,
+       {cnt(RE_PHONE)} AS n_phones,
+       {red} AS redacted_text
+FROM synth
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL / domain statistics
+# ---------------------------------------------------------------------------
+
+
+def url_domain_stats(web: DataFrame) -> DataFrame:
+    """(domain, n_urls, n_docs) — extract URLs, aggregate by host. The only
+    shuffle is the groupBy on the (small) domain key space."""
+    urls = web.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("web_text", F.lit(RE_URL), 0)).alias("url"),
+    )
+    return (
+        urls.select("doc_id", F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_urls"), "domain")
+    )
+
+
+def sql_url_domain_stats(table: str = "documents") -> str:
+    return f"""
+WITH synth AS ({sql_synthesize_web(table)}),
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(web_text, '{RE_URL}')) AS url FROM synth
+)
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM urls GROUP BY domain ORDER BY n_urls DESC, domain
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+
+def hash_sample(documents: DataFrame, pct: int = SAMPLE_PCT) -> DataFrame:
+    """(doc_id, n_chars, bucket) — keep docs whose md5-derived bucket
+    (0..99) < pct. Stateless narrow filter: the same doc lands on the same
+    side of the cut across runs, retries and cluster sizes (rand()-based
+    sampling does not — retried tasks redraw)."""
+    doc_id = F.col("doc_id").cast("string")
+    bucket = (_hx(F.md5(F.concat(F.lit("sample|"), doc_id)), 1, 4) % 100).cast("int")
+    return (
+        documents.select(
+            doc_id.alias("doc_id"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            bucket.alias("bucket"),
+        )
+        .filter(F.col("bucket") < pct)
+        .orderBy("doc_id")
+    )
+
+
+def sql_hash_sample(table: str = "documents", pct: int = SAMPLE_PCT) -> str:
+    h = "md5('sample|' || CAST(doc_id AS VARCHAR))"
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST({_sql_hx(h, 1, 4)} % 100 AS INT) AS bucket
+FROM {table} WHERE {_sql_hx(h, 1, 4)} % 100 < {pct} ORDER BY doc_id
+"""

@@ -23,7 +23,7 @@ from typing import Dict
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import bpe, dedup, htmlops, multimodal, similarity, textops
+from .functions import bpe, dedup, htmlops, multimodal, similarity, textops, webclean
 from .operators import serialize
 from .operators.extract import extract_spans
 from .sources.adapters import documents_to_interleaved
@@ -431,6 +431,46 @@ def q_bpe_train_merges(spark, sf_dir):
     return bpe.bpe_train_merges(_t(spark, sf_dir, "documents"))
 
 
+def q_web_synthesize(spark, sf_dir):
+    """Deterministic web-page-shaped text (lines + boilerplate + PII),
+    native Columns, DuckDB-mirrored byte-exact (gate on the corpus side so
+    a hygiene-operator failure localizes to the operator)."""
+    return webclean.synthesize_web(_t(spark, sf_dir, "documents"))
+
+
+def q_web_boilerplate_lines(spark, sf_dir):
+    """CCNet/C4 frequency rule, detection side: lines in >= MIN_DF docs,
+    capped + deterministically ordered (the bounded broadcast set)."""
+    docs = _t(spark, sf_dir, "documents")
+    return webclean.boilerplate_lines(webclean.synthesize_web(docs))
+
+
+def q_web_boilerplate_strip(spark, sf_dir):
+    """Corpus-wide boilerplate-line removal: ONE aggregation shuffle for the
+    frequency census, then a broadcast + narrow higher-order filter — the
+    corpus is never exploded/regrouped."""
+    docs = _t(spark, sf_dir, "documents")
+    return webclean.strip_boilerplate(webclean.synthesize_web(docs))
+
+
+def q_web_pii_redact(spark, sf_dir):
+    """Email/URL/IPv4/phone counting + redaction, pure Column regexes."""
+    docs = _t(spark, sf_dir, "documents")
+    return webclean.redact_pii(webclean.synthesize_web(docs))
+
+
+def q_web_url_domains(spark, sf_dir):
+    """URL extraction + per-domain (n_urls, n_docs) census."""
+    docs = _t(spark, sf_dir, "documents")
+    return webclean.url_domain_stats(webclean.synthesize_web(docs))
+
+
+def q_corpus_sample_hash(spark, sf_dir):
+    """Deterministic md5-bucket sampling (reproducible across runs/retries,
+    unlike rand())."""
+    return webclean.hash_sample(_t(spark, sf_dir, "documents"))
+
+
 def q_html_synthesize(spark, sf_dir):
     """Deterministic chrome-laden page per document, native Columns; the
     DuckDB oracle rebuilds the same bytes independently (gate on the corpus
@@ -738,6 +778,12 @@ def queries() -> Dict[str, Callable]:
         "text_rolling_fingerprint": q_text_rolling_fingerprint,
         "text_repetition": q_text_repetition,
         "bpe_train_merges": q_bpe_train_merges,
+        "web_synthesize": q_web_synthesize,
+        "web_boilerplate_lines": q_web_boilerplate_lines,
+        "web_boilerplate_strip": q_web_boilerplate_strip,
+        "web_pii_redact": q_web_pii_redact,
+        "web_url_domains": q_web_url_domains,
+        "corpus_sample_hash": q_corpus_sample_hash,
         "html_synthesize": q_html_synthesize,
         "html_main_content": q_html_main_content,
         "html_block_stats": q_html_block_stats,
@@ -789,6 +835,12 @@ def oracle_sql() -> Dict[str, str]:
         "text_rolling_fingerprint": textops.sql_rolling_fingerprint(),
         "text_repetition": textops.sql_repetition_stats(),
         "bpe_train_merges": bpe.sql_bpe_train_merges(),
+        "web_synthesize": webclean.sql_synthesize_web(),
+        "web_boilerplate_lines": webclean.sql_boilerplate_lines(),
+        "web_boilerplate_strip": webclean.sql_strip_boilerplate(),
+        "web_pii_redact": webclean.sql_redact_pii(),
+        "web_url_domains": webclean.sql_url_domain_stats(),
+        "corpus_sample_hash": webclean.sql_hash_sample(),
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),
         "html_block_stats": htmlops.sql_block_stats(),
