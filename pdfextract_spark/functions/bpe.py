@@ -131,8 +131,12 @@ s{r} AS MATERIALIZED (
     '{SEP}' || (SELECT a FROM m{r}) || (SELECT b FROM m{r}) || '{SEP}') AS s
   FROM s{p})"""
         )
+    # CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas widens to
+    # float64 — the driver's stringified value hash would then see
+    # '4568.0' vs Spark's '4568' and hard-FAIL despite equal values
     finals = "\nUNION ALL\n".join(
-        f"SELECT round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM m{r}"
+        f"SELECT round, a AS left_sym, b AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
         for r in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY round"
