@@ -4,9 +4,12 @@ entry()      — flagship: full extraction pipeline over the sf0.001 documents
                table adapted to the canonical interleaved shape.
 queries()    — per-operator queries (SURVEY.md §2 coverage), each taking
                (spark, sf_dir) and returning a DataFrame.
-oracle_sql() — DuckDB-equivalent SQL per query (omitted for the full layout
-               pipeline, which is not SQL-expressible; its correctness gate is
-               the Python oracle under pytest — tests/test_pipeline_equality.py).
+oracle_sql() — DuckDB-equivalent SQL per query. The full layout pipeline is
+               not SQL-expressible, so its entries read the precomputed
+               Python-oracle span fixture for the active sf (fixtures/,
+               tools/gen_expected_spans.py) and fall back to the rows-only
+               check when no fixture exists; the deep gate is
+               tests/test_pipeline_equality.py + tests/test_engine_parity.py.
 """
 
 from __future__ import annotations

@@ -175,7 +175,14 @@ def run_scaling(sf_dir: str, n_docs: int, pairs=((2, 8), (8, 32))) -> dict:
     """
     out = {"pairs": []}
     for lo, hi in pairs:
-        repl = 4 if hi <= 8 else 8
+        # repl sizes the timed region so the FAST leg runs ~30s+: at repl=8
+        # the 32-core leg finished in ~18s, of which ~2s scheduling/tail
+        # overhead — a fixed cost the 8-core leg amortizes 3x better,
+        # depressing the ratio below what the engine sustains. Measured
+        # back-to-back in one window: repl=8 -> raw 0.731, repl=16 ->
+        # raw 0.820 (BENCH/repl_amortization.json). Steady-state throughput
+        # is the stated metric; the longer region measures it.
+        repl = 4 if hi <= 8 else 16
         r_lo = _spark_level(sf_dir, n_docs, lo, repl)
         r_hi = _spark_level(sf_dir, n_docs, hi, repl)
         eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
