@@ -179,6 +179,52 @@ def boilerplate_lines(web: DataFrame, min_df: int = MIN_DF, cap: int = CAP) -> D
     )
 
 
+def boilerplate_overflow(web: DataFrame, min_df: int = MIN_DF, cap: int = CAP) -> DataFrame:
+    """(n_qualifying, n_broadcast, n_overflow) — how many frequency-
+    qualifying lines exceeded the broadcast cap (those are NOT stripped).
+    The cap is what bounds the broadcast at any corpus size; this reports
+    the truncation instead of hiding it — the same contract as the LSH
+    hot-bucket reports (`dedup_simhash_hot_buckets`, `sim_ann_hot_buckets`).
+    At production scale min_df is a corpus-size dial (the CCNet rule is a
+    document *fraction*, e.g. 0.5% of docs, not an absolute count — an
+    absolute threshold qualifies ever more lines as the corpus grows)."""
+    per_doc = web.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("web_text", "\n"))).alias("line"),
+    )
+    qualifying = (
+        per_doc.groupBy("line")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+        .agg(F.count("*").cast("long").alias("n_qualifying"))
+    )
+    n = F.col("n_qualifying")
+    return qualifying.select(
+        n,
+        F.least(n, F.lit(cap).cast("long")).alias("n_broadcast"),
+        F.greatest(n - cap, F.lit(0).cast("long")).alias("n_overflow"),
+    )
+
+
+def sql_boilerplate_overflow(table: str = "documents", min_df: int = MIN_DF, cap: int = CAP) -> str:
+    return f"""
+WITH synth AS ({sql_synthesize_web(table)}),
+q AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_qualifying FROM (
+    SELECT line FROM (
+      SELECT DISTINCT doc_id, line FROM (
+        SELECT doc_id, unnest(string_split(web_text, chr(10))) AS line FROM synth
+      )
+    ) GROUP BY line HAVING COUNT(*) >= {min_df}
+  )
+)
+SELECT n_qualifying,
+       CAST(least(n_qualifying, {cap}) AS BIGINT) AS n_broadcast,
+       CAST(greatest(n_qualifying - {cap}, 0) AS BIGINT) AS n_overflow
+FROM q
+"""
+
+
 def strip_boilerplate(web: DataFrame, min_df: int = MIN_DF, cap: int = CAP) -> DataFrame:
     """(doc_id, n_lines, n_removed, clean_text) — drop corpus-frequent lines
     from every document. The accepted set (bounded by `cap`) is broadcast

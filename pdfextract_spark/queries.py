@@ -453,6 +453,13 @@ def q_web_boilerplate_strip(spark, sf_dir):
     return webclean.strip_boilerplate(webclean.synthesize_web(docs))
 
 
+def q_web_boilerplate_overflow(spark, sf_dir):
+    """No-silent-caps report: frequency-qualifying lines beyond the
+    broadcast cap (same contract as the LSH hot-bucket reports)."""
+    docs = _t(spark, sf_dir, "documents")
+    return webclean.boilerplate_overflow(webclean.synthesize_web(docs))
+
+
 def q_web_pii_redact(spark, sf_dir):
     """Email/URL/IPv4/phone counting + redaction, pure Column regexes."""
     docs = _t(spark, sf_dir, "documents")
@@ -781,6 +788,7 @@ def queries() -> Dict[str, Callable]:
         "web_synthesize": q_web_synthesize,
         "web_boilerplate_lines": q_web_boilerplate_lines,
         "web_boilerplate_strip": q_web_boilerplate_strip,
+        "web_boilerplate_overflow": q_web_boilerplate_overflow,
         "web_pii_redact": q_web_pii_redact,
         "web_url_domains": q_web_url_domains,
         "corpus_sample_hash": q_corpus_sample_hash,
@@ -838,6 +846,7 @@ def oracle_sql() -> Dict[str, str]:
         "web_synthesize": webclean.sql_synthesize_web(),
         "web_boilerplate_lines": webclean.sql_boilerplate_lines(),
         "web_boilerplate_strip": webclean.sql_strip_boilerplate(),
+        "web_boilerplate_overflow": webclean.sql_boilerplate_overflow(),
         "web_pii_redact": webclean.sql_redact_pii(),
         "web_url_domains": webclean.sql_url_domain_stats(),
         "corpus_sample_hash": webclean.sql_hash_sample(),

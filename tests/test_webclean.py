@@ -53,6 +53,24 @@ def test_strip_removes_exactly_the_frequent_lines(spark):
     assert out["c"].n_removed == 1
 
 
+def test_overflow_reported_and_overflowed_lines_not_stripped(spark):
+    # two qualifying lines, cap=1: the less frequent one ("aa promo", tie
+    # broken by line asc picks it... both df=2; line asc keeps "aa promo")
+    rows = [
+        ("a", "aa promo\nzz promo\nbody a"),
+        ("b", "aa promo\nzz promo\nbody b"),
+    ]
+    web = make_web(spark, rows)
+    (rep,) = webclean.boilerplate_overflow(web, min_df=2, cap=1).collect()
+    assert (rep.n_qualifying, rep.n_broadcast, rep.n_overflow) == (2, 1, 1)
+    out = {r.doc_id: r for r in webclean.strip_boilerplate(web, min_df=2, cap=1).collect()}
+    # only the broadcast line is stripped; the overflowed one survives
+    assert out["a"].clean_text == "zz promo\nbody a"
+    assert out["a"].n_removed == 1
+    (rep0,) = webclean.boilerplate_overflow(web, min_df=2, cap=10).collect()
+    assert (rep0.n_qualifying, rep0.n_broadcast, rep0.n_overflow) == (2, 2, 0)
+
+
 def test_redact_counts_and_scrubs(spark):
     text = (
         "mail bob@x.example.com and sue@y.example.org visit "
