@@ -161,22 +161,47 @@ def sql_synthesize_web(table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 
-def boilerplate_lines(web: DataFrame, min_df: int = MIN_DF, cap: int = CAP) -> DataFrame:
-    """(line, doc_freq) — lines appearing in >= min_df distinct documents,
-    top-`cap` by frequency (line asc on ties). One shuffle: groupBy(line)
-    over per-document-distinct lines (array_distinct BEFORE the explode, so
-    a line repeated within one doc counts once and the shuffle carries one
-    row per (doc, distinct line))."""
+MIN_DF_FRAC = 1.0 / 32  # dyadic: exact in binary, ceil() agrees everywhere
+
+
+def boilerplate_lines(
+    web: DataFrame,
+    min_df: int = MIN_DF,
+    cap: int = CAP,
+    min_df_frac: float | None = None,
+) -> DataFrame:
+    """(line, doc_freq) — lines appearing in >= threshold distinct
+    documents, top-`cap` by frequency (line asc on ties). One shuffle:
+    groupBy(line) over per-document-distinct lines (array_distinct BEFORE
+    the explode, so a line repeated within one doc counts once and the
+    shuffle carries one row per (doc, distinct line)).
+
+    Scale dial: an ABSOLUTE min_df degrades as the corpus grows — at 10x
+    docs every line shared by >= min_df documents qualifies, exactly the
+    static-key-space failure mode of round-1's LSH (fixed in
+    tests/test_scale_adaptive.py). With `min_df_frac` set the threshold is
+    max(min_df, ceil(frac * n_docs)), computed INSIDE the plan (a 1-row
+    count broadcast-joined onto the census — no driver action), so the
+    qualifying set is a stable corpus property at any scale."""
     per_doc = web.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("web_text", "\n"))).alias("line"),
     )
     counts = per_doc.groupBy("line").agg(F.count("*").cast("long").alias("doc_freq"))
-    return (
-        counts.filter(F.col("doc_freq") >= min_df)
-        .orderBy(F.desc("doc_freq"), "line")
-        .limit(cap)
-    )
+    if min_df_frac is not None:
+        total = web.agg(F.count("*").alias("_n_docs"))
+        thr = F.greatest(
+            F.lit(min_df).cast("long"),
+            F.ceil(F.lit(float(min_df_frac)) * F.col("_n_docs")),
+        )
+        counts = (
+            counts.crossJoin(F.broadcast(total))
+            .filter(F.col("doc_freq") >= thr)
+            .drop("_n_docs")
+        )
+    else:
+        counts = counts.filter(F.col("doc_freq") >= min_df)
+    return counts.orderBy(F.desc("doc_freq"), "line").limit(cap)
 
 
 def boilerplate_overflow(web: DataFrame, min_df: int = MIN_DF, cap: int = CAP) -> DataFrame:
@@ -243,7 +268,18 @@ def strip_boilerplate(web: DataFrame, min_df: int = MIN_DF, cap: int = CAP) -> D
     )
 
 
-def sql_boilerplate_lines(table: str = "documents", min_df: int = MIN_DF, cap: int = CAP) -> str:
+def sql_boilerplate_lines(
+    table: str = "documents",
+    min_df: int = MIN_DF,
+    cap: int = CAP,
+    min_df_frac: float | None = None,
+) -> str:
+    thr = str(min_df)
+    if min_df_frac is not None:
+        thr = (
+            f"GREATEST({min_df}, CEIL({float(min_df_frac)!r} * "
+            f"(SELECT COUNT(*) FROM synth)))"
+        )
     return f"""
 WITH synth AS ({sql_synthesize_web(table)}),
 per_doc AS (
@@ -252,7 +288,7 @@ per_doc AS (
   )
 )
 SELECT line, CAST(COUNT(*) AS BIGINT) AS doc_freq
-FROM per_doc GROUP BY line HAVING COUNT(*) >= {min_df}
+FROM per_doc GROUP BY line HAVING COUNT(*) >= {thr}
 ORDER BY doc_freq DESC, line LIMIT {cap}
 """
 

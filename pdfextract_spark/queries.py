@@ -453,6 +453,17 @@ def q_web_boilerplate_strip(spark, sf_dir):
     return webclean.strip_boilerplate(webclean.synthesize_web(docs))
 
 
+def q_web_boilerplate_lines_scaled(spark, sf_dir):
+    """Corpus-fraction threshold (max(MIN_DF, ceil(n_docs/32)) computed
+    inside the plan): the scale-stable variant — an absolute min_df
+    qualifies ever more lines as the corpus grows (tests/test_webclean.py
+    proves the 10x divergence)."""
+    docs = _t(spark, sf_dir, "documents")
+    return webclean.boilerplate_lines(
+        webclean.synthesize_web(docs), min_df_frac=webclean.MIN_DF_FRAC
+    )
+
+
 def q_web_boilerplate_overflow(spark, sf_dir):
     """No-silent-caps report: frequency-qualifying lines beyond the
     broadcast cap (same contract as the LSH hot-bucket reports)."""
@@ -787,6 +798,7 @@ def queries() -> Dict[str, Callable]:
         "bpe_train_merges": q_bpe_train_merges,
         "web_synthesize": q_web_synthesize,
         "web_boilerplate_lines": q_web_boilerplate_lines,
+        "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
         "web_boilerplate_strip": q_web_boilerplate_strip,
         "web_boilerplate_overflow": q_web_boilerplate_overflow,
         "web_pii_redact": q_web_pii_redact,
@@ -845,6 +857,9 @@ def oracle_sql() -> Dict[str, str]:
         "bpe_train_merges": bpe.sql_bpe_train_merges(),
         "web_synthesize": webclean.sql_synthesize_web(),
         "web_boilerplate_lines": webclean.sql_boilerplate_lines(),
+        "web_boilerplate_lines_scaled": webclean.sql_boilerplate_lines(
+            min_df_frac=webclean.MIN_DF_FRAC
+        ),
         "web_boilerplate_strip": webclean.sql_strip_boilerplate(),
         "web_boilerplate_overflow": webclean.sql_boilerplate_overflow(),
         "web_pii_redact": webclean.sql_redact_pii(),

@@ -71,6 +71,36 @@ def test_overflow_reported_and_overflowed_lines_not_stripped(spark):
     assert (rep0.n_qualifying, rep0.n_broadcast, rep0.n_overflow) == (2, 2, 0)
 
 
+def test_fractional_threshold_is_scale_stable(spark):
+    """The absolute min_df degrades at 10x corpus (every line shared by a
+    handful of docs qualifies); the fractional threshold returns the SAME
+    line set — the scale-adaptive contract (cf. tests/test_scale_adaptive.py
+    for the LSH key spaces)."""
+    from pdfextract_spark.functions.webclean import synthesize_web
+
+    docs1 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # replicate 10x with distinct doc_ids (same line content per replica)
+    docs10 = docs1.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep"), "*"
+    ).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    # absolute threshold: replicate the LINE CONTENT independent of doc_id
+    # by hashing only the line text — synthesize_web keys its md5 draws off
+    # doc_id, so replicas get different PII lines but identical base lines;
+    # base lines with df=2 at 1x reach df>=20 at 10x and flood min_df=10
+    web1, web10 = synthesize_web(docs1), synthesize_web(docs10)
+    abs1 = {r.line for r in webclean.boilerplate_lines(web1, min_df=10, cap=10_000).collect()}
+    abs10 = {r.line for r in webclean.boilerplate_lines(web10, min_df=10, cap=10_000).collect()}
+    assert len(abs10) > 10 * len(abs1)  # absolute threshold floods at 10x
+
+    frac = webclean.MIN_DF_FRAC
+    f1 = {r.line for r in webclean.boilerplate_lines(web1, min_df_frac=frac, cap=10_000).collect()}
+    f10 = {r.line for r in webclean.boilerplate_lines(web10, min_df_frac=frac, cap=10_000).collect()}
+    assert f1 == f10 == set(webclean.BOILERPLATE)  # scale-stable
+
+
 def test_redact_counts_and_scrubs(spark):
     text = (
         "mail bob@x.example.com and sue@y.example.org visit "
