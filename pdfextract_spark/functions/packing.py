@@ -1,0 +1,159 @@
+"""Sequence packing: greedy fixed-token-budget packing of documents into
+pretraining sequences.
+
+The step between a cleaned corpus and a training batch: concatenate
+documents into fixed-capacity sequences (budget = context length) so
+little capacity is wasted on padding. The greedy rule is the standard one:
+fill in order; when the next document would overflow the budget, close the
+sequence and start a new one (a document longer than the budget occupies a
+sequence alone).
+
+Spark shape (100 TB):
+- documents are hashed into `n_streams` independent pack streams
+  (md5-derived, deterministic across runs/retries — same contract as
+  `webclean.hash_sample`); ONE shuffle on the stream key.
+- each stream packs independently inside one `applyInPandas` group: the
+  greedy fold is inherently sequential PER STREAM, so the parallelism dial
+  is `n_streams` (set it to O(cluster cores) in production; the fold
+  itself is a numpy-array loop over the group — per-batch Python, not
+  per-Spark-row Python).
+- determinism: stream assignment and the in-stream order (doc_id) are
+  pure functions of the input, so re-running any failed stream task
+  reproduces identical sequences — rand()/partition-order-based packing
+  does not survive retries.
+
+The DuckDB oracle replays the same fold as a recursive CTE over
+row_number-ranked rows (the stateful-fold analog of the connected-
+components recursive-CTE oracle in `functions/dedup.py`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+N_STREAMS = 8  # sandbox dial; production sets O(cluster cores)
+BUDGET = 128  # tokens per packed sequence (context length)
+
+_SCHEMA = (
+    "doc_id string, stream int, seq_id int, seq_offset int, n_tokens int"
+)
+
+
+def _with_stream(documents: DataFrame, n_streams: int) -> DataFrame:
+    doc_id = F.col("doc_id").cast("string")
+    h = F.md5(F.concat(F.lit("pack|"), doc_id))
+    stream = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_streams).cast("int")
+    return documents.select(
+        doc_id.alias("doc_id"),
+        F.col("doc_id").cast("long").alias("doc_num"),
+        stream.alias("stream"),
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    documents: DataFrame, budget: int = BUDGET, n_streams: int = N_STREAMS
+) -> DataFrame:
+    """(doc_id, stream, seq_id, seq_offset, n_tokens) — greedy packing of
+    each stream's documents (in doc_id order) into sequences of at most
+    `budget` tokens; seq_id counts per stream, seq_offset is the document's
+    token offset inside its sequence."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_num").reset_index(drop=True)
+        seqs, offs = [], []
+        seq, fill = 0, 0
+        for n in pdf["n_tokens"].to_numpy():
+            if fill > 0 and fill + int(n) > budget:
+                seq += 1
+                fill = 0
+            seqs.append(seq)
+            offs.append(fill)
+            fill += int(n)
+        pdf["seq_id"] = pd.Series(seqs, dtype="int32")
+        pdf["seq_offset"] = pd.Series(offs, dtype="int32")
+        return pdf[["doc_id", "stream", "seq_id", "seq_offset", "n_tokens"]]
+
+    return (
+        _with_stream(documents, n_streams)
+        .groupBy("stream")
+        .applyInPandas(pack, _SCHEMA)
+        .orderBy("stream", "seq_id", "seq_offset")
+    )
+
+
+def pack_stats(
+    documents: DataFrame, budget: int = BUDGET, n_streams: int = N_STREAMS
+) -> DataFrame:
+    """(stream, n_seqs, n_docs, total_tokens, max_seq_tokens) — packing
+    utilization per stream (aggregate of pack_sequences; the padding waste
+    is budget*n_seqs - total_tokens for seqs under budget)."""
+    packed = pack_sequences(documents, budget, n_streams)
+    per_seq = packed.groupBy("stream", "seq_id").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("n_tokens").cast("long").alias("toks"),
+    )
+    return (
+        per_seq.groupBy("stream")
+        .agg(
+            F.count("*").cast("long").alias("n_seqs"),
+            F.sum("docs").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.max("toks").cast("long").alias("max_seq_tokens"),
+        )
+        .orderBy("stream")
+    )
+
+
+def _sql_base(table: str, n_streams: int) -> str:
+    h = "md5('pack|' || CAST(doc_id AS VARCHAR))"
+    stream = f"CAST((('0x' || substr({h}, 1, 4))::BIGINT % {n_streams}) AS INT)"
+    return f"""
+base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {stream} AS stream,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY {stream} ORDER BY CAST(doc_id AS BIGINT)) AS rn
+  FROM {table})"""
+
+
+def _sql_pack(table: str, budget: int, n_streams: int) -> str:
+    """Recursive-CTE replay of the greedy fold (rn = fold step per stream)."""
+    return f"""
+WITH RECURSIVE {_sql_base(table, n_streams)},
+pack AS (
+  SELECT doc_id, stream, n_tokens, rn,
+         0 AS seq_id, 0 AS seq_offset, n_tokens AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.doc_id, b.stream, b.n_tokens, b.rn,
+         CASE WHEN p.fill + b.n_tokens > {budget} THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill + b.n_tokens > {budget} THEN 0 ELSE p.fill END,
+         CASE WHEN p.fill + b.n_tokens > {budget} THEN b.n_tokens ELSE p.fill + b.n_tokens END
+  FROM pack p JOIN base b ON b.stream = p.stream AND b.rn = p.rn + 1)
+SELECT doc_id, stream, CAST(seq_id AS INT) AS seq_id,
+       CAST(seq_offset AS INT) AS seq_offset, n_tokens
+FROM pack"""
+
+
+def sql_pack_sequences(
+    table: str = "documents", budget: int = BUDGET, n_streams: int = N_STREAMS
+) -> str:
+    return _sql_pack(table, budget, n_streams) + " ORDER BY stream, seq_id, seq_offset"
+
+
+def sql_pack_stats(
+    table: str = "documents", budget: int = BUDGET, n_streams: int = N_STREAMS
+) -> str:
+    return f"""
+SELECT stream, CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(seq_toks) AS BIGINT) AS max_seq_tokens
+FROM (
+  SELECT stream, seq_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY stream, seq_id) AS seq_toks
+  FROM ({_sql_pack(table, budget, n_streams)})
+)
+GROUP BY stream ORDER BY stream
+"""

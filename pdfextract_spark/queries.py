@@ -23,7 +23,16 @@ from typing import Dict
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import bpe, dedup, htmlops, multimodal, similarity, textops, webclean
+from .functions import (
+    bpe,
+    dedup,
+    htmlops,
+    multimodal,
+    packing,
+    similarity,
+    textops,
+    webclean,
+)
 from .operators import serialize
 from .operators.extract import extract_spans
 from .sources.adapters import documents_to_interleaved
@@ -489,6 +498,18 @@ def q_corpus_sample_hash(spark, sf_dir):
     return webclean.hash_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_pack_sequences(spark, sf_dir):
+    """Sequence packing: greedy fixed-token-budget fill per deterministic
+    pack stream (the pretraining-batch assembly step); oracle replays the
+    fold as a recursive CTE."""
+    return packing.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_pack_stats(spark, sf_dir):
+    """Packing utilization per stream (n_seqs / docs / tokens / max fill)."""
+    return packing.pack_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_html_synthesize(spark, sf_dir):
     """Deterministic chrome-laden page per document, native Columns; the
     DuckDB oracle rebuilds the same bytes independently (gate on the corpus
@@ -804,6 +825,8 @@ def queries() -> Dict[str, Callable]:
         "web_pii_redact": q_web_pii_redact,
         "web_url_domains": q_web_url_domains,
         "corpus_sample_hash": q_corpus_sample_hash,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
+        "corpus_pack_stats": q_corpus_pack_stats,
         "html_synthesize": q_html_synthesize,
         "html_main_content": q_html_main_content,
         "html_block_stats": q_html_block_stats,
@@ -865,6 +888,8 @@ def oracle_sql() -> Dict[str, str]:
         "web_pii_redact": webclean.sql_redact_pii(),
         "web_url_domains": webclean.sql_url_domain_stats(),
         "corpus_sample_hash": webclean.sql_hash_sample(),
+        "corpus_pack_sequences": packing.sql_pack_sequences(),
+        "corpus_pack_stats": packing.sql_pack_stats(),
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),
         "html_block_stats": htmlops.sql_block_stats(),

@@ -1,0 +1,55 @@
+"""Sequence packing: greedy fixed-budget fill semantics pinned on crafted
+lengths; determinism across retries; stream-parallel equivalence. Corpus
+parity vs the recursive-CTE oracle runs in test_oracle_queries
+(corpus_pack_sequences / corpus_pack_stats)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfextract_spark.functions import packing
+
+
+def docs_of_lengths(spark, lengths, n_streams=1):
+    # doc_id ascending == pack order; text of exactly `n` words
+    rows = [(i, " ".join(["w"] * n), "en", "s", n) for i, n in enumerate(lengths)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def pack_all(spark, lengths, budget):
+    # n_streams=1 so every doc lands in one fold, in doc_id order
+    out = packing.pack_sequences(
+        docs_of_lengths(spark, lengths), budget=budget, n_streams=1
+    ).collect()
+    return [(int(r.doc_id), r.seq_id, r.seq_offset) for r in sorted(out, key=lambda r: int(r.doc_id))]
+
+
+def test_greedy_fill_and_overflow_reset(spark):
+    # budget 10: [4,4,4] -> third doc overflows (8+4>10) -> new seq
+    assert pack_all(spark, [4, 4, 4], 10) == [(0, 0, 0), (1, 0, 4), (2, 1, 0)]
+    # exact fit closes nothing early: [4,6,1] -> 4+6=10 fits, 1 starts seq 1
+    assert pack_all(spark, [4, 6, 1], 10) == [(0, 0, 0), (1, 0, 4), (2, 1, 0)]
+
+
+def test_oversized_doc_occupies_a_sequence_alone(spark):
+    # 12 > budget 10: doc 1 gets its own sequence; doc 2 starts the next
+    assert pack_all(spark, [3, 12, 3], 10) == [(0, 0, 0), (1, 1, 0), (2, 2, 0)]
+    # oversized FIRST doc stays in seq 0 (no phantom leading empty seq)
+    assert pack_all(spark, [12, 3], 10) == [(0, 0, 0), (1, 1, 0)]
+
+
+def test_deterministic_across_runs_and_stream_assignment(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = packing.pack_sequences(docs).collect()
+    b = packing.pack_sequences(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every sequence respects the budget unless it is a single oversized doc
+    per_seq = (
+        packing.pack_sequences(docs)
+        .groupBy("stream", "seq_id")
+        .agg(F.sum("n_tokens").alias("toks"), F.count("*").alias("docs"))
+        .collect()
+    )
+    for r in per_seq:
+        assert r.toks <= packing.BUDGET or r.docs == 1
