@@ -1,0 +1,141 @@
+"""Benchmark decontamination: flag training documents that share long
+word n-grams with a held-out benchmark/eval set.
+
+The standard pre-training hygiene pass (GPT-3 appendix C / PaLM-style
+13-gram decontamination, here n=8 on the sandbox's short documents): build
+the distinct n-gram set of the benchmark documents, then count, per
+training document, how many of its distinct n-grams appear in that set.
+
+Spark shape (100 TB): benchmark sets are SMALL by nature (thousands of eval
+documents vs 10^12 training docs), so the benchmark gram set is built with
+one tiny aggregation and BROADCAST into the scan of the training side —
+the training corpus is never shuffled. Per-doc gram hit counts aggregate
+on doc_id only for docs with >=1 hit (a tiny table), then broadcast-join
+back onto the training scan for the zero rows. Zero wide shuffles of the
+corpus.
+
+Sandbox synthesis (same pattern as htmlops/webclean: the operators exist
+for structure the flat corpus lacks): a fixed benchmark passage is appended
+to every benchmark doc AND to an md5-selected ~1/8 of training docs — the
+planted contamination the detector must recover exactly; the DuckDB oracle
+rebuilds the same corpus byte-exact and recomputes hits independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+BENCH_PCT = 5  # md5 bucket < 5 of 100 -> benchmark member (~5% of docs)
+PLANT_MOD = 8  # 1 in 8 non-benchmark docs gets the passage planted
+NGRAM = 8
+PASSAGE = (
+    "the quick brown fox jumps over the lazy dog while the curious cat watches"
+)
+
+
+def synthesize_eval_split(documents: DataFrame) -> DataFrame:
+    """(doc_id, role, text2) — deterministic benchmark/train split with
+    planted contamination. role='bench': md5 bucket < BENCH_PCT, passage
+    appended. role='train': the rest; passage appended iff a second
+    md5 draw % PLANT_MOD == 0 (the planted positives)."""
+    doc_id = F.col("doc_id").cast("string")
+    h = F.md5(F.concat(F.lit("eval|"), doc_id))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100
+    plant = F.conv(F.substring(h, 5, 4), 16, 10).cast("long") % PLANT_MOD == 0
+    is_bench = bucket < BENCH_PCT
+    text2 = F.when(
+        is_bench | plant, F.concat(F.col("text"), F.lit(" " + PASSAGE))
+    ).otherwise(F.col("text"))
+    return documents.select(
+        doc_id.alias("doc_id"),
+        F.when(is_bench, F.lit("bench")).otherwise(F.lit("train")).alias("role"),
+        text2.alias("text2"),
+    )
+
+
+def _grams(text_col, n: int):
+    words = F.split(text_col, " ")
+    k = F.size(words) - n + 1
+    return F.when(
+        k >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_report(split: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, n_hits, contaminated) for every role='train' doc: how many
+    of its distinct word n-grams appear in the benchmark gram set."""
+    bench_grams = (
+        split.filter(F.col("role") == "bench")
+        .select(F.explode(_grams(F.col("text2"), n)).alias("gram"))
+        .distinct()
+    )
+    train = split.filter(F.col("role") == "train")
+    hits = (
+        train.select("doc_id", F.explode(_grams(F.col("text2"), n)).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_split(table: str) -> str:
+    h = "md5('eval|' || CAST(doc_id AS VARCHAR))"
+    bucket = f"(('0x' || substr({h}, 1, 4))::BIGINT % 100)"
+    plant = f"(('0x' || substr({h}, 5, 4))::BIGINT % {PLANT_MOD}) = 0"
+    return f"""
+split AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN {bucket} < {BENCH_PCT} THEN 'bench' ELSE 'train' END AS role,
+         CASE WHEN {bucket} < {BENCH_PCT} OR {plant}
+              THEN text || ' {PASSAGE}' ELSE text END AS text2
+  FROM {table})"""
+
+
+def _sql_grams(text_expr: str, n: int) -> str:
+    words = f"string_split({text_expr}, ' ')"
+    k = f"(len({words}) - {n} + 1)"
+    return (
+        f"(CASE WHEN {k} >= 1 THEN list_distinct(list_transform(range(1, {k} + 1), "
+        f"i -> array_to_string(list_slice({words}, i, i + {n} - 1), ' '))) "
+        f"ELSE CAST([] AS VARCHAR[]) END)"
+    )
+
+
+def sql_synthesize_eval_split(table: str = "documents") -> str:
+    return f"WITH {_sql_split(table)} SELECT doc_id, role, text2 FROM split"
+
+
+def sql_contamination_report(table: str = "documents", n: int = NGRAM) -> str:
+    return f"""
+WITH {_sql_split(table)},
+bg AS (
+  SELECT DISTINCT unnest({_sql_grams('text2', n)}) AS gram
+  FROM split WHERE role = 'bench'),
+tg AS (
+  SELECT doc_id, unnest({_sql_grams('text2', n)}) AS gram
+  FROM split WHERE role = 'train'),
+hits AS (
+  SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM tg JOIN bg USING (gram) GROUP BY tg.doc_id)
+SELECT s.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM split s LEFT JOIN hits h ON s.doc_id = h.doc_id
+WHERE s.role = 'train' ORDER BY s.doc_id
+"""

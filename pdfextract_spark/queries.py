@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .functions import (
     bpe,
+    decontam,
     dedup,
     htmlops,
     multimodal,
@@ -510,6 +511,14 @@ def q_corpus_pack_stats(spark, sf_dir):
     return packing.pack_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per training doc, distinct word-8-grams
+    shared with the (broadcast) benchmark gram set; planted positives must
+    be recovered exactly. The corpus is never shuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    return decontam.contamination_report(decontam.synthesize_eval_split(docs))
+
+
 def q_html_synthesize(spark, sf_dir):
     """Deterministic chrome-laden page per document, native Columns; the
     DuckDB oracle rebuilds the same bytes independently (gate on the corpus
@@ -827,6 +836,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_sample_hash": q_corpus_sample_hash,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_pack_stats": q_corpus_pack_stats,
+        "corpus_decontaminate": q_corpus_decontaminate,
         "html_synthesize": q_html_synthesize,
         "html_main_content": q_html_main_content,
         "html_block_stats": q_html_block_stats,
@@ -890,6 +900,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_sample_hash": webclean.sql_hash_sample(),
         "corpus_pack_sequences": packing.sql_pack_sequences(),
         "corpus_pack_stats": packing.sql_pack_stats(),
+        "corpus_decontaminate": decontam.sql_contamination_report(),
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),
         "html_block_stats": htmlops.sql_block_stats(),
