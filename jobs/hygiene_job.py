@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Cluster entry point: end-to-end training-data hygiene via spark-submit.
+
+    spark-submit --py-files dist/pdfextract_spark.zip jobs/hygiene_job.py \\
+        --input  /path/to/documents.parquet \\
+        --output /path/to/hygiene_out \\
+        [--min-df 10] [--boiler-cap 256] [--sample-pct 100] \\
+        [--pack-budget 0] [--n-streams 64]
+
+The C4/Gopher-style recipe, stage order: corpus-wide boilerplate-line strip
+-> PII redaction -> quality gates -> exact-dedup keeper selection ->
+deterministic hash sample -> optional sequence packing.
+
+Scale discipline: every per-document stage is computed as a FLAG or
+TRANSFORM COLUMN on one DataFrame — the corpus is traversed, not
+re-filtered stage by stage. Total corpus passes: the boilerplate census
+(one aggregation shuffle — run twice in this reference job: once for the
+capped set, once for the overflow report; fuse them if the census
+dominates), the dedup-keeper window (one shuffle on the content hash),
+one metrics aggregate, one filtered write (+ the packing shuffle when
+--pack-budget is set). Every drop is counted in metrics.json — stages
+never discard silently.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import SparkSession, Window, functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-df", type=int, default=10)
+    ap.add_argument("--boiler-cap", type=int, default=256)
+    ap.add_argument("--sample-pct", type=int, default=100)
+    ap.add_argument("--pack-budget", type=int, default=0)
+    ap.add_argument("--n-streams", type=int, default=64)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("pdfextract-spark-hygiene").getOrCreate()
+    # imports AFTER the session exists so --py-files zips resolve on executors
+    from pdfextract_spark.functions import packing, webclean
+
+    docs = spark.read.parquet(args.input).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+    # -- stage 1: boilerplate-line strip (census + bounded broadcast) -------
+    web = docs.select("doc_id", F.col("text").alias("web_text"))
+    blist = webclean.boilerplate_lines(web, args.min_df, args.boiler_cap).agg(
+        F.sort_array(F.collect_list("line")).alias("blines")
+    )
+    overflow = webclean.boilerplate_overflow(web, args.min_df, args.boiler_cap).first()
+    lines = F.split("text", "\n")
+    kept_lines = F.filter(lines, lambda l: ~F.array_contains(F.col("blines"), l))
+    df = docs.crossJoin(F.broadcast(blist)).select(
+        "doc_id",
+        (F.size(lines) - F.size(kept_lines)).alias("boiler_removed"),
+        F.array_join(kept_lines, "\n").alias("text"),
+    )
+
+    # -- stage 2: PII redaction (pure Column regexes) ------------------------
+    t = F.col("text")
+    n_pii = (
+        F.regexp_count(t, F.lit(webclean.RE_EMAIL))
+        + F.regexp_count(t, F.lit(webclean.RE_URL))
+        + F.regexp_count(t, F.lit(webclean.RE_IPV4))
+        + F.regexp_count(t, F.lit(webclean.RE_PHONE))
+    )
+    red = F.regexp_replace(t, webclean.RE_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, webclean.RE_URL, "<URL>")
+    red = F.regexp_replace(red, webclean.RE_IPV4, "<IP>")
+    red = F.regexp_replace(red, webclean.RE_PHONE, "<PHONE>")
+    df = df.select("doc_id", "boiler_removed", n_pii.alias("pii_found"), red.alias("text"))
+
+    # -- stage 3: quality gates (Gopher-style, same rules as the query) -----
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mean_wlen = F.length(F.regexp_replace("text", " ", "")) / n_words
+    digit_words = F.size(F.filter(words, lambda w: w.rlike("^[0-9]+$")))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    ok_quality = (
+        (n_words >= 5)
+        & (n_words <= 100000)
+        & (mean_wlen >= 2.0)
+        & (mean_wlen <= 12.0)
+        & ((digit_words / n_words) <= 0.3)
+        & (stop_hits >= 1)
+    )
+    df = df.withColumn("ok_quality", ok_quality)
+
+    # -- stage 4: exact-dedup keeper (one shuffle on the content hash) ------
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    df = df.withColumn("is_keeper", F.row_number().over(w) == 1)
+
+    # -- stage 5: deterministic hash sample ---------------------------------
+    h = F.md5(F.concat(F.lit("sample|"), F.col("doc_id")))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100
+    df = df.withColumn("sampled", bucket < args.sample_pct)
+    df = df.withColumn(
+        "keep", F.col("ok_quality") & F.col("is_keeper") & F.col("sampled")
+    )
+
+    # -- metrics (ONE aggregate pass) + filtered write (one more) -----------
+    m = df.agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum("boiler_removed").alias("boiler_lines_removed"),
+        F.sum("pii_found").alias("pii_redacted"),
+        F.sum(F.when(~F.col("ok_quality"), 1).otherwise(0)).alias("dropped_quality"),
+        F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0)).alias("dropped_dups"),
+        F.sum(F.when(~F.col("sampled"), 1).otherwise(0)).alias("dropped_sample"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("docs_out"),
+    ).first()
+
+    out = df.filter("keep").select("doc_id", "text")
+    out.write.mode("overwrite").parquet(f"{args.output}/clean")
+
+    if args.pack_budget > 0:
+        packed = packing.pack_sequences(
+            out.withColumn("doc_id", F.col("doc_id").cast("long")),
+            budget=args.pack_budget,
+            n_streams=args.n_streams,
+        )
+        packed.write.mode("overwrite").parquet(f"{args.output}/packed")
+
+    metrics = {
+        "docs_in": m.docs_in,
+        "docs_out": int(m.docs_out or 0),
+        "boiler_lines_removed": int(m.boiler_lines_removed or 0),
+        "boiler_set": {
+            "n_qualifying": overflow.n_qualifying,
+            "n_broadcast": overflow.n_broadcast,
+            "n_overflow": overflow.n_overflow,
+        },
+        "pii_redacted": int(m.pii_redacted or 0),
+        "dropped_quality": int(m.dropped_quality or 0),
+        "dropped_dups": int(m.dropped_dups or 0),
+        "dropped_sample": int(m.dropped_sample or 0),
+        "packed": bool(args.pack_budget > 0),
+    }
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""End-to-end hygiene job: spark-submit-shaped CLI run on the sf0.001
+corpus, metrics/outputs cross-checked (the jobs/ analog of the reference's
+CLI entry, TextExtractor.java:136-194)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_hygiene_job_end_to_end(tmp_path):
+    out = str(tmp_path / "hyg")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "hygiene_job.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out,
+            "--sample-pct", "80",
+            "--pack-budget", "128",
+            "--n-streams", "8",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+
+    assert metrics["docs_in"] == 500
+    assert 0 < metrics["docs_out"] < 500
+    assert metrics["dropped_sample"] > 0  # 20% sampled away
+    # the sandbox corpus plants NEAR-duplicates (dedup_job's territory) but
+    # no byte-exact ones, so the exact-dedup keeper drops nothing here
+    assert metrics["dropped_dups"] == 0
+    assert metrics["boiler_set"]["n_overflow"] == 0
+
+    con = duckdb.connect()
+    n_clean = con.sql(f"SELECT COUNT(*) FROM '{out}/clean/*.parquet'").fetchone()[0]
+    assert n_clean == metrics["docs_out"]
+    # packing covers exactly the cleaned docs, sequences respect the budget
+    n_packed = con.sql(f"SELECT COUNT(*) FROM '{out}/packed/*.parquet'").fetchone()[0]
+    assert n_packed == metrics["docs_out"]
+    seqs = con.sql(
+        f"SELECT SUM(CASE WHEN tok > 128 AND d > 1 THEN 1 ELSE 0 END) FROM ("
+        f"  SELECT stream, seq_id, SUM(n_tokens) AS tok, COUNT(*) AS d"
+        f"  FROM '{out}/packed/*.parquet' GROUP BY stream, seq_id)"
+    ).fetchone()[0]
+    assert seqs == 0  # only single oversized docs may exceed the budget
+
+
+def test_hygiene_job_drops_planted_duplicates_and_junk(tmp_path):
+    src = str(tmp_path / "in.parquet")
+    body = " ".join(f"the good w{i}" for i in range(10))
+    con = duckdb.connect()
+    con.sql(
+        "COPY (SELECT * FROM (VALUES "
+        f"(1, '{body} one'), (2, '{body} one'), (3, '{body} one'), "  # 2 dups
+        f"(4, '{body} four'), "
+        "(5, '111 222 333 444 555 666 777 888')"  # all-digit junk: quality gate
+        f") t(doc_id, text)) TO '{src}' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "hyg")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "hygiene_job.py"),
+            "--input", src, "--output", out,
+        ],
+        capture_output=True, text=True, timeout=420, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    assert metrics["dropped_dups"] == 2
+    assert metrics["dropped_quality"] == 1
+    assert metrics["docs_out"] == 2  # doc 1 (keeper) + doc 4
+    kept = {
+        r[0]
+        for r in con.sql(f"SELECT doc_id FROM '{out}/clean/*.parquet'").fetchall()
+    }
+    assert kept == {"1", "4"}
