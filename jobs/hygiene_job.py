@@ -13,13 +13,12 @@ deterministic hash sample -> optional sequence packing.
 
 Scale discipline: every per-document stage is computed as a FLAG or
 TRANSFORM COLUMN on one DataFrame — the corpus is traversed, not
-re-filtered stage by stage. Total corpus passes: the boilerplate census
-(one aggregation shuffle — run twice in this reference job: once for the
-capped set, once for the overflow report; fuse them if the census
-dominates), the dedup-keeper window (one shuffle on the content hash),
-one metrics aggregate, one filtered write (+ the packing shuffle when
---pack-budget is set). Every drop is counted in metrics.json — stages
-never discard silently.
+re-filtered stage by stage. Total corpus passes: ONE boilerplate census
+(persisted; the capped set and the overflow report both read it), the
+dedup-keeper window (one shuffle on the content hash), one metrics
+aggregate, one filtered write (+ the packing shuffle when --pack-budget
+is set). Every drop is counted in metrics.json — stages never discard
+silently.
 """
 
 from __future__ import annotations
@@ -52,12 +51,16 @@ def main() -> None:
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
 
-    # -- stage 1: boilerplate-line strip (census + bounded broadcast) -------
+    # -- stage 1: boilerplate-line strip (ONE census, persisted, shared by
+    # the capped set and the overflow report) -------------------------------
     web = docs.select("doc_id", F.col("text").alias("web_text"))
-    blist = webclean.boilerplate_lines(web, args.min_df, args.boiler_cap).agg(
-        F.sort_array(F.collect_list("line")).alias("blines")
-    )
-    overflow = webclean.boilerplate_overflow(web, args.min_df, args.boiler_cap).first()
+    census = webclean.boilerplate_census(web).persist()
+    blist = webclean.boilerplate_lines(
+        web, args.min_df, args.boiler_cap, census=census
+    ).agg(F.sort_array(F.collect_list("line")).alias("blines"))
+    overflow = webclean.boilerplate_overflow(
+        web, args.min_df, args.boiler_cap, census=census
+    ).first()
     lines = F.split("text", "\n")
     kept_lines = F.filter(lines, lambda l: ~F.array_contains(F.col("blines"), l))
     df = docs.crossJoin(F.broadcast(blist)).select(
@@ -149,6 +152,7 @@ def main() -> None:
     with open(os.path.join(args.output, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=1)
     print(json.dumps(metrics))
+    census.unpersist()
     spark.stop()
 
 

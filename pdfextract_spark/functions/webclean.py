@@ -164,11 +164,24 @@ def sql_synthesize_web(table: str = "documents") -> str:
 MIN_DF_FRAC = 1.0 / 32  # dyadic: exact in binary, ceil() agrees everywhere
 
 
+def boilerplate_census(web: DataFrame) -> DataFrame:
+    """(line, doc_freq) for EVERY distinct line — the one aggregation
+    shuffle the detection family shares. Callers that need both the capped
+    set and the overflow report should compute this once (persist it) and
+    pass it to both, halving the census cost (jobs/hygiene_job.py does)."""
+    per_doc = web.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("web_text", "\n"))).alias("line"),
+    )
+    return per_doc.groupBy("line").agg(F.count("*").cast("long").alias("doc_freq"))
+
+
 def boilerplate_lines(
     web: DataFrame,
     min_df: int = MIN_DF,
     cap: int = CAP,
     min_df_frac: float | None = None,
+    census: DataFrame | None = None,
 ) -> DataFrame:
     """(line, doc_freq) — lines appearing in >= threshold distinct
     documents, top-`cap` by frequency (line asc on ties). One shuffle:
@@ -183,11 +196,7 @@ def boilerplate_lines(
     max(min_df, ceil(frac * n_docs)), computed INSIDE the plan (a 1-row
     count broadcast-joined onto the census — no driver action), so the
     qualifying set is a stable corpus property at any scale."""
-    per_doc = web.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("web_text", "\n"))).alias("line"),
-    )
-    counts = per_doc.groupBy("line").agg(F.count("*").cast("long").alias("doc_freq"))
+    counts = census if census is not None else boilerplate_census(web)
     if min_df_frac is not None:
         total = web.agg(F.count("*").alias("_n_docs"))
         thr = F.greatest(
@@ -204,7 +213,12 @@ def boilerplate_lines(
     return counts.orderBy(F.desc("doc_freq"), "line").limit(cap)
 
 
-def boilerplate_overflow(web: DataFrame, min_df: int = MIN_DF, cap: int = CAP) -> DataFrame:
+def boilerplate_overflow(
+    web: DataFrame,
+    min_df: int = MIN_DF,
+    cap: int = CAP,
+    census: DataFrame | None = None,
+) -> DataFrame:
     """(n_qualifying, n_broadcast, n_overflow) — how many frequency-
     qualifying lines exceeded the broadcast cap (those are NOT stripped).
     The cap is what bounds the broadcast at any corpus size; this reports
@@ -213,15 +227,9 @@ def boilerplate_overflow(web: DataFrame, min_df: int = MIN_DF, cap: int = CAP) -
     At production scale min_df is a corpus-size dial (the CCNet rule is a
     document *fraction*, e.g. 0.5% of docs, not an absolute count — an
     absolute threshold qualifies ever more lines as the corpus grows)."""
-    per_doc = web.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("web_text", "\n"))).alias("line"),
-    )
-    qualifying = (
-        per_doc.groupBy("line")
-        .agg(F.count("*").alias("doc_freq"))
-        .filter(F.col("doc_freq") >= min_df)
-        .agg(F.count("*").cast("long").alias("n_qualifying"))
+    counts = census if census is not None else boilerplate_census(web)
+    qualifying = counts.filter(F.col("doc_freq") >= min_df).agg(
+        F.count("*").cast("long").alias("n_qualifying")
     )
     n = F.col("n_qualifying")
     return qualifying.select(
