@@ -34,8 +34,9 @@ def main() -> None:
     spark = SparkSession.builder.appName("pdfextract-spark-dedup").getOrCreate()
     # imports AFTER the session exists so --py-files zips resolve on executors
     from pdfextract_spark.functions import dedup
+    from pdfextract_spark.sources.readers import read_documents
 
-    docs = spark.read.parquet(args.input)
+    docs = read_documents(spark, args.input)
 
     if args.method == "minhash":
         pairs = dedup.lsh_candidate_pairs(docs)

@@ -46,8 +46,9 @@ def main() -> None:
     spark = SparkSession.builder.appName("pdfextract-spark-hygiene").getOrCreate()
     # imports AFTER the session exists so --py-files zips resolve on executors
     from pdfextract_spark.functions import packing, webclean
+    from pdfextract_spark.sources.readers import read_documents
 
-    docs = spark.read.parquet(args.input).select(
+    docs = read_documents(spark, args.input).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
 
