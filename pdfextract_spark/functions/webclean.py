@@ -436,3 +436,52 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
        CAST({_sql_hx(h, 1, 4)} % 100 AS INT) AS bucket
 FROM {table} WHERE {_sql_hx(h, 1, 4)} % 100 < {pct} ORDER BY doc_id
 """
+
+
+STRATA_PCT = {"en": 80, "de": 40, "fr": 40}  # sandbox mix; production dial
+STRATA_DEFAULT_PCT = 20
+
+
+def stratified_hash_sample(
+    documents: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_pct: int = STRATA_DEFAULT_PCT,
+) -> DataFrame:
+    """(doc_id, lang, bucket) — per-stratum sampling rates (the standard
+    language-rebalancing knob: up-sample scarce languages, down-sample the
+    dominant one). Same md5 bucket as hash_sample, so the per-language cut
+    is deterministic and nested: lowering a language's rate yields a strict
+    subset of the higher-rate sample (seeded-rand sampling does neither)."""
+    rates = STRATA_PCT if rates is None else rates
+    doc_id = F.col("doc_id").cast("string")
+    bucket = (_hx(F.md5(F.concat(F.lit("sample|"), doc_id)), 1, 4) % 100).cast("int")
+    pct = F.lit(default_pct)
+    for lang, r in sorted(rates.items()):
+        pct = F.when(F.col("lang") == lang, F.lit(r)).otherwise(pct)
+    return (
+        documents.select(
+            doc_id.alias("doc_id"),
+            F.col("lang").cast("string").alias("lang"),
+            bucket.alias("bucket"),
+        )
+        .filter(F.col("bucket") < pct)
+        .orderBy("doc_id")
+    )
+
+
+def sql_stratified_hash_sample(
+    table: str = "documents",
+    rates: dict[str, int] | None = None,
+    default_pct: int = STRATA_DEFAULT_PCT,
+) -> str:
+    rates = STRATA_PCT if rates is None else rates
+    h = "md5('sample|' || CAST(doc_id AS VARCHAR))"
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(rates.items())
+    )
+    pct = f"(CASE {whens} ELSE {default_pct} END)"
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(lang AS VARCHAR) AS lang,
+       CAST({_sql_hx(h, 1, 4)} % 100 AS INT) AS bucket
+FROM {table} WHERE {_sql_hx(h, 1, 4)} % 100 < {pct} ORDER BY doc_id
+"""

@@ -499,6 +499,13 @@ def q_corpus_sample_hash(spark, sf_dir):
     return webclean.hash_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_sample_stratified(spark, sf_dir):
+    """Per-language sampling rates on the same md5 bucket — deterministic
+    AND nested (lower rate => strict subset), the language-rebalancing
+    knob."""
+    return webclean.stratified_hash_sample(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_pack_sequences(spark, sf_dir):
     """Sequence packing: greedy fixed-token-budget fill per deterministic
     pack stream (the pretraining-batch assembly step); oracle replays the
@@ -834,6 +841,7 @@ def queries() -> Dict[str, Callable]:
         "web_pii_redact": q_web_pii_redact,
         "web_url_domains": q_web_url_domains,
         "corpus_sample_hash": q_corpus_sample_hash,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_pack_stats": q_corpus_pack_stats,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -898,6 +906,7 @@ def oracle_sql() -> Dict[str, str]:
         "web_pii_redact": webclean.sql_redact_pii(),
         "web_url_domains": webclean.sql_url_domain_stats(),
         "corpus_sample_hash": webclean.sql_hash_sample(),
+        "corpus_sample_stratified": webclean.sql_stratified_hash_sample(),
         "corpus_pack_sequences": packing.sql_pack_sequences(),
         "corpus_pack_stats": packing.sql_pack_stats(),
         "corpus_decontaminate": decontam.sql_contamination_report(),

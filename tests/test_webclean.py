@@ -147,6 +147,26 @@ def test_hash_sample_matches_md5_formula_and_is_deterministic(spark):
     assert got == [r.doc_id for r in webclean.hash_sample(docs, pct=37).collect()]
 
 
+def test_stratified_sample_is_nested_and_rate_respecting(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hi = {r.doc_id for r in webclean.stratified_hash_sample(docs, {"en": 80}, 40).collect()}
+    lo = {r.doc_id for r in webclean.stratified_hash_sample(docs, {"en": 40}, 20).collect()}
+    assert lo < hi  # halving every rate yields a strict subset (same buckets)
+    by_lang = {
+        r.lang: r.n
+        for r in webclean.stratified_hash_sample(docs, {"en": 80}, 20)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # en sampled at ~80%, everything else at ~20% (binomial tolerance)
+    assert by_lang["en"] / totals["en"] > 0.6
+    for lang, n in by_lang.items():
+        if lang != "en":
+            assert n / totals[lang] < 0.45
+
+
 def test_synthesize_web_structure(spark):
     docs = spark.createDataFrame(
         [(7, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "en", "s", 26)],
