@@ -84,7 +84,10 @@ def contamination_report(split: DataFrame, n: int = NGRAM) -> DataFrame:
     )
     return (
         train.select("doc_id")
-        .join(F.broadcast(hits), "doc_id", "left")
+        # no broadcast hint on hits: contaminated-doc count is unbounded in
+        # corpus size (unlike the bench gram set above, which is bounded by
+        # the benchmark's nature); AQE broadcasts at runtime when small
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
