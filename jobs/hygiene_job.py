@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 
 from pyspark.sql import SparkSession, Window, functions as F
 
@@ -149,9 +148,18 @@ def main() -> None:
         "dropped_sample": int(m.dropped_sample or 0),
         "packed": bool(args.pack_budget > 0),
     }
-    os.makedirs(args.output, exist_ok=True)
-    with open(os.path.join(args.output, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=1)
+    # metrics go through the SAME Hadoop filesystem as the data writes, so an
+    # hdfs:// or s3:// --output works end-to-end (round-3 advice: a local
+    # open() would crash — or write to a bogus local dir — after all the
+    # heavy work succeeded)
+    jvm = spark._jvm
+    mpath = jvm.org.apache.hadoop.fs.Path(f"{args.output}/metrics.json")
+    fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(mpath, True)
+    try:
+        stream.write(bytearray(json.dumps(metrics, indent=1).encode("utf-8")))
+    finally:
+        stream.close()
     print(json.dumps(metrics))
     census.unpersist()
     spark.stop()

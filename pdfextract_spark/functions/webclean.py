@@ -218,19 +218,35 @@ def boilerplate_overflow(
     min_df: int = MIN_DF,
     cap: int = CAP,
     census: DataFrame | None = None,
+    min_df_frac: float | None = None,
 ) -> DataFrame:
     """(n_qualifying, n_broadcast, n_overflow) — how many frequency-
     qualifying lines exceeded the broadcast cap (those are NOT stripped).
     The cap is what bounds the broadcast at any corpus size; this reports
     the truncation instead of hiding it — the same contract as the LSH
     hot-bucket reports (`dedup_simhash_hot_buckets`, `sim_ann_hot_buckets`).
-    At production scale min_df is a corpus-size dial (the CCNet rule is a
-    document *fraction*, e.g. 0.5% of docs, not an absolute count — an
-    absolute threshold qualifies ever more lines as the corpus grows)."""
+
+    `min_df_frac` applies the SAME in-plan corpus-fraction threshold as
+    boilerplate_lines(min_df_frac=...) — the report must count the very set
+    the strip acts on, whichever threshold rule is live (round-3 advice: a
+    report computed under a different threshold describes a different
+    layout). At production scale the fraction IS the rule (CCNet strips by
+    document fraction, not absolute count)."""
     counts = census if census is not None else boilerplate_census(web)
-    qualifying = counts.filter(F.col("doc_freq") >= min_df).agg(
-        F.count("*").cast("long").alias("n_qualifying")
-    )
+    if min_df_frac is not None:
+        total = web.agg(F.count("*").alias("_n_docs"))
+        thr = F.greatest(
+            F.lit(min_df).cast("long"),
+            F.ceil(F.lit(float(min_df_frac)) * F.col("_n_docs")),
+        )
+        counts = (
+            counts.crossJoin(F.broadcast(total))
+            .filter(F.col("doc_freq") >= thr)
+            .drop("_n_docs")
+        )
+    else:
+        counts = counts.filter(F.col("doc_freq") >= min_df)
+    qualifying = counts.agg(F.count("*").cast("long").alias("n_qualifying"))
     n = F.col("n_qualifying")
     return qualifying.select(
         n,
@@ -239,7 +255,18 @@ def boilerplate_overflow(
     )
 
 
-def sql_boilerplate_overflow(table: str = "documents", min_df: int = MIN_DF, cap: int = CAP) -> str:
+def sql_boilerplate_overflow(
+    table: str = "documents",
+    min_df: int = MIN_DF,
+    cap: int = CAP,
+    min_df_frac: float | None = None,
+) -> str:
+    thr = str(min_df)
+    if min_df_frac is not None:
+        thr = (
+            f"GREATEST({min_df}, CEIL({float(min_df_frac)!r} * "
+            f"(SELECT COUNT(*) FROM synth)))"
+        )
     return f"""
 WITH synth AS ({sql_synthesize_web(table)}),
 q AS (
@@ -248,7 +275,7 @@ q AS (
       SELECT DISTINCT doc_id, line FROM (
         SELECT doc_id, unnest(string_split(web_text, chr(10))) AS line FROM synth
       )
-    ) GROUP BY line HAVING COUNT(*) >= {min_df}
+    ) GROUP BY line HAVING COUNT(*) >= {thr}
   )
 )
 SELECT n_qualifying,

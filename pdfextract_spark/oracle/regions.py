@@ -199,7 +199,7 @@ def categorize_media_combined(
     w_x: np.ndarray, w_y: np.ndarray, w_ex: np.ndarray, w_ey: np.ndarray,
     region_w: float,
     w_texts: Optional[Sequence[str]] = None,
-) -> List[str]:
+) -> Tuple[List[str], List[Tuple[float, float, float, float]]]:
     """P2 + repeated-hsep combining: categorize, then re-categorize each
     merged hsep stack's bounding box (the reference's second
     categorizeGraphics pass, GraphicSegmentatorImpl.java:73-75).

@@ -5,9 +5,13 @@ Same signature, banding, cap, and reporting machinery as the batch operator
 (functions/dedup.py: simhash_neardups): each document's 60-bit token simhash
 is split into SIMHASH_BANDS band keys; state lives per (band_id, band_val)
 bucket and holds the (doc_id, simhash) members seen so far, capped at
-max_bucket exactly like the batch hot-bucket trim — and, like batch, the trim
-is REPORTED (kind='trimmed' rows carry the per-batch trimmed count), never
-silent. A new document is hamming-verified (<= ham_max, on the fingerprint
+max_bucket. The cap's GUARANTEE IS WEAKER than the batch hot-bucket trim:
+batch anti-joins the ENTIRE over-cap bucket (no pairs at all are emitted
+from it), while the stream keeps the first max_bucket members — those still
+pair among themselves — and only trims/reports arrivals AFTER the cap
+(a stream cannot retroactively unemit pairs it produced before the bucket
+went hot). Like batch, the trim is REPORTED (kind='trimmed' rows carry the
+per-batch trimmed count), never silent. A new document is hamming-verified (<= ham_max, on the fingerprint
 word — the batch contract) against the bucket's members and every verified
 pair is emitted as kind='pair' (doc_a < doc_b, like batch pairs). Documents
 are inserted into the bucket whether or not they matched, so chains of

@@ -98,9 +98,10 @@ BROADCAST_ALLOWED = {
     # N_QUERY=50 query vectors; per-label centroids (cells = label space,
     # the coarse-quantizer size — a design constant, not corpus-sized)
     "similarity.py": 2,
-    # 1-row corpus total; boilerplate set hard-capped at BLIST_CAP=256
-    # (overflow reported via boilerplate_overflow)
-    "webclean.py": 2,
+    # 1-row corpus totals (x2: lines + overflow frac thresholds);
+    # boilerplate set hard-capped at CAP=256 (overflow reported via
+    # boilerplate_overflow)
+    "webclean.py": 3,
     # benchmark gram set — benchmarks are small by nature (eval suites),
     # not corpus-sized
     "decontam.py": 1,
