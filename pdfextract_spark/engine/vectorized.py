@@ -505,6 +505,43 @@ def _line_text(t: _WordTable, line: Line) -> str:
     return " ".join(t.text[i] for i in line)
 
 
+def _words_payload(t: _WordTable, line: Line, styles) -> tuple:
+    """writeWord payload (== oracle.document._line_words on the same
+    bit-identical float32 word table): (value, style_ref, x, y, w, h) per
+    word, ints via round-half-even. Per-word styles are the raw table styles
+    (the FORMULA override is line-level only, in both implementations)."""
+    return tuple(
+        (
+            t.text[i],
+            _style_of(styles, int(t.style[i])).style_id,
+            int(round(float(t.x[i]))),
+            int(round(float(t.y[i]))),
+            int(round(float(t.w[i]))),
+            int(round(float(t.h[i]))),
+        )
+        for i in line
+    )
+
+
+def _caption_raw_words(t: _WordTable, line: Line) -> tuple:
+    """Raw float32 caption word payload (value, style_idx, x, y, w, h) —
+    captions lose their word-table indices when the container pull rebuilds
+    the page table, so the geometry is carried by value. Kept as floats so
+    the paged path can ship it through its float32 array columns and both
+    paths round identically at emission."""
+    return tuple(
+        (
+            t.text[i],
+            int(t.style[i]),
+            float(t.x[i]),
+            float(t.y[i]),
+            float(t.w[i]),
+            float(t.h[i]),
+        )
+        for i in line
+    )
+
+
 # ------------------------------------------------------------------- B3 lines
 
 def _create_lines(
@@ -1125,7 +1162,7 @@ def _analyze_one_page(
             )
             captions[mi] = [
                 (_line_text(t, line), int(min(t.origin[i] for i in line)),
-                 _dominating_style(t, line))
+                 _dominating_style(t, line), _caption_raw_words(t, line))
                 for line in cap_lines
             ]
         if bool(pulled.any()):
@@ -1146,6 +1183,7 @@ def extract_document_fast(
     offsets: Sequence[int],
     cfg: EngineConfig = CONFIG,
     mode: str = "tuned",
+    emit_words: bool = False,
 ) -> List[OutSpan]:
     """Drop-in vectorized equivalent of oracle.document.extract_document."""
     order = np.argsort(np.asarray(offsets, dtype=np.int64), kind="stable")
@@ -1186,7 +1224,7 @@ def extract_document_fast(
 
     return _finalize_document(
         tables, pages, page_regions, page_blocks, page_captions,
-        media_by_page, n_pages, styles, cfg,
+        media_by_page, n_pages, styles, cfg, emit_words=emit_words,
     )
 
 
@@ -1200,6 +1238,7 @@ def _finalize_document(
     n_pages: int,
     styles: List[Style],
     cfg: EngineConfig,
+    emit_words: bool = False,
 ) -> List[OutSpan]:
     """Doc-level tail: logical analysis (L1-L6) + ordered span assembly.
     Pure function of the per-page analysis results — the page-parallel path
@@ -1215,6 +1254,18 @@ def _finalize_document(
     def _sref(t: _WordTable, line) -> str:
         return _style_of(styles, _dominating_style(t, line)).style_id
 
+    def _words_of(t: _WordTable, line) -> tuple:
+        return _words_payload(t, line, styles) if emit_words else ()
+
+    def _cap_words(raw: tuple) -> tuple:
+        if not emit_words:
+            return ()
+        return tuple(
+            (v, _style_of(styles, si).style_id,
+             int(round(x)), int(round(y)), int(round(w)), int(round(h)))
+            for (v, si, x, y, w, h) in raw
+        )
+
     out: List[OutSpan] = []
     seq = 0
     front_para = 0
@@ -1224,7 +1275,8 @@ def _finalize_document(
             out.append(
                 OutSpan(seq, "title", _line_text(t, line), "",
                         int(min(t.origin[i] for i in line)),
-                        page=-1, para=front_para, style_ref=_sref(t, line))
+                        page=-1, para=front_para, style_ref=_sref(t, line),
+                        words=_words_of(t, line))
             )
             seq += 1
         front_para += 1
@@ -1235,7 +1287,8 @@ def _finalize_document(
                 out.append(
                     OutSpan(seq, "abstract", _line_text(t, line), "",
                             int(min(t.origin[i] for i in line)),
-                            page=-1, para=front_para, style_ref=_sref(t, line))
+                            page=-1, para=front_para, style_ref=_sref(t, line),
+                            words=_words_of(t, line))
                 )
                 seq += 1
             front_para += 1
@@ -1260,7 +1313,8 @@ def _finalize_document(
             if kind == "capline":
                 out.append(OutSpan(seq, "text", obj[0], "", obj[1],
                                    page=p, para=pi,
-                                   style_ref=_style_of(styles, obj[2]).style_id))
+                                   style_ref=_style_of(styles, obj[2]).style_id,
+                                   words=_cap_words(obj[3])))
                 seq += 1
             elif kind == "line":
                 role = para.role
@@ -1271,7 +1325,8 @@ def _finalize_document(
                     OutSpan(seq, role, _line_text(t, obj), "",
                             int(min(t.origin[i] for i in obj)),
                             page=p, para=pi,
-                            style_ref=_style_of(styles, st).style_id)
+                            style_ref=_style_of(styles, st).style_id,
+                            words=_words_of(t, obj))
                 )
                 seq += 1
             else:

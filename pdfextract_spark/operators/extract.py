@@ -34,6 +34,15 @@ OUTPUT_SCHEMA = (
     "page int, para int, style_ref string"
 )
 
+# VERBOSE word-box payload (SimpleXMLOutput.java VERBOSE_OUTPUT analog):
+# opt-in via with_words=True because every mapInPandas output column crosses
+# Arrow whether or not downstream prunes it — the flagship span-equality
+# path must not pay for a payload only the verbose sink reads.
+WORDS_FIELD = (
+    "words array<struct<value:string,style_ref:string,x:int,y:int,w:int,h:int>>"
+)
+OUTPUT_SCHEMA_WORDS = f"{OUTPUT_SCHEMA}, {WORDS_FIELD}"
+
 _OUT_COLS = [
     "doc_id", "seq", "kind", "text", "media_ref", "offset",
     "page", "para", "style_ref",
@@ -54,14 +63,27 @@ def _spans_to_lists(spans) -> tuple:
     return kinds, texts, refs, offs
 
 
-def extract_batch(pdf: pd.DataFrame, cfg: EngineConfig = CONFIG) -> pd.DataFrame:
+def words_as_rows(words: tuple) -> list:
+    """OutSpan.words tuple -> Arrow-friendly list of struct dicts."""
+    return [
+        {"value": v, "style_ref": r, "x": x, "y": y, "w": w, "h": h}
+        for (v, r, x, y, w, h) in words
+    ]
+
+
+def extract_batch(
+    pdf: pd.DataFrame, cfg: EngineConfig = CONFIG, with_words: bool = False
+) -> pd.DataFrame:
     """Extract every document in one Arrow batch (driver for the per-doc
     pipeline; used by both the Spark operator and local tooling)."""
     out = {c: [] for c in _OUT_COLS}
+    words_col: List[list] = []
     for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
         try:
             kinds, texts, refs, offs = _spans_to_lists(spans)
-            result = extract_document(doc_id, kinds, texts, refs, offs, cfg)
+            result = extract_document(
+                doc_id, kinds, texts, refs, offs, cfg, emit_words=with_words
+            )
         except Exception as exc:  # quarantine, never fail the task
             out["doc_id"].append(doc_id)
             out["seq"].append(-1)
@@ -72,6 +94,7 @@ def extract_batch(pdf: pd.DataFrame, cfg: EngineConfig = CONFIG) -> pd.DataFrame
             out["page"].append(-1)
             out["para"].append(-1)
             out["style_ref"].append("")
+            words_col.append([])
             continue
         for sp in result:
             out["doc_id"].append(doc_id)
@@ -83,30 +106,39 @@ def extract_batch(pdf: pd.DataFrame, cfg: EngineConfig = CONFIG) -> pd.DataFrame
             out["page"].append(sp.page)
             out["para"].append(sp.para)
             out["style_ref"].append(sp.style_ref)
-    return pd.DataFrame(
-        {
-            "doc_id": pd.Series(out["doc_id"], dtype="object"),
-            "seq": pd.Series(out["seq"], dtype="int32"),
-            "kind": pd.Series(out["kind"], dtype="object"),
-            "text": pd.Series(out["text"], dtype="object"),
-            "media_ref": pd.Series(out["media_ref"], dtype="object"),
-            "offset": pd.Series(out["offset"], dtype="int32"),
-            "page": pd.Series(out["page"], dtype="int32"),
-            "para": pd.Series(out["para"], dtype="int32"),
-            "style_ref": pd.Series(out["style_ref"], dtype="object"),
-        }
-    )
+            if with_words:
+                words_col.append(words_as_rows(sp.words))
+    data = {
+        "doc_id": pd.Series(out["doc_id"], dtype="object"),
+        "seq": pd.Series(out["seq"], dtype="int32"),
+        "kind": pd.Series(out["kind"], dtype="object"),
+        "text": pd.Series(out["text"], dtype="object"),
+        "media_ref": pd.Series(out["media_ref"], dtype="object"),
+        "offset": pd.Series(out["offset"], dtype="int32"),
+        "page": pd.Series(out["page"], dtype="int32"),
+        "para": pd.Series(out["para"], dtype="int32"),
+        "style_ref": pd.Series(out["style_ref"], dtype="object"),
+    }
+    if with_words:
+        data["words"] = pd.Series(words_col, dtype="object")
+    return pd.DataFrame(data)
 
 
-def extract_spans(documents_df, cfg: EngineConfig = CONFIG, num_partitions: int = 0):
+def extract_spans(
+    documents_df,
+    cfg: EngineConfig = CONFIG,
+    num_partitions: int = 0,
+    with_words: bool = False,
+):
     """documents (doc_id, spans) -> extracted spans (narrow, no shuffle
-    unless num_partitions > 0 requests a balancing repartition)."""
+    unless num_partitions > 0 requests a balancing repartition).
+    with_words adds the VERBOSE per-word box column (see WORDS_FIELD)."""
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            yield extract_batch(pdf, cfg)
+            yield extract_batch(pdf, cfg, with_words=with_words)
 
     df = documents_df
     if num_partitions > 0:
@@ -124,4 +156,5 @@ def extract_spans(documents_df, cfg: EngineConfig = CONFIG, num_partitions: int 
         n_splits = estimate_scan_splits(df)
         if n_splits < target:
             df = df.repartition(target)
-    return df.mapInPandas(process, schema=OUTPUT_SCHEMA)
+    schema = OUTPUT_SCHEMA_WORDS if with_words else OUTPUT_SCHEMA
+    return df.mapInPandas(process, schema=schema)

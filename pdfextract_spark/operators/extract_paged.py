@@ -54,7 +54,7 @@ from ..engine.vectorized import (
     _WordTable,
 )
 from ..layout import MediaBox, doc_styles, layout_document
-from ..operators.extract import OUTPUT_SCHEMA, _spans_to_lists
+from ..operators.extract import OUTPUT_SCHEMA, OUTPUT_SCHEMA_WORDS, _spans_to_lists
 from ..oracle.scanfilters import apply_scan_filters
 
 # ONE ROW PER (doc, page), char/media fields packed as arrays. The first
@@ -227,12 +227,24 @@ def _analyze_packed_page(row, cfg: EngineConfig, mode: str, cache: dict) -> pd.D
                        c=0, f0=float(y0), f1=float(y1))
             rows.append(row)
     for mi, caps in captions.items():
-        for li, (text, origin, style_idx) in enumerate(caps):
+        for li, (text, origin, style_idx, raw_words) in enumerate(caps):
             # c carries the caption line's dominating-style index (may be
-            # FORMULA_IDX) so stage C can emit the same style_ref
+            # FORMULA_IDX) so stage C can emit the same style_ref; the
+            # caption's per-word payload rides the (otherwise unused) word
+            # array columns so the VERBOSE sink gets identical word boxes
+            # from both paths (floats here; both paths round at emission)
             row = dict(_EMPTY)
             row.update(doc_id=doc_id, page=page, rkind="caption", a=int(mi),
                        b=li, c=int(style_idx), text=text, origin=int(origin))
+            row.update(
+                wx=np.array([w[2] for w in raw_words], dtype=np.float32),
+                wy=np.array([w[3] for w in raw_words], dtype=np.float32),
+                ww=np.array([w[4] for w in raw_words], dtype=np.float32),
+                wh=np.array([w[5] for w in raw_words], dtype=np.float32),
+                wstyle=np.array([w[1] for w in raw_words], dtype=np.int32),
+                worigin=np.zeros(len(raw_words), dtype=np.int64),
+                wtext=[w[0] for w in raw_words],
+            )
             rows.append(row)
     for mi, m in enumerate(page_media):
         row = dict(_EMPTY)
@@ -294,7 +306,9 @@ def _rebuild_table(word_rows: List[dict]) -> Tuple[_WordTable, List[List[int]]]:
     ), spans
 
 
-def _stage_c(key, pdf: pd.DataFrame, cfg: EngineConfig) -> pd.DataFrame:
+def _stage_c(
+    key, pdf: pd.DataFrame, cfg: EngineConfig, with_words: bool = False
+) -> pd.DataFrame:
     """Per doc: rebuild per-page structures, run the doc-level tail."""
     doc_id = key[0]
     styles = doc_styles(doc_id)
@@ -343,13 +357,20 @@ def _stage_c(key, pdf: pd.DataFrame, cfg: EngineConfig) -> pd.DataFrame:
         for r in blocks_rows:
             bb[int(r["a"])].append((float(r["f0"]), float(r["f1"])))
         page_blocks.append(bb)
-        caps: Dict[int, List[Tuple[str, int, int]]] = {}
+        caps: Dict[int, List[tuple]] = {}
         for r in sorted(
             (r for r in rows if r["rkind"] == "caption"),
             key=lambda r: (int(r["a"]), int(r["b"])),
         ):
+            raw_words = tuple(
+                (v, int(si), float(np.float32(x)), float(np.float32(y)),
+                 float(np.float32(w)), float(np.float32(h)))
+                for v, si, x, y, w, h in zip(
+                    r["wtext"], r["wstyle"], r["wx"], r["wy"], r["ww"], r["wh"]
+                )
+            )
             caps.setdefault(int(r["a"]), []).append(
-                (r["text"], int(r["origin"]), int(r["c"]))
+                (r["text"], int(r["origin"]), int(r["c"]), raw_words)
             )
         page_captions.append(caps)
         media_by_page[p] = [
@@ -362,21 +383,26 @@ def _stage_c(key, pdf: pd.DataFrame, cfg: EngineConfig) -> pd.DataFrame:
 
     out = _finalize_document(
         tables, pages, page_regions, page_blocks, page_captions,
-        media_by_page, n_pages, styles, cfg,
+        media_by_page, n_pages, styles, cfg, emit_words=with_words,
     )
-    return pd.DataFrame(
-        {
-            "doc_id": pd.Series([doc_id] * len(out), dtype="object"),
-            "seq": pd.Series([s.seq for s in out], dtype="int32"),
-            "kind": pd.Series([s.kind for s in out], dtype="object"),
-            "text": pd.Series([s.text for s in out], dtype="object"),
-            "media_ref": pd.Series([s.media_ref for s in out], dtype="object"),
-            "offset": pd.Series([s.offset for s in out], dtype="int32"),
-            "page": pd.Series([s.page for s in out], dtype="int32"),
-            "para": pd.Series([s.para for s in out], dtype="int32"),
-            "style_ref": pd.Series([s.style_ref for s in out], dtype="object"),
-        }
-    )
+    data = {
+        "doc_id": pd.Series([doc_id] * len(out), dtype="object"),
+        "seq": pd.Series([s.seq for s in out], dtype="int32"),
+        "kind": pd.Series([s.kind for s in out], dtype="object"),
+        "text": pd.Series([s.text for s in out], dtype="object"),
+        "media_ref": pd.Series([s.media_ref for s in out], dtype="object"),
+        "offset": pd.Series([s.offset for s in out], dtype="int32"),
+        "page": pd.Series([s.page for s in out], dtype="int32"),
+        "para": pd.Series([s.para for s in out], dtype="int32"),
+        "style_ref": pd.Series([s.style_ref for s in out], dtype="object"),
+    }
+    if with_words:
+        from ..operators.extract import words_as_rows
+
+        data["words"] = pd.Series(
+            [words_as_rows(s.words) for s in out], dtype="object"
+        )
+    return pd.DataFrame(data)
 
 
 def extract_spans_paged(
@@ -385,6 +411,7 @@ def extract_spans_paged(
     mode: str = "tuned",
     page_partitions: int = 0,
     doc_partitions: int = 0,
+    with_words: bool = False,
 ) -> DataFrame:
     """Page-parallel extraction: identical output to extract_spans, with the
     per-page geometric analysis distributed over (doc_id, page).
@@ -417,6 +444,7 @@ def extract_spans_paged(
         # satisfies the groupBy's required distribution, so no second
         # exchange is added.
         structure = structure.repartition(page_partitions, "doc_id")
+    schema = OUTPUT_SCHEMA_WORDS if with_words else OUTPUT_SCHEMA
     return structure.groupBy("doc_id").applyInPandas(
-        lambda key, pdf: _stage_c(key, pdf, cfg), schema=OUTPUT_SCHEMA
+        lambda key, pdf: _stage_c(key, pdf, cfg, with_words), schema=schema
     )

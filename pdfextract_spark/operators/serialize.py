@@ -106,21 +106,56 @@ def to_pxml_nested(spans: DataFrame) -> DataFrame:
 
     Scale shape: ONE shuffle (groupBy doc_id); all nesting is higher-order
     Column functions over the per-doc sorted span array — no Python."""
-    rec = F.struct(
+    return _nested_pxml(spans, verbose=False)
+
+
+def to_pxml_words(spans: DataFrame) -> DataFrame:
+    """(doc_id, pxml) — VERBOSE structural rendering: like to_pxml_nested,
+    plus per-word boxes inside every line (Constants.VERBOSE_OUTPUT mode,
+    SimpleXMLOutput.java:103-134 writeLine + :226-242 writeWord +
+    :187-193 writeRectangle). Input must carry the `words` column
+    (extract_spans(with_words=True)).
+
+    Deviations beyond to_pxml_nested's (documented):
+    - box attributes are integers (rounded once, in the engine): the
+      geometry itself is deterministic float32 but float *formatting* is
+      not engine-portable, and the reference's exact float printing is a
+      Java artifact, not a semantic;
+    - the line box is the union of its word boxes (the reference's line pos
+      is the same union computed earlier in its pipeline);
+    - formula lines render as <formula> without word children, exactly like
+      the reference's writeLine formula branch;
+    - page boxes are not emitted (page pos is the trivial union below).
+    The styles block ranks over line AND word style ids, so every word's
+    styleRef resolves even in mixed-style lines."""
+    return _nested_pxml(spans, verbose=True)
+
+
+def _nested_pxml(spans: DataFrame, verbose: bool) -> DataFrame:
+    fields = [
         F.col("seq"), F.col("page"), F.col("para"), F.col("kind"),
         F.col("text"), F.col("media_ref"), F.col("style_ref"),
-    )
+    ]
+    if verbose:
+        fields.append(F.col("words"))
+    rec = F.struct(*fields)
     g = spans.groupBy("doc_id").agg(F.array_sort(F.collect_list(rec)).alias("arr"))
+    line_refs = F.transform(F.col("arr"), lambda s: s["style_ref"])
+    if verbose:
+        ref_pool = F.concat(
+            line_refs,
+            F.flatten(
+                F.transform(
+                    F.col("arr"),
+                    lambda s: F.transform(s["words"], lambda w: w["style_ref"]),
+                )
+            ),
+        )
+    else:
+        ref_pool = line_refs
     g = g.withColumn(
         "srefs",
-        F.array_sort(
-            F.array_distinct(
-                F.filter(
-                    F.transform(F.col("arr"), lambda s: s["style_ref"]),
-                    lambda r: r != F.lit(""),
-                )
-            )
-        ),
+        F.array_sort(F.array_distinct(F.filter(ref_pool, lambda r: r != F.lit("")))),
     )
     arr = F.col("arr")
     srefs = F.col("srefs")
@@ -140,17 +175,45 @@ def to_pxml_nested(spans: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.lit(""))
 
+    def word_elem(w):
+        return F.concat(
+            F.lit('<word value="'), _esc(w["value"]),
+            F.lit('" styleRef="'),
+            F.array_position(srefs, w["style_ref"]).cast("string"),
+            F.lit('" x="'), w["x"].cast("string"),
+            F.lit('" y="'), w["y"].cast("string"),
+            F.lit('" w="'), w["w"].cast("string"),
+            F.lit('" h="'), w["h"].cast("string"),
+            F.lit('"/>'),
+        )
+
     def line_elem(s):
         sid = F.array_position(srefs, s["style_ref"])
-        return F.when(
-            s["kind"] == F.lit("formula"),
-            F.concat(F.lit("<formula>"), _esc(s["text"]), F.lit("</formula>")),
-        ).otherwise(
-            F.concat(
+        if verbose:
+            ws = s["words"]
+            lx = F.array_min(F.transform(ws, lambda w: w["x"]))
+            ly = F.array_min(F.transform(ws, lambda w: w["y"]))
+            lw = F.array_max(F.transform(ws, lambda w: w["x"] + w["w"])) - lx
+            lh = F.array_max(F.transform(ws, lambda w: w["y"] + w["h"])) - ly
+            body = F.concat(
+                F.lit('<line styleRef="'), sid.cast("string"),
+                F.lit('" x="'), lx.cast("string"),
+                F.lit('" y="'), ly.cast("string"),
+                F.lit('" w="'), lw.cast("string"),
+                F.lit('" h="'), lh.cast("string"),
+                F.lit('">\n'),
+                F.array_join(F.transform(ws, word_elem), "\n"),
+                F.lit("\n</line>"),
+            )
+        else:
+            body = F.concat(
                 F.lit('<line styleRef="'), sid.cast("string"), F.lit('">'),
                 _esc(s["text"]), F.lit("</line>"),
             )
-        )
+        return F.when(
+            s["kind"] == F.lit("formula"),
+            F.concat(F.lit("<formula>"), _esc(s["text"]), F.lit("</formula>")),
+        ).otherwise(body)
 
     def para_str(ps):
         media = F.filter(ps, lambda s: s["kind"] == F.lit("media"))
@@ -235,6 +298,103 @@ sd AS (
 lines AS (
   SELECT s.*, sd.sid FROM spans s
   LEFT JOIN sd ON s.doc_id = sd.doc_id AND s.style_ref = sd.style_ref
+),
+paras AS (
+  SELECT doc_id, page, para, min(seq) AS pseq,
+    CASE WHEN count(CASE WHEN kind = 'media' THEN 1 END) > 0 THEN
+      CASE WHEN count(CASE WHEN kind <> 'media' THEN 1 END) > 0 THEN
+        '<graphics ref="' || {_sql_esc(media_ref)} || '">' || chr(10) ||
+        string_agg(CASE WHEN kind <> 'media' THEN {line_elem} END,
+                   chr(10) ORDER BY seq) || chr(10) || '</graphics>'
+      ELSE '<graphics ref="' || {_sql_esc(media_ref)} || '"/>'
+      END
+    ELSE
+      '<paragraph seqno="' || min(seq) || '">' || chr(10) ||
+      string_agg({line_elem}, chr(10) ORDER BY seq) || chr(10) || '</paragraph>'
+    END AS pstr
+  FROM lines GROUP BY doc_id, page, para
+),
+pages AS (
+  SELECT doc_id, page, min(pseq) AS first_seq,
+    CASE WHEN page = -1
+         THEN '<front>' || chr(10) ||
+              string_agg(pstr, chr(10) ORDER BY pseq) || chr(10) || '</front>'
+         ELSE '<page num="' || page || '">' || chr(10) ||
+              string_agg(pstr, chr(10) ORDER BY pseq) || chr(10) || '</page>'
+    END AS pagestr
+  FROM paras GROUP BY doc_id, page
+),
+styleblocks AS (
+  SELECT doc_id,
+         '<styles>' || chr(10) ||
+         string_agg('<style id="' || sid || '" name="' || {_sql_esc('style_ref')}
+                    || '"/>', chr(10) ORDER BY sid) || chr(10) || '</styles>'
+         || chr(10) AS sb
+  FROM sd GROUP BY doc_id
+),
+docs AS (
+  SELECT doc_id,
+         string_agg(pagestr, chr(10) ORDER BY page) AS body
+  FROM pages GROUP BY doc_id
+)
+SELECT d.doc_id,
+       '<document id="' || {_sql_esc('d.doc_id')} || '">' || chr(10) ||
+       coalesce(s.sb, '') || d.body || chr(10) || '</document>' AS pxml
+FROM docs d LEFT JOIN styleblocks s ON d.doc_id = s.doc_id
+"""
+
+
+def sql_to_pxml_words(spans_sql: str) -> str:
+    """DuckDB mirror of to_pxml_words over a structured spans relation that
+    also carries `words` (list<struct<value, style_ref, x, y, w, h>>) — in
+    practice the word-box fixture written by tools/gen_expected_spans.py."""
+    word_elem = (
+        "'<word value=\"' || " + _sql_esc("(w).value")
+        + " || '\" styleRef=\"' || wsd.sid"
+        + " || '\" x=\"' || (w).x || '\" y=\"' || (w).y"
+        + " || '\" w=\"' || (w).w || '\" h=\"' || (w).h || '\"/>'"
+    )
+    line_elem = (
+        "CASE WHEN kind = 'formula' THEN '<formula>' || "
+        + _sql_esc("text")
+        + " || '</formula>' ELSE "
+        "'<line styleRef=\"' || coalesce(sid, 0) || '\" x=\"' || lx || "
+        "'\" y=\"' || ly || '\" w=\"' || (lex - lx) || '\" h=\"' || (ley - ly) "
+        "|| '\">' || chr(10) || welems || chr(10) || '</line>' END"
+    )
+    media_ref = "max(CASE WHEN kind = 'media' THEN media_ref END)"
+    return f"""
+WITH spans AS ({spans_sql}),
+sd AS (
+  SELECT doc_id, style_ref,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY style_ref) AS sid
+  FROM (
+    SELECT DISTINCT doc_id, style_ref FROM (
+      SELECT doc_id, style_ref FROM spans WHERE style_ref <> ''
+      UNION ALL
+      SELECT doc_id, (w).style_ref AS style_ref FROM (
+        SELECT doc_id, unnest(words) AS w FROM spans
+      ) WHERE (w).style_ref <> ''
+    )
+  )
+),
+wordelems AS (
+  SELECT u.doc_id, u.seq,
+         string_agg({word_elem}, chr(10) ORDER BY wi) AS welems,
+         min((w).x) AS lx, min((w).y) AS ly,
+         max((w).x + (w).w) AS lex, max((w).y + (w).h) AS ley
+  FROM (
+    SELECT doc_id, seq, generate_subscripts(words, 1) AS wi, unnest(words) AS w
+    FROM spans
+  ) u
+  LEFT JOIN sd wsd ON u.doc_id = wsd.doc_id AND (w).style_ref = wsd.style_ref
+  GROUP BY u.doc_id, u.seq
+),
+lines AS (
+  SELECT s.*, sd.sid, we.welems, we.lx, we.ly, we.lex, we.ley
+  FROM spans s
+  LEFT JOIN sd ON s.doc_id = sd.doc_id AND s.style_ref = sd.style_ref
+  LEFT JOIN wordelems we ON s.doc_id = we.doc_id AND s.seq = we.seq
 ),
 paras AS (
   SELECT doc_id, page, para, min(seq) AS pseq,

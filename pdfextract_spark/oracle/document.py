@@ -60,6 +60,31 @@ class OutSpan:
     page: int = -1
     para: int = -1
     style_ref: str = ""
+    # VERBOSE word boxes (round-4): per-word (value, style_ref, x, y, w, h)
+    # for line-kind spans, the writeWord analog (SimpleXMLOutput.java:103-134,
+    # 226-242). Geometry is integer-rounded AT EMISSION (in Python, from the
+    # bit-identical float32 word table both implementations share) so the
+    # XML sinks never format floats — cross-engine float *formatting* is not
+    # deterministic, integer attributes are. () unless emit_words was set:
+    # the payload costs Arrow width, so the flagship path never carries it.
+    words: tuple = ()
+
+
+def _line_words(line: Line) -> tuple:
+    """writeWord payload for one line: (value, style_ref, x, y, w, h) per
+    word, geometry rounded to ints (round-half-even on the shared float32
+    values — identical in oracle and engine by construction)."""
+    return tuple(
+        (
+            w.text,
+            w.style.style_id,
+            int(round(float(w.pos.x))),
+            int(round(float(w.pos.y))),
+            int(round(float(w.pos.w))),
+            int(round(float(w.pos.h))),
+        )
+        for w in line.words
+    )
 
 
 def _glyphs_for_page(table: CharTable, mask: np.ndarray, styles: List[Style]) -> List[Glyph]:
@@ -277,6 +302,7 @@ def extract_document(
     media_refs: Sequence[str],
     offsets: Sequence[int],
     cfg: EngineConfig = CONFIG,
+    emit_words: bool = False,
 ) -> List[OutSpan]:
     # spans must be processed in offset order
     order = np.argsort(np.asarray(offsets, dtype=np.int64), kind="stable")
@@ -326,18 +352,23 @@ def extract_document(
     out: List[OutSpan] = []
     seq = 0
     front_para = 0
+    def _words_of(line: Line) -> tuple:
+        return _line_words(line) if emit_words else ()
+
     if title is not None:
         for line in title.lines:
             out.append(OutSpan(seq, "title", line.text, "", _line_offset(line),
                                page=-1, para=front_para,
-                               style_ref=line.dominating_style().style_id))
+                               style_ref=line.dominating_style().style_id,
+                               words=_words_of(line)))
             seq += 1
         front_para += 1
     for p_abs in abstract:
         for line in p_abs.lines:
             out.append(OutSpan(seq, "abstract", line.text, "", _line_offset(line),
                                page=-1, para=front_para,
-                               style_ref=line.dominating_style().style_id))
+                               style_ref=line.dominating_style().style_id,
+                               words=_words_of(line)))
             seq += 1
         front_para += 1
 
@@ -371,7 +402,8 @@ def extract_document(
                     role = "formula"
                 out.append(OutSpan(seq, role, obj.text, "", _line_offset(obj),
                                    page=p, para=pi,
-                                   style_ref=obj.dominating_style().style_id))
+                                   style_ref=obj.dominating_style().style_id,
+                                   words=_words_of(obj)))
                 seq += 1
             else:
                 out.append(OutSpan(seq, "media", "", obj.media_ref, obj.offset,

@@ -651,6 +651,24 @@ def sql_expected_spans_structured(sf: str | None = None):
     )
 
 
+def sql_expected_spans_words(sf: str | None = None):
+    """10-column oracle relation (adds the VERBOSE per-word boxes) for the
+    word-level sink; None when the fixture lacks the column (pre-round-4
+    fixture) or does not exist."""
+    sf = sf if sf is not None else _oracle_sf()
+    path = os.path.join(_FIXTURE_DIR, f"expected_spans_sf{sf}.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    if "words" not in pq.read_schema(path).names:
+        return None
+    return (
+        f"SELECT doc_id, seq, kind, text, media_ref, \"offset\", "
+        f"page, para, style_ref, words FROM read_parquet('{path}')"
+    )
+
+
 def q_extract_pipeline(spark, sf_dir):
     """Flagship: full extraction over the interleaved corpus, value-checked
     against the precomputed Python-oracle span fixture (sql_expected_spans).
@@ -698,6 +716,21 @@ def q_serialize_pxml_nested(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return to_pxml_nested(extract_spans(documents_to_interleaved(docs)))
+
+
+def q_serialize_pxml_words(spark, sf_dir):
+    """VERBOSE .pxml sink (Constants.VERBOSE_OUTPUT analog): the LIVE engine
+    runs with with_words=True and the sink renders per-word <word value
+    styleRef x y w h/> elements inside integer-boxed lines
+    (SimpleXMLOutput.java:103-134, 226-242); value-checked against the
+    Python-oracle word-box fixture run through the DuckDB verbose mirror —
+    word geometry equality is checked end-to-end, not just text."""
+    from .operators.serialize import to_pxml_words
+
+    docs = _t(spark, sf_dir, "documents")
+    return to_pxml_words(
+        extract_spans(documents_to_interleaved(docs), with_words=True)
+    )
 
 
 def q_extract_dehyphenated(spark, sf_dir):
@@ -936,4 +969,7 @@ def oracle_sql() -> Dict[str, str]:
     structured = sql_expected_spans_structured()
     if structured is not None:
         out["serialize_pxml_nested"] = serialize.sql_to_pxml_nested(structured)
+    with_words = sql_expected_spans_words()
+    if with_words is not None:
+        out["serialize_pxml_words"] = serialize.sql_to_pxml_words(with_words)
     return out

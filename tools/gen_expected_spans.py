@@ -32,6 +32,7 @@ FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__fil
 
 
 def expected_for_sf(spark, sf_dir: str) -> pd.DataFrame:
+    from pdfextract_spark.operators.extract import words_as_rows
     from pdfextract_spark.oracle.document import extract_document
     from pdfextract_spark.sources.adapters import documents_to_interleaved
 
@@ -40,7 +41,7 @@ def expected_for_sf(spark, sf_dir: str) -> pd.DataFrame:
 
     cols = [
         "doc_id", "seq", "kind", "text", "media_ref", "offset",
-        "page", "para", "style_ref",
+        "page", "para", "style_ref", "words",
     ]
     out = {c: [] for c in cols}
     for doc_id, spans in zip(inter["doc_id"], inter["spans"]):
@@ -50,6 +51,7 @@ def expected_for_sf(spark, sf_dir: str) -> pd.DataFrame:
             [s["text"] for s in spans],
             [s["media_ref"] for s in spans],
             [int(s["offset"]) for s in spans],
+            emit_words=True,
         )
         for sp in result:
             out["doc_id"].append(doc_id)
@@ -61,6 +63,7 @@ def expected_for_sf(spark, sf_dir: str) -> pd.DataFrame:
             out["page"].append(sp.page)
             out["para"].append(sp.para)
             out["style_ref"].append(sp.style_ref)
+            out["words"].append(words_as_rows(sp.words))
     return pd.DataFrame(
         {
             "doc_id": pd.Series(out["doc_id"], dtype="object"),
@@ -72,7 +75,17 @@ def expected_for_sf(spark, sf_dir: str) -> pd.DataFrame:
             "page": pd.Series(out["page"], dtype="int32"),
             "para": pd.Series(out["para"], dtype="int32"),
             "style_ref": pd.Series(out["style_ref"], dtype="object"),
+            "words": pd.Series(out["words"], dtype="object"),
         }
+    )
+
+
+def _norm_words(cell) -> tuple:
+    """Canonical tuple form for a words cell (list of dicts OR Spark Rows)."""
+    return tuple(
+        (d["value"], d["style_ref"], int(d["x"]), int(d["y"]),
+         int(d["w"]), int(d["h"]))
+        for d in cell
     )
 
 
@@ -96,19 +109,29 @@ def main(sfs) -> int:
         sf_dir = f"/root/testdata/sf{sf}"
         exp = expected_for_sf(spark, sf_dir).sort_values(["doc_id", "seq"]).reset_index(drop=True)
 
-        # cross-check: the vectorized engine must agree span-for-span
+        # cross-check: the vectorized engine must agree span-for-span,
+        # including the VERBOSE word boxes (Rows vs dicts -> canonical tuples)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         got = (
-            extract_spans(documents_to_interleaved(docs))
+            extract_spans(documents_to_interleaved(docs), with_words=True)
             .toPandas()
             .sort_values(["doc_id", "seq"])
             .reset_index(drop=True)
         )
-        if not got.equals(exp):
+        flat = [c for c in exp.columns if c != "words"]
+        words_match = (
+            len(got) == len(exp)
+            and all(
+                _norm_words(a) == _norm_words(b)
+                for a, b in zip(got["words"], exp["words"])
+            )
+        )
+        if not got[flat].equals(exp[flat]) or not words_match:
             print(f"sf{sf}: ENGINE != ORACLE — fixture NOT written")
-            bad = (got != exp).any(axis=1) if len(got) == len(exp) else None
-            print(f"  engine rows={len(got)} oracle rows={len(exp)}")
-            if bad is not None:
+            print(f"  engine rows={len(got)} oracle rows={len(exp)}; "
+                  f"words_match={words_match}")
+            if len(got) == len(exp):
+                bad = (got[flat] != exp[flat]).any(axis=1)
                 print(got[bad].head(5))
                 print(exp[bad].head(5))
             rc = 1
