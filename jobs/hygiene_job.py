@@ -7,14 +7,16 @@
         [--min-df 10] [--boiler-cap 256] [--sample-pct 100] \\
         [--pack-budget 0] [--n-streams 64]
 
-The C4/Gopher-style recipe, stage order: corpus-wide boilerplate-line strip
--> PII redaction -> quality gates -> exact-dedup keeper selection ->
-deterministic hash sample -> optional sequence packing.
+The C4/Gopher/CCNet-style recipe, stage order: corpus-wide boilerplate-line
+strip -> PII redaction -> quality gates -> unigram-LM perplexity gate ->
+exact-dedup keeper selection -> deterministic hash sample -> optional
+sequence packing.
 
 Scale discipline: every per-document stage is computed as a FLAG or
 TRANSFORM COLUMN on one DataFrame — the corpus is traversed, not
 re-filtered stage by stage. Total corpus passes: ONE boilerplate census
 (persisted; the capped set and the overflow report both read it), the
+LM token census + doc_id score join (disable with --ppx-gate 0), the
 dedup-keeper window (one shuffle on the content hash), one metrics
 aggregate, one filtered write (+ the packing shuffle when --pack-budget
 is set). Every drop is counted in metrics.json — stages never discard
@@ -40,11 +42,18 @@ def main() -> None:
     ap.add_argument("--sample-pct", type=int, default=100)
     ap.add_argument("--pack-budget", type=int, default=0)
     ap.add_argument("--n-streams", type=int, default=64)
+    ap.add_argument(
+        "--ppx-gate",
+        type=int,
+        default=None,
+        help="unigram-LM perplexity gate in 1/16-bit mean-surprisal units "
+        "(default: textops.PPX_GATE_Q4); 0 disables the stage",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("pdfextract-spark-hygiene").getOrCreate()
     # imports AFTER the session exists so --py-files zips resolve on executors
-    from pdfextract_spark.functions import packing, webclean
+    from pdfextract_spark.functions import packing, textops, webclean
     from pdfextract_spark.sources.readers import read_documents
 
     docs = read_documents(spark, args.input).select(
@@ -99,6 +108,25 @@ def main() -> None:
     )
     df = df.withColumn("ok_quality", ok_quality)
 
+    # -- stage 3b: unigram-LM perplexity gate (CCNet's model-based half of
+    # the quality filter; the rule gates above are the heuristic half).
+    # Trains the capped-vocabulary LM on the post-strip corpus itself (one
+    # token census) and flags the high-perplexity tail. Cost: the census
+    # shuffle + one doc_id join; docs with zero tokens carry no LM evidence
+    # and are left unflagged (the rule gates already drop them). -----------
+    ppx_gate = args.ppx_gate if args.ppx_gate is not None else textops.PPX_GATE_Q4
+    if ppx_gate > 0:
+        ppx = textops.unigram_perplexity(df.select("doc_id", "text")).select(
+            "doc_id",
+            "mean_surprisal_q4",
+            (F.col("mean_surprisal_q4") > ppx_gate).alias("ppx_flag"),
+        )
+        df = df.join(ppx, "doc_id", "left").withColumn(
+            "ppx_flag", F.coalesce(F.col("ppx_flag"), F.lit(False))
+        )
+    else:
+        df = df.withColumn("ppx_flag", F.lit(False))
+
     # -- stage 4: exact-dedup keeper (one shuffle on the content hash) ------
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     df = df.withColumn("is_keeper", F.row_number().over(w) == 1)
@@ -108,7 +136,11 @@ def main() -> None:
     bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100
     df = df.withColumn("sampled", bucket < args.sample_pct)
     df = df.withColumn(
-        "keep", F.col("ok_quality") & F.col("is_keeper") & F.col("sampled")
+        "keep",
+        F.col("ok_quality")
+        & ~F.col("ppx_flag")
+        & F.col("is_keeper")
+        & F.col("sampled"),
     )
 
     # -- metrics (ONE aggregate pass) + filtered write (one more) -----------
@@ -117,6 +149,7 @@ def main() -> None:
         F.sum("boiler_removed").alias("boiler_lines_removed"),
         F.sum("pii_found").alias("pii_redacted"),
         F.sum(F.when(~F.col("ok_quality"), 1).otherwise(0)).alias("dropped_quality"),
+        F.sum(F.when(F.col("ppx_flag"), 1).otherwise(0)).alias("dropped_perplexity"),
         F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0)).alias("dropped_dups"),
         F.sum(F.when(~F.col("sampled"), 1).otherwise(0)).alias("dropped_sample"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("docs_out"),
@@ -144,6 +177,8 @@ def main() -> None:
         },
         "pii_redacted": int(m.pii_redacted or 0),
         "dropped_quality": int(m.dropped_quality or 0),
+        "dropped_perplexity": int(m.dropped_perplexity or 0),
+        "ppx_gate": ppx_gate,
         "dropped_dups": int(m.dropped_dups or 0),
         "dropped_sample": int(m.dropped_sample or 0),
         "packed": bool(args.pack_budget > 0),

@@ -1,10 +1,14 @@
 """Text-analysis operators over the `documents` table.
 
-All pure Column expressions (whole-stage-codegen friendly, zero shuffle):
+Pure Column expressions (whole-stage-codegen friendly, zero shuffle):
 - language ID: stopword-lexicon hit counts, deterministic argmax
 - BPE-ish tokenization: letter-runs / digit-runs / punct-runs regex
 - rolling-hash fingerprint: Horner fold over word hashes mod P31
 (quality scoring and whitespace tokenization live in queries.py since r1)
+
+Plus the one shuffle-bearing member: the unigram-LM perplexity filter
+(one token-census groupBy + a capped-vocabulary broadcast join — see the
+section comment at the bottom of the file).
 """
 
 from __future__ import annotations
@@ -222,4 +226,117 @@ SELECT t.doc_id,
   ROUND(COALESCE(bga.topc, 0) * 1.0 / GREATEST(t.n - 1, 1), 4) AS top_bigram_frac,
   ROUND(COALESCE(tga.dup, 0) * 1.0 / GREATEST(t.n - 2, 1), 4) AS dup_trigram_frac
 FROM t LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM perplexity quality filter (CCNet's missing half next to the
+# Gopher gates, round-3 verdict task 7). CCNet scores documents with a
+# pretrained KenLM and drops the high-perplexity tail; this engine trains
+# the unigram model from the corpus itself (one census shuffle — the same
+# shape as the boilerplate census) and scores every document against it.
+#
+# Float trap, solved with integer fixed-point log2: Spark's log2 is
+# java.lang.Math-based and DuckDB's is libm-based — the two can disagree by
+# 1 ulp, which flips floor() at bucket boundaries and breaks the driver's
+# value-hash gate. So surprisal is computed ENTIRELY in int64:
+#   q   = (T * PRESCALE) // c            (exact integer ratio, >= PRESCALE)
+#   e0  = length(bin(q)) - 1             (exact floor(log2 q) via the binary
+#                                         string — no float log anywhere)
+#   m16 = (q * 16) >> e0                 (top 4 mantissa bits, in [16, 32))
+#   s16 = 16*e0 + m16 - 16 - 16*log2(PRESCALE)
+# s16 is the classic "exponent + linear mantissa" log2 in 1/16-bit units
+# (error <= ~0.18 bits: 0.086 linear-mantissa bias + 0.088 four-bit floor,
+# weakly monotone in q); both engines produce bit-identical values because
+# every step is int64 arithmetic.
+#
+# Scale shape: census = ONE groupBy(token) shuffle; the LM is the top
+# VOCAB_CAP tokens (HARD cap, deterministic count-desc/token-asc order —
+# the broadcast is provably bounded, satisfying the scale lint); corpus
+# total T rides a 1-row crossJoin; scoring is a broadcast join + one
+# groupBy(doc_id). OOV tokens score as singleton events (c = OOV_COUNT).
+# int64 headroom: T * PRESCALE overflows past ~9e15 tokens — at that scale
+# shard the census or raise to a 128-bit fold (documented dial).
+
+VOCAB_CAP = 4096      # LM vocabulary size — the broadcast's hard cap
+OOV_COUNT = 1         # unseen tokens modeled as count-1 events
+LM_PRESCALE = 1024    # keeps >= 10 ratio bits before the integer log
+PPX_GATE_Q4 = 224     # flag when mean surprisal > 14.0 bits (224 / 16)
+
+
+def _surprisal16(q):
+    """1/16-bit fixed-point log2 of integer column q (>= 1), minus the
+    LM_PRESCALE bias. Pure int64 — bit-identical on Spark and DuckDB."""
+    e0 = F.expr("length(bin(_lm_q)) - 1")
+    m16 = F.expr("shiftright(_lm_q * 16, length(bin(_lm_q)) - 1)")
+    bias = 16 + 16 * (LM_PRESCALE.bit_length() - 1)
+    return 16 * e0 + m16 - F.lit(bias)
+
+
+def unigram_perplexity(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_surprisal_q4, ppx_flag) for every document
+    with >= 1 whitespace token. mean_surprisal_q4 is the per-token average
+    surprisal under the corpus-trained unigram LM, in 1/16-bit units
+    (perplexity = 2^(mean_surprisal_q4 / 16)); ppx_flag marks the
+    high-perplexity tail a CCNet-style hygiene pass drops."""
+    tok = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    census = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = census.orderBy(F.desc("c"), F.asc("token")).limit(VOCAB_CAP)
+    total = census.agg(F.sum("c").alias("_lm_t"))
+    scored = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(total)  # 1-row frame; AQE broadcasts it at runtime
+        .withColumn(
+            "_lm_q",
+            F.expr(
+                f"(_lm_t * {LM_PRESCALE}) div coalesce(c, {OOV_COUNT})"
+            ).cast("long"),
+        )
+        .withColumn("_lm_s16", _surprisal16(F.col("_lm_q")).cast("long"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("_lm_s16").alias("_lm_sum"),
+    )
+    mean = F.expr("_lm_sum div n_tokens").cast("long")
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        mean.alias("mean_surprisal_q4"),
+        (mean > PPX_GATE_Q4).alias("ppx_flag"),
+    )
+
+
+def sql_unigram_perplexity(table: str = "documents") -> str:
+    bias = 16 + 16 * (LM_PRESCALE.bit_length() - 1)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           unnest(string_split(lower(text), ' ')) AS token
+    FROM {table}
+  ) WHERE token <> ''
+),
+census AS (SELECT token, COUNT(*)::BIGINT AS c FROM tok GROUP BY token),
+vocab AS (SELECT token, c FROM census ORDER BY c DESC, token ASC LIMIT {VOCAB_CAP}),
+total AS (SELECT SUM(c)::BIGINT AS t FROM census),
+scored AS (
+  SELECT tok.doc_id,
+         ((total.t * {LM_PRESCALE}) // COALESCE(vocab.c, {OOV_COUNT}))::BIGINT AS q
+  FROM tok LEFT JOIN vocab USING (token) CROSS JOIN total
+),
+s AS (
+  SELECT doc_id,
+         (16 * (length(bin(q)) - 1)
+          + ((q * 16) >> (length(bin(q)) - 1)) - {bias})::BIGINT AS s16
+  FROM scored
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       (SUM(s16)::BIGINT // COUNT(*)::BIGINT)::BIGINT AS mean_surprisal_q4,
+       (SUM(s16)::BIGINT // COUNT(*)::BIGINT) > {PPX_GATE_Q4} AS ppx_flag
+FROM s GROUP BY doc_id
 """

@@ -413,12 +413,25 @@ def q_sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-shaped keeper selection: embedding-level near-dup clusters
+    (ann_lsh_pairs at cos >= 0.9 over the planted-duplicate corpus) ->
+    connected components -> keeper = cluster representative."""
+    return similarity.semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
 def q_embed_label_centroids(spark, sf_dir):
     return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
 
 
 def q_text_lang_id(spark, sf_dir):
     return textops.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_perplexity(spark, sf_dir):
+    """CCNet-style unigram-LM perplexity score + high-perplexity flag,
+    integer fixed-point log2 end-to-end (Spark == DuckDB bit-exact)."""
+    return textops.unigram_perplexity(_t(spark, sf_dir, "documents"))
 
 
 def q_text_bpe_tokens(spark, sf_dir):
@@ -836,15 +849,25 @@ def _sql_dehyphenate_op() -> str:
 
 
 def queries() -> Dict[str, Callable]:
+    # Ordered so the driver's first-50 correctness window always covers the
+    # entries with the least accumulated driver evidence (round-3 verdict
+    # task 1): the extraction/serializer family and this round's new
+    # operators lead; the 8 entries parked past position 50 are the
+    # relational/text veterans green in r01+r02+r03 (and still pytest- and
+    # check_oracle-gated every round).
     return {
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
-        "filter_high_value": q_filter_high_value,
-        "topk_customers": q_topk_customers,
-        "window_sessionize": q_window_sessionize,
-        "distinct_event_types": q_distinct_event_types,
-        "text_token_count": q_text_token_count,
-        "text_quality": q_text_quality,
+        "extract_pipeline": q_extract_pipeline,
+        "extract_paged": q_extract_paged,
+        "extract_dehyphenated": q_extract_dehyphenated,
+        "dehyphenate_op": q_dehyphenate_op,
+        "serialize_pxml": q_serialize_pxml,
+        "serialize_tei": q_serialize_tei,
+        "serialize_pxml_nested": q_serialize_pxml_nested,
+        "serialize_pxml_words": q_serialize_pxml_words,
+        "dedup_semantic": q_dedup_semantic,
+        "text_perplexity": q_text_perplexity,
+        "extract_media_preservation": q_extract_media_preservation,
+        "extract_char_conservation": q_extract_char_conservation,
         "text_quality_rules": q_text_quality_rules,
         "text_vocabulary": q_text_vocabulary,
         "text_length_quantiles": q_text_length_quantiles,
@@ -883,16 +906,17 @@ def queries() -> Dict[str, Callable]:
         "html_block_stats": q_html_block_stats,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         "multimodal_resize": q_multimodal_resize,
+        # --- position >50: driver's correctness window ends above; these 8
+        # have green driver rows in all of r01/r02/r03 ---
         "multimodal_frames": q_multimodal_frames,
-        "extract_media_preservation": q_extract_media_preservation,
-        "extract_char_conservation": q_extract_char_conservation,
-        "extract_pipeline": q_extract_pipeline,
-        "extract_paged": q_extract_paged,
-        "extract_dehyphenated": q_extract_dehyphenated,
-        "dehyphenate_op": q_dehyphenate_op,
-        "serialize_pxml": q_serialize_pxml,
-        "serialize_tei": q_serialize_tei,
-        "serialize_pxml_nested": q_serialize_pxml_nested,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "filter_high_value": q_filter_high_value,
+        "topk_customers": q_topk_customers,
+        "window_sessionize": q_window_sessionize,
+        "distinct_event_types": q_distinct_event_types,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
     }
 
 
@@ -923,8 +947,10 @@ def oracle_sql() -> Dict[str, str]:
         "sim_ann_lsh": similarity.sql_ann_lsh_pairs(),
         "sim_ann_hot_buckets": similarity.sql_ann_oversized_buckets(),
         "sim_ivf_topk": similarity.sql_ivf_topk(),
+        "dedup_semantic": similarity.sql_semantic_dedup(),
         "embed_label_centroids": similarity.sql_label_centroids_agg(),
         "text_lang_id": textops.sql_language_id(),
+        "text_perplexity": textops.sql_unigram_perplexity(),
         "text_bpe_tokens": textops.sql_bpe_token_stats(),
         "text_rolling_fingerprint": textops.sql_rolling_fingerprint(),
         "text_repetition": textops.sql_repetition_stats(),

@@ -82,3 +82,43 @@ def test_hygiene_job_drops_planted_duplicates_and_junk(tmp_path):
         for r in con.sql(f"SELECT doc_id FROM '{out}/clean/*.parquet'").fetchall()
     }
     assert kept == {"1", "4"}
+
+
+def test_hygiene_job_perplexity_gate_drops_gibberish(tmp_path):
+    """A gibberish doc that PASSES every rule gate (word count, word length,
+    digit ratio, stopword hit) but is all corpus-singleton tokens must be
+    dropped by the LM gate, with the drop counted in metrics.json."""
+    src = str(tmp_path / "in.parquet")
+    con = duckdb.connect()
+    # 200 normal docs sharing a small vocabulary (low surprisal) + 1 doc of
+    # unique tokens (each a corpus singleton -> surprisal ~ log2(T)); the
+    # per-doc suffix keeps every LINE unique so the boilerplate stage (which
+    # runs before the LM census) strips nothing
+    con.sql(
+        "COPY (SELECT i AS doc_id, "
+        "  'the quick brown fox jumps over the lazy dog again and v' || i AS text "
+        "FROM range(200) t(i) "
+        "UNION ALL SELECT 999, 'the ' || list_aggr(list_transform(range(30), "
+        "  j -> 'zx' || j || 'qv'), 'string_agg', ' ')"
+        f") TO '{src}' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "hyg")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "hygiene_job.py"),
+            "--input", src, "--output", out, "--ppx-gate", "160",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    assert metrics["dropped_perplexity"] == 1
+    assert metrics["ppx_gate"] == 160
+    kept = {
+        r[0]
+        for r in con.sql(f"SELECT doc_id FROM '{out}/clean/*.parquet'").fetchall()
+    }
+    assert "999" not in kept
+    # the gibberish doc passed the RULE gates (it was the LM that caught it)
+    assert metrics["dropped_quality"] == 0
