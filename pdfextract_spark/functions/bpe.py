@@ -55,10 +55,11 @@ def _initial_state(documents: DataFrame) -> DataFrame:
     return wc.select("c", s.alias("s"))
 
 
-def bpe_train_merges(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
-    """(round, left_sym, right_sym, pair_count) — the learned merge table,
-    one row per round in merge order."""
-    spark = documents.sparkSession
+def _train_merges_py(documents: DataFrame, n_merges: int = N_MERGES) -> list:
+    """The trainer loop, returning the merge table as a Python list of
+    (round, left_sym, right_sym, pair_count). Driver traffic is the K
+    one-row argmax collects the module docstring audits; the list itself is
+    K rows — bounded by the n_merges constant, never by the corpus."""
     state = _initial_state(documents).localCheckpoint(eager=True)
     merges = []
     for r in range(1, n_merges + 1):
@@ -96,9 +97,98 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = N_MERGES) -> DataFram
         state = state.withColumn(
             "s", F.replace("s", F.lit(pat), F.lit(rep))
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "round int, left_sym string, right_sym string, pair_count long"
+    return merges
+
+
+def bpe_train_merges(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """(round, left_sym, right_sym, pair_count) — the learned merge table,
+    one row per round in merge order."""
+    return documents.sparkSession.createDataFrame(
+        _train_merges_py(documents, n_merges),
+        "round int, left_sym string, right_sym string, pair_count long",
     )
+
+
+def bpe_encode(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """(doc_id, n_words, n_tokens_bpe, first_word_tokens) — apply the
+    corpus-trained merge table to every document (the tokenizer-APPLICATION
+    pass; bpe_train_merges is the training pass). Encoding is the same
+    padded-string replace fold the trainer uses, expressed as a pure Column
+    chain: each word is padded to its symbol string, the K merges are
+    applied in rank order as non-overlapping left-to-right replaces, and
+    the surviving symbol count is the token count. One narrow pass over the
+    corpus — the merge table itself is K constants (collected by the
+    trainer's audited 1-row-per-round driver traffic), so encoding adds NO
+    shuffle and no per-row Python.
+
+    first_word_tokens (the first word's symbols joined by spaces) makes the
+    tokenization itself part of the checked relation, not just its size."""
+    merges = _train_merges_py(documents, n_merges)
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+
+    def encode_word(w):
+        s = F.concat(
+            F.lit(SEP2),
+            F.regexp_replace(w, "(.)", "$1" + SEP2),
+            F.lit(EOW + SEP2),
+        )
+        for _r, a, b, _c in merges:
+            s = F.replace(
+                s, F.lit(SEP + a + SEP2 + b + SEP), F.lit(SEP + a + b + SEP)
+            )
+        return F.filter(F.split(s, SEP2), lambda x: x != "")
+
+    toks = F.transform(words, encode_word)
+    n_tokens = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.size(t)
+    )
+    first = F.when(
+        F.size(toks) > 0, F.array_join(F.element_at(toks, 1), " ")
+    ).otherwise(F.lit(""))
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(words).cast("long").alias("n_words"),
+        n_tokens.alias("n_tokens_bpe"),
+        first.alias("first_word_tokens"),
+    )
+
+
+def sql_bpe_encode(n_merges: int = N_MERGES, table: str = "documents") -> str:
+    """DuckDB mirror: the training CTE chain of sql_bpe_train_merges plus
+    the same per-word replace fold, merge literals pulled from the m{r}
+    CTEs as scalar subqueries."""
+    train = sql_bpe_train_merges(n_merges, table)
+    ctes = train[len("WITH ") : train.index("\nSELECT round")]
+    # DuckDB forbids scalar subqueries INSIDE lambda bodies, so the merge
+    # scalars are hoisted into a one-row CTE cross-joined onto the corpus;
+    # the lambda then references them as plain (correlated) columns
+    mm_cols = ", ".join(
+        f"(SELECT a FROM m{r}) AS a{r}, (SELECT b FROM m{r}) AS b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    pad = f"'{SEP2}' || regexp_replace(w, '(.)', '\\1{SEP2}', 'g') || '{EOW}{SEP2}'"
+    s = pad
+    for r in range(1, n_merges + 1):
+        s = (
+            f"replace({s}, '{SEP}' || a{r} || '{SEP2}' || b{r} || '{SEP}', "
+            f"'{SEP}' || a{r} || b{r} || '{SEP}')"
+        )
+    return f"""WITH {ctes},
+mm AS (SELECT {mm_cols}),
+enc AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_transform(
+           list_filter(string_split(text, ' '), w -> w <> ''),
+           w -> list_filter(string_split({s}, '{SEP2}'), x -> x <> '')
+         ) AS toks,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words
+  FROM {table} CROSS JOIN mm)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT)
+         AS n_tokens_bpe,
+       CASE WHEN len(toks) > 0 THEN array_to_string(toks[1], ' ')
+            ELSE '' END AS first_word_tokens
+FROM enc"""
 
 
 def sql_bpe_train_merges(n_merges: int = N_MERGES, table: str = "documents") -> str:

@@ -284,6 +284,13 @@ def unigram_perplexity(documents: DataFrame) -> DataFrame:
         F.explode(F.split(F.lower("text"), " ")).alias("token"),
     ).filter(F.col("token") != "")
     census = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # census feeds TWO consumers (the vocab top-K and the corpus total);
+    # without this the plan re-explodes and re-aggregates the whole corpus
+    # once per consumer (verified via explain: two census Exchanges). The
+    # census is corpus-REDUCED (distinct tokens), so checkpointing it is
+    # the cheap side of the dedup-module rule: checkpoint reduced
+    # multi-consumer frames, never corpus-exploded ones.
+    census = census.localCheckpoint(eager=False)
     vocab = census.orderBy(F.desc("c"), F.asc("token")).limit(VOCAB_CAP)
     total = census.agg(F.sum("c").alias("_lm_t"))
     scored = (

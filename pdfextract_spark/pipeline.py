@@ -91,14 +91,16 @@ def band_for_extraction(
     sized = documents.withColumn("_n_spans", F.size("spans"))
     small = sized.filter(F.col("_n_spans") <= cfg.oversize_span_threshold)
     big = sized.filter(F.col("_n_spans") > cfg.oversize_span_threshold)
-    n_big = big.limit(1).count()
-    small = small.repartition(parallelism * 4)
-    if n_big:
-        big = big.repartition(parallelism)
-        out = small.unionByName(big)
-    else:
-        out = small
-    return out.drop("_n_spans")
+    # unconditional union: the old `big.limit(1).count()` existence probe
+    # launched an extra scan job per bucket whose worst case (NO oversized
+    # docs — the common case) read the whole bucket before concluding the
+    # branch was empty. An empty `big` branch through the union costs only
+    # an empty exchange whose partitions AQE coalesces away.
+    return (
+        small.repartition(parallelism * 4)
+        .unionByName(big.repartition(parallelism))
+        .drop("_n_spans")
+    )
 
 
 def write_bucketed_spans(

@@ -60,3 +60,44 @@ def test_spark_overlap_semantics(spark):
     got = [tuple(r) for r in bpe_train_merges(df, 2).collect()]
     assert got[0] == AAAA_EXPECT_R1
     assert got[1] == (2, "aa", "</w>", 1)
+
+
+# --------------------------------------------------------------- encoding
+# low/lower corpus, 4 merges (LOW_EXPECT): vocabulary after training is
+# {l,o,w,e,r,</w>,lo,low,low</w>,er}. Hand-derived encodings:
+#   "low"   -> pad [l,o,w,</w>] -> lo -> low -> low</w>        = 1 token
+#   "lower" -> [l,o,w,e,r,</w>] -> lo -> low -> (no low</w>) -> er
+#            -> [low, er, </w>]                                 = 3 tokens
+LOW_ENC_EXPECT = {
+    # doc 0 = "low low low": 3 words x 1 token
+    "0": (3, 3, "low</w>"),
+    # doc 1 = "lower lower": 2 words x 3 tokens
+    "1": (2, 6, "low er </w>"),
+}
+
+
+def test_spark_encode_low_lower(spark):
+    from pdfextract_spark.functions.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(LOW_DOCS)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens_bpe"], r["first_word_tokens"])
+        for r in bpe_encode(df, 4).collect()
+    }
+    assert got == LOW_ENC_EXPECT
+
+
+def test_duckdb_encode_low_lower():
+    from pdfextract_spark.functions.bpe import sql_bpe_encode
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(LOW_DOCS):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(sql_bpe_encode(4)).fetchall()
+    }
+    assert got == LOW_ENC_EXPECT
