@@ -1,0 +1,168 @@
+"""Embedding-space k-means over the `embeddings` table (Lloyd's algorithm,
+fixed round count) — the clustering stage of cluster-then-dedup pipelines
+(SemDeDup, Abbas et al. 2023: k-means first, near-dup search within
+clusters) and the training pass behind the IVF coarse quantizer
+(`functions/similarity.ivf_topk` assigns to per-label centroids; this
+module LEARNS centroids when no labels exist).
+
+Determinism contract (the driver hash-compares against DuckDB, so "almost
+the same floats" is a FAIL):
+- embeddings are quantized once to non-negative int64 fixed-point
+  (floor((x + 1.0) * 10^6); inputs are unit-normalized so |x| < 1), and
+  every subsequent op — distances, centroid means — is exact int64
+  arithmetic. Truncating integer division == floor division on the
+  non-negative domain, so Spark's `div` and DuckDB's `//` agree.
+- seeding is md5-ordered (first K vec_ids by md5('km|'||vec_id)): no RNG,
+  no data-order sensitivity, reproducible across runs/retries/engines.
+- argmin ties break toward the smaller cluster id in both engines
+  (lexicographic (dist, k) min).
+
+100 TB shape: each Lloyd round is ONE groupBy(cluster) aggregation with
+map-side partial sums (64 per-dim int64 sums — elementwise, no explode of
+the vector column, no per-dim shuffle rows) whose output is K rows; the
+assignment pass is a narrow Project against K collected centroid literals
+(bounded driver traffic: K rows per round, K=8 — the .collect() allowlist
+argument in tests/test_scale_lint.py). Int64 headroom: per-dim cluster sums
+reach 2*10^6 per vector, so 10^12 vectors per cluster stays under 2^63.
+
+Reference analog: the reference has no clustering stage (its scope ends at
+per-document layout); this is part of the training-data operator family the
+brief adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 2
+FIXED_SCALE = 1_000_000
+DIM = 64  # embeddings table vector width (TESTDATA.md)
+
+
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    q = F.transform(
+        "embedding",
+        lambda e: F.floor((e.cast("double") + F.lit(1.0)) * FIXED_SCALE).cast(
+            "long"
+        ),
+    )
+    h = F.md5(F.concat(F.lit("km|"), F.col("vec_id").cast("string")))
+    return embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"), q.alias("q"), h.alias("h")
+    )
+
+
+def _dist_col(cent: list) -> "F.Column":
+    carr = F.array(*[F.lit(int(v)).cast("long") for v in cent])
+    return F.aggregate(
+        F.zip_with("q", carr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_cols(cents: dict) -> "F.Column":
+    """array_min over (dist, k) structs — lexicographic min, ties to the
+    smaller k, matching the SQL mirror's ROW_NUMBER ORDER BY dist, k."""
+    pairs = F.array(
+        *[
+            F.struct(
+                _dist_col(cents[k]).alias("dist"),
+                F.lit(k).cast("int").alias("k"),
+            )
+            for k in sorted(cents)
+        ]
+    )
+    return F.array_min(pairs)
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = K_CLUSTERS,
+    iters: int = KMEANS_ITERS,
+    dim: int = DIM,
+) -> DataFrame:
+    """(vec_id, cluster, dist) — final Lloyd assignment after `iters`
+    centroid updates from the md5-seeded start. `dist` is the exact int64
+    squared L2 in fixed-point units (a similarity diagnostic and the
+    SemDeDup within-cluster ranking key)."""
+    q = _quantized(embeddings)
+    # bounded driver traffic: K rows (the seed set), then K rows per round
+    seed_rows = q.orderBy("h", "vec_id").limit(k).collect()
+    cents = {i: list(r["q"]) for i, r in enumerate(seed_rows)}
+    for _ in range(iters):
+        best = _assign_cols(cents)
+        assigned = q.select("q", best["k"].alias("cluster"))
+        sums = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[
+                F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        new = sums.select(
+            "cluster", *[F.expr(f"s{i} div cnt").alias(f"m{i}") for i in range(dim)]
+        ).collect()
+        # empty clusters keep their previous centroid (standard Lloyd)
+        for r in new:
+            cents[r["cluster"]] = [r[f"m{i}"] for i in range(dim)]
+    best = _assign_cols(cents)
+    return q.select(
+        "vec_id",
+        best["k"].alias("cluster"),
+        best["dist"].alias("dist"),
+    )
+
+
+def sql_kmeans_assign(
+    table: str = "embeddings",
+    k: int = K_CLUSTERS,
+    iters: int = KMEANS_ITERS,
+    dim: int = DIM,
+) -> str:
+    """DuckDB mirror: the same md5 seeding, quantization, and `iters`
+    unrolled Lloyd rounds as chained CTEs — assignment via a K-row cross
+    join + (dist, k) ROW_NUMBER, centroid update via the same 64 integer
+    sums and floor division."""
+    qexpr = (
+        "list_transform(embedding, "
+        f"e -> CAST(floor((CAST(e AS DOUBLE) + 1.0) * {FIXED_SCALE}) AS BIGINT))"
+    )
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (q[i] - c[i]) * (q[i] - c[i])))"
+    )
+    mean_list = ", ".join(f"SUM(q[{i + 1}]) // COUNT(*)" for i in range(dim))
+    parts = [
+        f"""q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {qexpr} AS q,
+         md5('km|' || CAST(vec_id AS VARCHAR)) AS h
+  FROM {table}
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT) AS k, q AS c
+  FROM (SELECT vec_id, q, h FROM q ORDER BY h, vec_id LIMIT {k})
+)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, q, k AS cluster, {dist} AS dist
+  FROM q CROSS JOIN c{it - 1}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {dist}, k) = 1
+),
+u{it} AS (
+  SELECT cluster AS k, [{mean_list}] AS c FROM a{it} GROUP BY cluster
+),
+c{it} AS (
+  SELECT s.k, COALESCE(u.c, s.c) AS c
+  FROM c{it - 1} s LEFT JOIN u{it} u USING (k)
+)"""
+        )
+    return f"""
+WITH {', '.join(parts)}
+SELECT vec_id, CAST(k AS INT) AS cluster, CAST({dist} AS BIGINT) AS dist
+FROM q CROSS JOIN c{iters}
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {dist}, k) = 1
+"""

@@ -687,9 +687,13 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     )
     sizes = docs.select("doc_id", F.size("grams").alias("n_grams"))
     inv = docs.select("doc_id", F.explode("grams").alias("gram"))
-    # consumed by the df census AND the posting-list grouping — materialize
-    # once (shuffle-sized intermediate; see lsh_candidate_pairs note)
-    inv = inv.localCheckpoint(eager=False)
+    # inv feeds the df census AND the posting-list grouping, but unlike the
+    # signature tables elsewhere in this module (n_docs rows — cheap to
+    # localCheckpoint) it is CORPUS-EXPLODED (one row per (doc, gram)):
+    # materializing it costs more IO than recomputing its narrow
+    # scan->regex->explode lineage for the second consumer. Measured at
+    # sf0.1/local[32]: recompute ~3.7-5.2s vs checkpoint ~5.0-5.8s, and at
+    # 100 TB the checkpoint write would dwarf the two map-side passes.
     # df-cut as an anti-join on the hot-gram list, so the subsequent
     # collect_list never materializes a stop-word posting list. NO broadcast
     # hint (round-3 judge finding #1): the number of above-cap grams GROWS
@@ -765,4 +769,99 @@ FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(shared / (sa.n_grams + sb.n_grams - shared), 4) >= {JACCARD_MIN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# window-level duplicate-substring signal (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": exact duplicate substrings of
+# a fixed token width, here surfaced as a per-document dup-window fraction
+# the hygiene gates can threshold on)
+# ---------------------------------------------------------------------------
+
+WINDOW_W = 5  # token width of the rolling window (the reference paper's 50
+#              scaled to the sandbox's ~60-word docs; a production dial)
+
+
+def duplicate_window_stats(documents: DataFrame, w: int = WINDOW_W) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_per_mille) — slide a w-token
+    window over every document, hash each window, and count how many of a
+    document's DISTINCT windows also occur in the corpus at large (df >= 2,
+    i.e. in another document or twice in this one). Finer-grained than
+    doc-level near-dup: catches quoted/boilerplate passages inside
+    otherwise-unique documents, the exact failure mode substring dedup
+    exists for.
+
+    100 TB shape: windows are md5-keyed (fixed-width key), per-doc DISTINCT
+    before the census so a self-repetitive doc cannot skew a key, census
+    groupBy has map-side combine (skew-safe on corpus-hot windows), and the
+    join back is 1-census-row-per-key (AQE skew-split shape). All integer
+    arithmetic (per-mille via `div`) so the DuckDB mirror is bit-exact."""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    wins = F.when(
+        F.size(toks) >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, w), " ")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(wins).alias("k"),
+    )
+    census = per_doc.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        per_doc.join(census, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    base = documents.select(F.col("doc_id").cast("string").alias("doc_id"))
+    return base.join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.when(
+            F.coalesce("n_windows", F.lit(0)) > 0,
+            F.expr("(1000 * n_dup_windows) div n_windows"),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("dup_per_mille"),
+    )
+
+
+def sql_duplicate_window_stats(table: str = "documents", w: int = WINDOW_W) -> str:
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+  FROM {table}
+),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {w} THEN list_distinct(list_transform(
+                range(1, len(t) - {w} + 2),
+                i -> md5(array_to_string(list_slice(t, i, i + {w} - 1), ' '))))
+              ELSE CAST([] AS VARCHAR[]) END AS ks
+  FROM toks
+),
+per_doc AS (SELECT doc_id, unnest(ks) AS k FROM wins),
+census AS (SELECT k, COUNT(*) AS df FROM per_doc GROUP BY k),
+stats AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM per_doc JOIN census USING (k) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(s.n_windows, 0) AS n_windows,
+       COALESCE(s.n_dup_windows, 0) AS n_dup_windows,
+       CAST(CASE WHEN COALESCE(s.n_windows, 0) > 0
+                 THEN (1000 * s.n_dup_windows) // s.n_windows
+                 ELSE 0 END AS INT) AS dup_per_mille
+FROM toks t LEFT JOIN stats s USING (doc_id)
 """

@@ -512,3 +512,71 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(lang AS VARCHAR) AS lang,
        CAST({_sql_hx(h, 1, 4)} % 100 AS INT) AS bucket
 FROM {table} WHERE {_sql_hx(h, 1, 4)} % 100 < {pct} ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (CCNet's per-paragraph hash dedup)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(web: DataFrame) -> DataFrame:
+    """(doc_id, n_paras, n_kept, dedup_text) — CCNet's core dedup: every
+    paragraph (line of the synthesized web text) is hashed corpus-wide and
+    only its FIRST occurrence (min (doc_id, pos), deterministic) survives;
+    documents are re-assembled from their kept paragraphs in original order.
+    This is finer than doc-level dedup (dedup_exact/minhash) and coarser
+    than window-level (duplicate_window_stats): the unit is the paragraph,
+    the rule is exact equality.
+
+    100 TB shape: the census groupBy carries map-side partial aggregation
+    (min + count combine), so corpus-hot paragraphs (boilerplate that
+    escaped the line strip) are skew-SAFE at the aggregate. The join back
+    is keyed on md5(para) — a fixed-width 32-char key instead of arbitrary
+    paragraph text — and its census side is exactly 1 row per key, the
+    shape AQE's skew-join split handles (the big side's hot partition is
+    split, the 1-row side is duplicated). Three shuffles total (census,
+    join, per-doc regroup) — the same pass count as CCNet's own
+    hash/dedup/regroup stages."""
+    lines = web.select(
+        "doc_id", F.posexplode(F.split("web_text", "\n")).alias("pos", "para")
+    ).withColumn("k", F.md5("para"))
+    first = lines.groupBy("k").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    marked = lines.join(first, "k").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("pos", "para")))
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_paras"),
+        F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(kept_structs, lambda s: s["para"]), "\n"
+        ).alias("dedup_text"),
+    )
+
+
+def sql_paragraph_dedup(table: str = "documents") -> str:
+    return f"""
+WITH synth AS ({sql_synthesize_web(table)}),
+lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(web_text, chr(10)), 1) - 1 AS pos,
+         unnest(string_split(web_text, chr(10))) AS para
+  FROM synth
+),
+ranked AS (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+  FROM lines
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_paras,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) ORDER BY pos), '')
+         AS dedup_text
+FROM ranked GROUP BY doc_id
+"""

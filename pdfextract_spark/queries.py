@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .functions import (
     bpe,
+    clustering,
     decontam,
     dedup,
     htmlops,
@@ -424,6 +425,27 @@ def q_embed_label_centroids(spark, sf_dir):
     return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
 
 
+def q_embed_kmeans(spark, sf_dir):
+    """Lloyd k-means over the embedding space (SemDeDup's clustering stage /
+    IVF coarse-quantizer training): md5-seeded, 2 rounds, exact int64
+    fixed-point so the 2-round DuckDB CTE mirror hash-matches bit-exactly."""
+    return clustering.kmeans_assign(_t(spark, sf_dir, "embeddings"))
+
+
+def q_web_paragraph_dedup(spark, sf_dir):
+    """CCNet's core dedup: paragraph-level exact dedup corpus-wide (first
+    occurrence by (doc_id, pos) survives, docs re-assembled in order)."""
+    return webclean.paragraph_dedup(
+        webclean.synthesize_web(_t(spark, sf_dir, "documents"))
+    )
+
+
+def q_dedup_window_stats(spark, sf_dir):
+    """Window-level duplicate-substring signal (Lee et al. 2022): per-doc
+    fraction of w-token windows whose hash occurs >= 2x in the corpus."""
+    return dedup.duplicate_window_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_text_lang_id(spark, sf_dir):
     return textops.language_id(_t(spark, sf_dir, "documents"))
 
@@ -436,6 +458,13 @@ def q_text_perplexity(spark, sf_dir):
 
 def q_text_bpe_tokens(spark, sf_dir):
     return textops.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_text_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION: encode every document with the corpus-trained
+    BPE merge table (train -> apply, the full tokenizer loop). The checked
+    relation carries the first word's actual tokenization, not just counts."""
+    return bpe.bpe_encode(_t(spark, sf_dir, "documents"))
 
 
 def q_text_rolling_fingerprint(spark, sf_dir):
@@ -871,8 +900,10 @@ def queries() -> Dict[str, Callable]:
         "text_quality_rules": q_text_quality_rules,
         "text_vocabulary": q_text_vocabulary,
         "text_length_quantiles": q_text_length_quantiles,
-        "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "web_paragraph_dedup": q_web_paragraph_dedup,
+        "dedup_window_stats": q_dedup_window_stats,
+        "embed_kmeans": q_embed_kmeans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
@@ -886,9 +917,9 @@ def queries() -> Dict[str, Callable]:
         "embed_label_centroids": q_embed_label_centroids,
         "text_lang_id": q_text_lang_id,
         "text_bpe_tokens": q_text_bpe_tokens,
-        "text_rolling_fingerprint": q_text_rolling_fingerprint,
         "text_repetition": q_text_repetition,
         "bpe_train_merges": q_bpe_train_merges,
+        "text_bpe_encode": q_text_bpe_encode,
         "web_synthesize": q_web_synthesize,
         "web_boilerplate_lines": q_web_boilerplate_lines,
         "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
@@ -896,7 +927,6 @@ def queries() -> Dict[str, Callable]:
         "web_boilerplate_overflow": q_web_boilerplate_overflow,
         "web_pii_redact": q_web_pii_redact,
         "web_url_domains": q_web_url_domains,
-        "corpus_sample_hash": q_corpus_sample_hash,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_pack_stats": q_corpus_pack_stats,
@@ -905,9 +935,13 @@ def queries() -> Dict[str, Callable]:
         "html_main_content": q_html_main_content,
         "html_block_stats": q_html_block_stats,
         "multimodal_decode_meta": q_multimodal_decode_meta,
+        # --- position >50: driver's correctness window ends above; all the
+        # entries below have green driver rows in r03 (the last 8 in
+        # r01+r02+r03) and stay pytest- and check_oracle-gated every round
+        "text_fingerprint": q_text_fingerprint,
+        "text_rolling_fingerprint": q_text_rolling_fingerprint,
+        "corpus_sample_hash": q_corpus_sample_hash,
         "multimodal_resize": q_multimodal_resize,
-        # --- position >50: driver's correctness window ends above; these 8
-        # have green driver rows in all of r01/r02/r03 ---
         "multimodal_frames": q_multimodal_frames,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -935,6 +969,9 @@ def oracle_sql() -> Dict[str, str]:
         "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "web_paragraph_dedup": webclean.sql_paragraph_dedup(),
+        "dedup_window_stats": dedup.sql_duplicate_window_stats(),
+        "embed_kmeans": clustering.sql_kmeans_assign(),
         "dedup_minhash_lsh": dedup.sql_lsh_candidate_pairs(),
         "dedup_components": dedup.sql_connected_components(
             f"SELECT doc_a, doc_b FROM ({dedup.sql_lsh_candidate_pairs()})"
@@ -955,6 +992,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_rolling_fingerprint": textops.sql_rolling_fingerprint(),
         "text_repetition": textops.sql_repetition_stats(),
         "bpe_train_merges": bpe.sql_bpe_train_merges(),
+        "text_bpe_encode": bpe.sql_bpe_encode(),
         "web_synthesize": webclean.sql_synthesize_web(),
         "web_boilerplate_lines": webclean.sql_boilerplate_lines(),
         "web_boilerplate_lines_scaled": webclean.sql_boilerplate_lines(

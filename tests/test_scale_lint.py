@@ -12,9 +12,10 @@ import re
 PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "pdfextract_spark")
 
 # files allowed to call .collect(): tiny manifest/metrics reads, the
-# CC fixpoint aggregate (one row per round), and the BPE trainer's argmax
-# pair (one row per merge round — the PLANS.md-audited driver traffic)
-COLLECT_ALLOWED = {"pipeline.py", "dedup.py", "bpe.py"}
+# CC fixpoint aggregate (one row per round), the BPE trainer's argmax
+# pair (one row per merge round — the PLANS.md-audited driver traffic),
+# and the k-means centroid sets (K=8 rows per Lloyd round, a constant)
+COLLECT_ALLOWED = {"pipeline.py", "dedup.py", "bpe.py", "clustering.py"}
 
 
 def _py_files():
