@@ -580,3 +580,179 @@ SELECT doc_id, CAST(COUNT(*) AS INT) AS n_paras,
          AS dedup_text
 FROM ranked GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture sampling (the corpus-mixing pass of a training run:
+# per-language weights + a global token budget -> per-language keep rates)
+# ---------------------------------------------------------------------------
+
+MIX_WEIGHTS = {"en": 4, "de": 2, "es": 2, "fr": 2, "zh": 1}
+MIX_DEFAULT_W = 1
+MIX_BUDGET_PCT = 50  # global budget: half the corpus tokens
+
+
+def _mix_rates(documents: DataFrame, weights, default_w, budget_pct):
+    """(lang, toks_lang, target_tokens, rate_pm) — one tiny relation, one
+    census shuffle. All integer arithmetic: rate is per-mille via `div`,
+    exact headroom T * 1000 < 2^63 (T < 9.2 * 10^15 corpus tokens, ~37 PB
+    of text — documented dial past that: drop to per-cent granularity)."""
+    toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long")
+    w = F.lit(default_w)
+    for lang, wt in sorted(weights.items()):
+        w = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(w)
+    census = (
+        documents.select(F.col("lang").cast("string").alias("lang"), toks.alias("t"), w.alias("w"))
+        .groupBy("lang")
+        .agg(F.sum("t").alias("toks_lang"), F.first("w").alias("w"))
+    )
+    total = census.agg(F.sum("toks_lang").alias("_mix_t"))
+    # census and total are both tiny (language-space-sized / 1 row): the
+    # cross join is a BroadcastNestedLoopJoin over K rows, no hard hint
+    return census.crossJoin(total).select(
+        "lang",
+        "toks_lang",
+        F.expr(
+            f"(((_mix_t * {int(budget_pct)}) div 100) * w) div {int(sum(weights.values()))}"
+        ).alias("target_tokens"),
+        F.least(
+            F.lit(1000).cast("long"),
+            F.expr(
+                f"((((_mix_t * {int(budget_pct)}) div 100) * w) div {int(sum(weights.values()))} * 1000) div toks_lang"
+            ),
+        )
+        .cast("int")
+        .alias("rate_pm"),
+    )
+
+
+def mixture_sample(
+    documents: DataFrame,
+    weights: dict[str, int] | None = None,
+    default_w: int = MIX_DEFAULT_W,
+    budget_pct: int = MIX_BUDGET_PCT,
+) -> DataFrame:
+    """(doc_id, lang, n_tokens, rate_pm) — deterministic token-budget
+    mixture sampling: a global token budget (budget_pct of corpus tokens)
+    is split across languages by weight, each language's keep rate is its
+    target over its actual tokens (capped at 1000 per-mille — a language
+    under its target keeps everything), and the per-document cut is the
+    same nested md5 bucket as hash_sample (reproducible across runs,
+    retries, cluster sizes; raising the budget yields a superset).
+
+    100 TB shape: ONE tiny census shuffle (languages x partial sums,
+    map-side combine), then a narrow join of the corpus against the
+    language-space-sized rate table (AQE broadcasts it at runtime — no
+    hard hint needed) and a stateless filter. The corpus is never
+    regrouped."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    rates = _mix_rates(documents, weights, default_w, budget_pct)
+    doc_id = F.col("doc_id").cast("string")
+    bucket = (_hx(F.md5(F.concat(F.lit("mix|"), doc_id)), 1, 5) % 1000).cast("int")
+    toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long")
+    return (
+        documents.select(
+            doc_id.alias("doc_id"),
+            F.col("lang").cast("string").alias("lang"),
+            toks.alias("n_tokens"),
+            bucket.alias("bucket_pm"),
+        )
+        .join(rates.select("lang", "rate_pm"), "lang")
+        .filter(F.col("bucket_pm") < F.col("rate_pm"))
+        .select("doc_id", "lang", "n_tokens", "rate_pm")
+    )
+
+
+def mixture_audit(
+    documents: DataFrame,
+    weights: dict[str, int] | None = None,
+    default_w: int = MIX_DEFAULT_W,
+    budget_pct: int = MIX_BUDGET_PCT,
+) -> DataFrame:
+    """(lang, toks_lang, target_tokens, rate_pm, achieved_tokens,
+    n_docs_kept) — the per-language budget report next to what the cut
+    actually achieved (hash sampling is exact in expectation, not per
+    draw; the audit is what a pipeline operator alarms on)."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    rates = _mix_rates(documents, weights, default_w, budget_pct)
+    kept = (
+        mixture_sample(documents, weights, default_w, budget_pct)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("achieved_tokens"),
+            F.count(F.lit(1)).alias("n_docs_kept"),
+        )
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "toks_lang",
+        "target_tokens",
+        "rate_pm",
+        F.coalesce("achieved_tokens", F.lit(0)).cast("long").alias("achieved_tokens"),
+        F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+    )
+
+
+def _sql_mix_rates(table, weights, default_w, budget_pct) -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {wt}" for lang, wt in sorted(weights.items())
+    )
+    w_sum = int(sum(weights.values()))
+    return f"""
+census AS (
+  SELECT CAST(lang AS VARCHAR) AS lang,
+         CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT)
+           AS toks_lang,
+         (CASE {whens} ELSE {default_w} END) AS w
+  FROM {table} GROUP BY lang, (CASE {whens} ELSE {default_w} END)
+),
+total AS (SELECT SUM(toks_lang) AS t FROM census),
+rates AS (
+  SELECT lang, toks_lang,
+         CAST((((t * {int(budget_pct)}) // 100) * w) // {w_sum} AS BIGINT)
+           AS target_tokens,
+         CAST(LEAST(1000, ((((t * {int(budget_pct)}) // 100) * w) // {w_sum} * 1000)
+                          // toks_lang) AS INT) AS rate_pm
+  FROM census CROSS JOIN total
+)"""
+
+
+def sql_mixture_sample(
+    table: str = "documents",
+    weights: dict[str, int] | None = None,
+    default_w: int = MIX_DEFAULT_W,
+    budget_pct: int = MIX_BUDGET_PCT,
+) -> str:
+    weights = MIX_WEIGHTS if weights is None else weights
+    h = "md5('mix|' || CAST(doc_id AS VARCHAR))"
+    return f"""
+WITH {_sql_mix_rates(table, weights, default_w, budget_pct)}
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, CAST(d.lang AS VARCHAR) AS lang,
+       CAST(len(list_filter(string_split(d.text, ' '), w -> w <> '')) AS BIGINT)
+         AS n_tokens,
+       r.rate_pm
+FROM {table} d JOIN rates r ON CAST(d.lang AS VARCHAR) = r.lang
+WHERE {_sql_hx(h, 1, 5)} % 1000 < r.rate_pm
+"""
+
+
+def sql_mixture_audit(
+    table: str = "documents",
+    weights: dict[str, int] | None = None,
+    default_w: int = MIX_DEFAULT_W,
+    budget_pct: int = MIX_BUDGET_PCT,
+) -> str:
+    weights = MIX_WEIGHTS if weights is None else weights
+    return f"""
+WITH {_sql_mix_rates(table, weights, default_w, budget_pct)},
+kept AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS achieved_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_kept
+  FROM ({sql_mixture_sample(table, weights, default_w, budget_pct)})
+  GROUP BY lang
+)
+SELECT r.lang, r.toks_lang, r.target_tokens, r.rate_pm,
+       COALESCE(k.achieved_tokens, 0) AS achieved_tokens,
+       COALESCE(k.n_docs_kept, 0) AS n_docs_kept
+FROM rates r LEFT JOIN kept k USING (lang)
+"""

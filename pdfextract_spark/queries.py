@@ -548,6 +548,19 @@ def q_corpus_sample_stratified(spark, sf_dir):
     return webclean.stratified_hash_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_mixture_sample(spark, sf_dir):
+    """Token-budget mixture sampling: a global token budget split across
+    languages by weight, keep rates derived per-language, md5-bucket cut
+    (deterministic + nested). The corpus-mixing pass of a training run."""
+    return webclean.mixture_sample(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_mixture_audit(spark, sf_dir):
+    """Per-language budget-vs-achieved report for the mixture sample (what
+    a pipeline operator alarms on)."""
+    return webclean.mixture_audit(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_pack_sequences(spark, sf_dir):
     """Sequence packing: greedy fixed-token-budget fill per deterministic
     pack stream (the pretraining-batch assembly step); oracle replays the
@@ -916,8 +929,6 @@ def queries() -> Dict[str, Callable]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "embed_label_centroids": q_embed_label_centroids,
         "text_lang_id": q_text_lang_id,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "text_repetition": q_text_repetition,
         "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
         "web_synthesize": q_web_synthesize,
@@ -928,6 +939,8 @@ def queries() -> Dict[str, Callable]:
         "web_pii_redact": q_web_pii_redact,
         "web_url_domains": q_web_url_domains,
         "corpus_sample_stratified": q_corpus_sample_stratified,
+        "corpus_mixture_sample": q_corpus_mixture_sample,
+        "corpus_mixture_audit": q_corpus_mixture_audit,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_pack_stats": q_corpus_pack_stats,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -941,6 +954,8 @@ def queries() -> Dict[str, Callable]:
         "text_fingerprint": q_text_fingerprint,
         "text_rolling_fingerprint": q_text_rolling_fingerprint,
         "corpus_sample_hash": q_corpus_sample_hash,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_repetition": q_text_repetition,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1004,6 +1019,8 @@ def oracle_sql() -> Dict[str, str]:
         "web_url_domains": webclean.sql_url_domain_stats(),
         "corpus_sample_hash": webclean.sql_hash_sample(),
         "corpus_sample_stratified": webclean.sql_stratified_hash_sample(),
+        "corpus_mixture_sample": webclean.sql_mixture_sample(),
+        "corpus_mixture_audit": webclean.sql_mixture_audit(),
         "corpus_pack_sequences": packing.sql_pack_sequences(),
         "corpus_pack_stats": packing.sql_pack_stats(),
         "corpus_decontaminate": decontam.sql_contamination_report(),
