@@ -53,26 +53,30 @@ def _quantized(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _dist_col(cent: list) -> "F.Column":
-    carr = F.array(*[F.lit(int(v)).cast("long") for v in cent])
-    return F.aggregate(
-        F.zip_with("q", carr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def _assign_cols(cents: dict) -> "F.Column":
     """array_min over (dist, k) structs — lexicographic min, ties to the
-    smaller k, matching the SQL mirror's ROW_NUMBER ORDER BY dist, k."""
-    pairs = F.array(
-        *[
-            F.struct(
-                _dist_col(cents[k]).alias("dist"),
-                F.lit(k).cast("int").alias("k"),
-            )
-            for k in sorted(cents)
-        ]
+    smaller k, matching the SQL mirror's ROW_NUMBER ORDER BY dist, k.
+
+    The K centroids ride as ONE nested-array literal (array<array<long>>),
+    and the per-centroid distance is a single generic transform/zip_with/
+    aggregate expression — tree size O(1) in K, centroid values are literal
+    DATA. The earlier per-centroid unrolling (K separate fold expressions)
+    made Catalyst compile time grow with K x dim and dominated sandbox round
+    wall (measured 2-3s/round at K=8, dim=64); this form compiles once and
+    still assigns map-side with zero shuffle. At SemDeDup-production K
+    (10^5+) the plan-embedded literal gets heavy — the documented dial is a
+    broadcast centroid table + partial-min groupBy(vec_id), same results."""
+    arr = F.lit([[int(v) for v in cents[k]] for k in sorted(cents)])
+    pairs = F.transform(
+        arr,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("q"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            i.cast("int").alias("k"),
+        ),
     )
     return F.array_min(pairs)
 
@@ -165,4 +169,60 @@ WITH {', '.join(parts)}
 SELECT vec_id, CAST(k AS INT) AS cluster, CAST({dist} AS BIGINT) AS dist
 FROM q CROSS JOIN c{iters}
 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {dist}, k) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced sampling (the diversity-preserving cut: sample a quota
+# per k-means cluster instead of uniformly, so rare regions of the
+# embedding space survive the downsample — the cluster-balanced selection
+# step of SemDeDup-family curation pipelines and of "prototype" subset
+# papers like Sorscher et al. 2022's self-supervised pruning).
+# ---------------------------------------------------------------------------
+
+CLUSTER_CAP = 64  # sandbox quota; the production dial (vectors kept / cluster)
+
+
+def cluster_sample(embeddings: DataFrame, cap: int = CLUSTER_CAP) -> DataFrame:
+    """(vec_id, cluster, rank_in_cluster) — at most `cap` vectors per
+    k-means cluster, md5('clsamp|' || vec_id) priority: deterministic,
+    nested (cap=K's survivors are a strict prefix of cap=K+1's), and
+    uniform WITHIN each cluster, so the output is a balanced cover of the
+    embedding space rather than a frequency-weighted one.
+
+    Scale shape: kmeans_assign's cost (assignment is a map-side Project
+    against K centroid literals) + ONE shuffle on the cluster key. The
+    rank<=cap filter over row_number() plans through Spark 3.5+'s
+    WindowGroupLimit — a map-side partial top-`cap` per cluster runs BEFORE
+    the exchange, so a mega-cluster ships only cap rows per map task (the
+    domain_cap precedent; asserted on the physical plan in
+    tests/test_cluster_sample.py)."""
+    from pyspark.sql import Window
+
+    assign = kmeans_assign(embeddings).select("vec_id", "cluster")
+    pr = F.md5(F.concat(F.lit("clsamp|"), F.col("vec_id").cast("string")))
+    ranked = assign.withColumn("pr", pr).withColumn(
+        "rank_in_cluster",
+        F.row_number()
+        .over(Window.partitionBy("cluster").orderBy("pr", "vec_id"))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank_in_cluster") <= cap).select(
+        "vec_id", "cluster", "rank_in_cluster"
+    )
+
+
+def sql_cluster_sample(table: str = "embeddings", cap: int = CLUSTER_CAP) -> str:
+    return f"""
+WITH assign AS (
+  SELECT vec_id, cluster FROM ({sql_kmeans_assign(table)})
+),
+d AS (
+  SELECT vec_id, cluster, md5('clsamp|' || CAST(vec_id AS VARCHAR)) AS pr
+  FROM assign
+)
+SELECT vec_id, cluster,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY pr, vec_id) AS INT)
+         AS rank_in_cluster
+FROM d QUALIFY rank_in_cluster <= {cap}
 """

@@ -865,3 +865,133 @@ SELECT t.doc_id,
                  ELSE 0 END AS INT) AS dup_per_mille
 FROM toks t LEFT JOIN stats s USING (doc_id)
 """
+
+
+# ----------------------------------------------------- incremental dedup
+# Dedup a NEW crawl batch against the corpus already kept (the production
+# shape: history is 10^12 fingerprints on disk, the batch is the day's
+# crawl — you never re-dedup history, you anti-join the batch against it).
+
+INC_OLD_PCT = 60           # md5 split: bucket < 60 plays the historical corpus
+INC_HIST_OFFSET = 2_000_000_000  # planted copy-of-history doc_id offset
+INC_BATCH_OFFSET = 3_000_000_000  # planted in-batch duplicate doc_id offset
+INC_PLANT_MOD = 4          # ~1/4 of each side gets a planted duplicate
+
+
+def _inc_bucket(doc_id_col):
+    h = F.md5(F.concat(F.lit("incr|"), doc_id_col.cast("string")))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100).cast("int")
+
+
+def synthesize_incremental(documents: DataFrame):
+    """(history, batch) — a deterministic old/new split of the corpus plus
+    planted duplicates: ~1/INC_PLANT_MOD of history docs reappear in the
+    batch verbatim under doc_id + INC_HIST_OFFSET (cross-batch dups), and
+    ~1/INC_PLANT_MOD of genuine batch docs appear twice in the batch
+    (doc_id + INC_BATCH_OFFSET, in-batch dups). Same pattern as the
+    semantic/web synthesizers: the fixture carries no duplicate texts, so
+    the structure the operator exists for is planted, and the DuckDB oracle
+    rebuilds the identical corpus independently."""
+    doc_id = F.col("doc_id").cast("long")
+    base = documents.select(doc_id.alias("doc_id"), "text")
+    bucket = _inc_bucket(F.col("doc_id"))
+    plant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("incp|"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % INC_PLANT_MOD
+        == 0
+    )
+    history = base.filter(bucket < INC_OLD_PCT)
+    fresh = base.filter(bucket >= INC_OLD_PCT)
+    from_history = history.filter(plant).select(
+        (F.col("doc_id") + INC_HIST_OFFSET).alias("doc_id"), "text"
+    )
+    in_batch = fresh.filter(plant).select(
+        (F.col("doc_id") + INC_BATCH_OFFSET).alias("doc_id"), "text"
+    )
+    batch = fresh.unionByName(from_history).unionByName(in_batch)
+    return history, batch
+
+
+def incremental_dedup(documents: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint, status) for every NEW-batch doc, status in
+    {'kept', 'dup_historical', 'dup_in_batch'}: a batch doc whose exact
+    fingerprint exists in history is dup_historical; otherwise the smallest
+    doc_id per batch fingerprint is kept and the rest are dup_in_batch.
+
+    Scale shape: history is the big side — the membership test is a
+    shuffle-partitioned LEFT SEMI-shaped join keyed on the fingerprint
+    (never broadcast: at 10^12 kept docs the history fingerprint set IS the
+    corpus). With history stored fingerprint-bucketed (Iceberg
+    bucket(fingerprint, N) / Spark bucketBy — the write_bucketed_spans
+    precedent), the join reads history exchange-free and only the day's
+    batch shuffles. The in-batch tie-break is one window per fingerprint
+    (bounded width — the planted max is 2)."""
+    history, batch = synthesize_incremental(documents)
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    hist_fps = history.select(fp.alias("fingerprint")).distinct()
+    bat = batch.select("doc_id", fp.alias("fingerprint"))
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy("doc_id")
+    )
+    flagged = (
+        bat.join(
+            hist_fps.withColumn("in_history", F.lit(True)), "fingerprint", "left"
+        )
+        .withColumn("rank", rank)
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("in_history"), F.lit("dup_historical"))
+            .when(F.col("rank") == 1, F.lit("kept"))
+            .otherwise(F.lit("dup_in_batch"))
+            .alias("status"),
+        )
+    )
+    return flagged
+
+
+def sql_incremental_dedup(table: str = "documents") -> str:
+    bucket = (
+        "(('0x' || substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100)"
+    )
+    plant = (
+        "(('0x' || substr(md5('incp|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT"
+        f" % {INC_PLANT_MOD} = 0)"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, {bucket} AS bucket, {plant} AS plant
+  FROM {table}
+),
+history AS (SELECT doc_id, text FROM base WHERE bucket < {INC_OLD_PCT}),
+fresh   AS (SELECT doc_id, text FROM base WHERE bucket >= {INC_OLD_PCT}),
+batch AS (
+  SELECT doc_id, text FROM fresh
+  UNION ALL
+  SELECT doc_id + {INC_HIST_OFFSET}, text
+  FROM base WHERE bucket < {INC_OLD_PCT} AND plant
+  UNION ALL
+  SELECT doc_id + {INC_BATCH_OFFSET}, text
+  FROM base WHERE bucket >= {INC_OLD_PCT} AND plant
+),
+hist_fps AS (SELECT DISTINCT md5(lower(trim(text))) AS fingerprint FROM history),
+bat AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+         ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                            ORDER BY doc_id) AS rank
+  FROM batch
+)
+SELECT b.doc_id, b.fingerprint,
+       CASE WHEN h.fingerprint IS NOT NULL THEN 'dup_historical'
+            WHEN b.rank = 1 THEN 'kept'
+            ELSE 'dup_in_batch' END AS status
+FROM bat b LEFT JOIN hist_fps h USING (fingerprint)
+"""

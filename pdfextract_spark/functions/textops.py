@@ -347,3 +347,383 @@ SELECT doc_id,
        (SUM(s16)::BIGINT // COUNT(*)::BIGINT) > {PPX_GATE_Q4} AS ppx_flag
 FROM s GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): per-doc log importance ratio
+# log p_target(doc) - log p_raw(doc) under two hashed-bigram LMs — the
+# target LM trained on an in-domain subset, the raw LM on the whole corpus.
+# Pure counting + the same int64 fixed-point log2 as the perplexity gate,
+# so Spark == DuckDB bit-exactly.
+#
+# The driver fixture's text is the same word distribution for every doc
+# (its lang column is an independent label), so a real in-domain subset
+# cannot exist in it; same pattern as the webclean/semantic synthesizers —
+# synthesize_dsir_corpus plants the structure the operator exists for (an
+# md5-selected ~1/4 of docs carries an appended domain-marker phrase and
+# plays the curated target set) and the DuckDB oracle rebuilds the
+# identical corpus independently.
+#
+# Scale shape: ONE explode + two bucket censuses (both HARD-capped at
+# DSIR_BUCKETS rows — the hashed feature space, broadcastable by
+# construction), totals ride 1-row crossJoins, scoring is broadcast joins +
+# one groupBy(doc_id). The corpus is never regrouped; the 10^12-doc cost is
+# the same as one wordcount.
+
+DSIR_BUCKETS = 65536   # hashed-bigram feature space (paper: 10^4; wider
+#                        here so sandbox-corpus collisions don't blur the
+#                        domain signal — still a hard broadcast cap)
+DSIR_TARGET_MOD = 4    # md5-selected ~1/4 of docs plays the target domain
+DSIR_MARKER = (
+    "quantum flux lattice boson spectral manifold tensor entropy "
+    "geodesic spinor quark hadron fermion gauge soliton vortex "
+    "eigenmode laplacian curvature homology functor sheaf operad monad "
+    "isometry holonomy torsion fibration cobordism spectra moduli stack"
+)  # 32 tokens outside the base vocabulary -> 31 target-exclusive bigrams
+
+
+def synthesize_dsir_corpus(documents: DataFrame) -> DataFrame:
+    """(doc_id, is_target, text) — the fixture corpus with a deterministic
+    in-domain subset planted: docs with md5('dsirt|'||doc_id) % MOD == 0
+    get DSIR_MARKER appended and form the target set."""
+    doc_id = F.col("doc_id").cast("string")
+    sel = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsirt|"), doc_id)), 1, 4), 16, 10
+        ).cast("long")
+        % DSIR_TARGET_MOD
+        == 0
+    )
+    return documents.select(
+        doc_id.alias("doc_id"),
+        sel.alias("is_target"),
+        F.when(sel, F.concat(F.col("text"), F.lit(" " + DSIR_MARKER)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def sql_synthesize_dsir(table: str = "documents") -> str:
+    sel = (
+        "(('0x' || substr(md5('dsirt|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT"
+        f" % {DSIR_TARGET_MOD} = 0)"
+    )
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, {sel} AS is_target,
+       CASE WHEN {sel} THEN text || ' {DSIR_MARKER}' ELSE text END AS text
+FROM {table}
+"""
+
+
+def _s16_of(col_name: str):
+    """1/16-bit int64 log2 of integer column `col_name` (>= 1), minus the
+    LM_PRESCALE bias — the generic-column twin of _surprisal16."""
+    e0 = F.expr(f"length(bin({col_name})) - 1")
+    m16 = F.expr(f"shiftright({col_name} * 16, length(bin({col_name})) - 1)")
+    bias = 16 + 16 * (LM_PRESCALE.bit_length() - 1)
+    return 16 * e0 + m16 - F.lit(bias)
+
+
+def dsir_weights(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, dsir_logratio_q4, dsir_keep) for every doc with
+    >= 1 bigram. dsir_logratio_q4 is the summed per-bigram
+    [surprisal_raw - surprisal_target] in 1/16-bit units (higher = the doc
+    looks more like the target domain relative to the raw corpus);
+    dsir_keep flags docs whose PER-BIGRAM mean log-ratio exceeds the
+    corpus per-bigram mean (length-normalized, so short off-domain docs
+    don't out-rank long in-domain ones) — an exact integer cross-multiply
+    (w * total_grams > sum_w * n_grams; never a negative integer division,
+    where Spark's truncating div and DuckDB's flooring // disagree).
+    Headroom: |w| < 2^13 q4/gram * n_grams keeps both products under 2^63
+    through ~10^13 corpus grams; past that, compare per-shard (documented
+    dial). The flag is the deterministic stand-in for the paper's Gumbel
+    resampling (compose with hash_sample for a sized cut)."""
+    corpus = synthesize_dsir_corpus(documents)
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat(
+                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = corpus.select(
+        "doc_id",
+        "is_target",
+        F.explode(grams).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dsir|"), F.col("gram"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    raw = ex.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        ex.filter(F.col("is_target"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    t_raw = raw.agg(F.sum("c_raw").alias("t_raw"))
+    t_tgt = tgt.agg(F.sum("c_tgt").alias("t_tgt"))
+    scored = (
+        ex.join(F.broadcast(raw), "b")  # bounded: <= DSIR_BUCKETS rows
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(t_raw)
+        .crossJoin(t_tgt)
+        .withColumn(
+            "_q_raw",
+            F.expr(
+                f"((t_raw + {DSIR_BUCKETS}) * {LM_PRESCALE}) div (c_raw + 1)"
+            ).cast("long"),
+        )
+        .withColumn(
+            "_q_tgt",
+            F.expr(
+                f"((t_tgt + {DSIR_BUCKETS}) * {LM_PRESCALE}) div (coalesce(c_tgt, 0) + 1)"
+            ).cast("long"),
+        )
+        .withColumn("_d16", (_s16_of("_q_raw") - _s16_of("_q_tgt")).cast("long"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("_d16").alias("_w"),
+    )
+    stats = agg.agg(
+        F.sum("n_grams").alias("_tg"), F.sum("_w").alias("_sw")
+    )
+    return agg.crossJoin(stats).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("_w").cast("long").alias("dsir_logratio_q4"),
+        (F.col("_w") * F.col("_tg") > F.col("_sw") * F.col("n_grams")).alias(
+            "dsir_keep"
+        ),
+    )
+
+
+def sql_dsir_weights(table: str = "documents") -> str:
+    bias = 16 + 16 * (LM_PRESCALE.bit_length() - 1)
+
+    def s16(q):
+        return (
+            f"(16 * (length(bin({q})) - 1)"
+            f" + (({q} * 16) >> (length(bin({q})) - 1)) - {bias})"
+        )
+
+    return f"""
+WITH corpus AS ({sql_synthesize_dsir(table)}),
+ex AS (
+  SELECT doc_id, is_target,
+         (('0x' || substr(md5('dsir|' || gram), 1, 8))::BIGINT % {DSIR_BUCKETS}) AS b
+  FROM (
+    SELECT doc_id, is_target,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i + 1])) AS gram
+    FROM (
+      SELECT doc_id, is_target,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      FROM corpus
+    )
+  )
+),
+raw AS (SELECT b, COUNT(*)::BIGINT AS c_raw FROM ex GROUP BY b),
+tgt AS (SELECT b, COUNT(*)::BIGINT AS c_tgt FROM ex WHERE is_target GROUP BY b),
+t_raw AS (SELECT SUM(c_raw)::BIGINT AS t_raw FROM raw),
+t_tgt AS (SELECT SUM(c_tgt)::BIGINT AS t_tgt FROM tgt),
+scored AS (
+  SELECT ex.doc_id,
+         ((t_raw.t_raw + {DSIR_BUCKETS}) * {LM_PRESCALE}) // (raw.c_raw + 1) AS _q_raw,
+         ((t_tgt.t_tgt + {DSIR_BUCKETS}) * {LM_PRESCALE}) // (COALESCE(tgt.c_tgt, 0) + 1) AS _q_tgt
+  FROM ex JOIN raw USING (b) LEFT JOIN tgt USING (b)
+  CROSS JOIN t_raw CROSS JOIN t_tgt
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*)::BIGINT AS n_grams,
+         SUM({s16('_q_raw')} - {s16('_q_tgt')})::BIGINT AS w
+  FROM scored GROUP BY doc_id
+),
+stats AS (SELECT SUM(n_grams)::BIGINT AS tg, SUM(w)::BIGINT AS sw FROM agg)
+SELECT doc_id, n_grams, w AS dsir_logratio_q4,
+       (w * tg > sw * n_grams) AS dsir_keep
+FROM agg CROSS JOIN stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting High
+# Quality Monolingual Datasets from Web Crawl Data"): split the corpus into
+# head / middle / tail terciles by LM perplexity — the paper keeps "head"
+# (lowest perplexity = most fluent) for pretraining and drops or
+# down-weights the tail. Composes the unigram perplexity gate with the
+# histogram-quantile kernel from text_length_quantiles: tercile thresholds
+# come from a cumulative sum over the BOUNDED per-doc-score histogram
+# (mean_surprisal_q4 is an int in a few-thousand-value domain), never a
+# global row sort.
+#
+# Scale shape: unigram_perplexity's cost (one wordcount) + one groupBy over
+# the bounded score domain + a 1-row threshold crossJoin. The per-doc frame
+# feeds two consumers (the histogram and the final labeling), so it is
+# localCheckpoint'ed — without it the whole corpus explode/LM join
+# re-evaluates per consumer (the perplexity census rule).
+
+PPL_BUCKETS = 3  # CCNet's head/middle/tail
+
+
+def ppl_buckets(documents: DataFrame) -> DataFrame:
+    """(doc_id, mean_surprisal_q4, ppl_bucket) — ppl_bucket in
+    {'head','middle','tail'}: head = lowest-perplexity tercile. Threshold
+    rule: bucket b covers scores <= the smallest value whose cumulative doc
+    count reaches ceil(b * N / 3) (exact integer rule, engine-independent;
+    ties on the boundary value all land in the lower bucket, so terciles
+    are approximately-equal exactly like CCNet's hashed split)."""
+    ppl = unigram_perplexity(documents).select("doc_id", "mean_surprisal_q4")
+    ppl = ppl.localCheckpoint(eager=False)
+    hist = ppl.groupBy(F.col("mean_surprisal_q4").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # BOUNDED single-partition window: input is the score histogram
+    # (|distinct q4 scores| <= a few thousand), not the corpus — same
+    # allowlisted pattern as text_length_quantiles.
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "v", F.sum("c").over(w).alias("cum"), F.sum("c").over(wt).alias("total")
+    )
+    t1 = cum.filter(
+        F.col("cum") >= F.ceil(F.col("total") * F.lit(1) / F.lit(3.0))
+    ).agg(F.min("v").alias("t1"))
+    t2 = cum.filter(
+        F.col("cum") >= F.ceil(F.col("total") * F.lit(2) / F.lit(3.0))
+    ).agg(F.min("v").alias("t2"))
+    return (
+        ppl.crossJoin(t1)  # 1-row frames; AQE broadcasts at runtime
+        .crossJoin(t2)
+        .select(
+            "doc_id",
+            "mean_surprisal_q4",
+            F.when(F.col("mean_surprisal_q4") <= F.col("t1"), F.lit("head"))
+            .when(F.col("mean_surprisal_q4") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+def sql_ppl_buckets(table: str = "documents") -> str:
+    return f"""
+WITH ppl AS (
+  SELECT doc_id, mean_surprisal_q4 FROM ({sql_unigram_perplexity(table)})
+),
+hist AS (SELECT mean_surprisal_q4 AS v, COUNT(*) AS c FROM ppl GROUP BY 1),
+cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS total FROM hist
+),
+t1 AS (SELECT MIN(v) AS t1 FROM cum WHERE cum >= ceil(total * 1 / 3.0)),
+t2 AS (SELECT MIN(v) AS t2 FROM cum WHERE cum >= ceil(total * 2 / 3.0))
+SELECT doc_id, mean_surprisal_q4,
+       CASE WHEN mean_surprisal_q4 <= t1 THEN 'head'
+            WHEN mean_surprisal_q4 <= t2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM ppl CROSS JOIN t1 CROSS JOIN t2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-document tf-idf keywords: the top-K terms per document by
+# tf * idf — the keyword/topic-signal extraction pass (search indexing,
+# cluster labeling, topic audits over a pretraining corpus). Exact int64
+# fixed-point idf (the same 1/16-bit log2 as the LM surprisal) so Spark and
+# DuckDB agree bit-exactly.
+#
+# Scale shape: one explode folded immediately to per-(doc, distinct-token)
+# tf rows, one token census groupBy, then a shuffle join keyed on the token
+# — the census is UNBOUNDED (distinct tokens across 100 TB), so no
+# broadcast hint; stopword-key skew is AQE skew-join territory and the join
+# input is already tf-reduced (|distinct tokens per doc|, not token
+# occurrences). Top-K per doc is rank<=K over row_number(PARTITION BY
+# doc_id) — planned through WindowGroupLimit, so the per-doc top-K folds
+# map-side before the doc_id exchange (the domain_cap precedent).
+
+TFIDF_TOPK = 3
+
+
+def tfidf_topk(documents: DataFrame, topk: int = TFIDF_TOPK) -> DataFrame:
+    """(doc_id, token, tf, tfidf_q4) — the top-`topk` tokens per doc by
+    tf * idf16, ties to token asc. idf16 = 1/16-bit log2(N_docs *
+    LM_PRESCALE / doc_freq) minus the prescale bias: always >= 0, 0 for a
+    token present in every doc."""
+    from pyspark.sql import Window
+
+    tok = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df census and the scoring join — corpus-REDUCED
+    # (distinct (doc, token) rows), the cheap side of the checkpoint rule.
+    tf = tf.localCheckpoint(eager=False)
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = documents.agg(
+        F.countDistinct(F.col("doc_id").cast("string")).alias("_n_docs")
+    )
+    scored = (
+        tf.join(df_, "token")  # shuffle join: the census is unbounded
+        .crossJoin(n_docs)  # 1-row frame; AQE broadcasts at runtime
+        .withColumn(
+            "_idf_q",
+            F.expr(f"(_n_docs * {LM_PRESCALE}) div doc_freq").cast("long"),
+        )
+        .withColumn(
+            "tfidf_q4", (F.col("tf") * _s16_of("_idf_q")).cast("long")
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.desc("tfidf_q4"), F.asc("token")
+        )
+    )
+    return (
+        scored.withColumn("_rk", rank)
+        .filter(F.col("_rk") <= topk)
+        .select("doc_id", "token", F.col("tf").cast("long").alias("tf"), "tfidf_q4")
+    )
+
+
+def sql_tfidf_topk(table: str = "documents", topk: int = TFIDF_TOPK) -> str:
+    bias = 16 + 16 * (LM_PRESCALE.bit_length() - 1)
+    s16 = (
+        "(16 * (length(bin(_idf_q)) - 1)"
+        f" + ((_idf_q * 16) >> (length(bin(_idf_q)) - 1)) - {bias})"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           unnest(string_split(lower(text), ' ')) AS token
+    FROM {table}
+  ) WHERE token <> ''
+),
+tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*)::BIGINT AS doc_freq FROM tf GROUP BY token),
+nd AS (SELECT COUNT(DISTINCT CAST(doc_id AS VARCHAR))::BIGINT AS n_docs FROM {table}),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ((nd.n_docs * {LM_PRESCALE}) // df.doc_freq)::BIGINT AS _idf_q
+  FROM tf JOIN df USING (token) CROSS JOIN nd
+)
+SELECT doc_id, token, tf, (tf * {s16})::BIGINT AS tfidf_q4
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf * {s16} DESC, token ASC) <= {topk}
+"""

@@ -30,7 +30,7 @@ made.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 LINE_WORDS = 8
 BOILERPLATE = (
@@ -755,4 +755,64 @@ SELECT r.lang, r.toks_lang, r.target_tokens, r.rate_pm,
        COALESCE(k.achieved_tokens, 0) AS achieved_tokens,
        COALESCE(k.n_docs_kept, 0) AS n_docs_kept
 FROM rates r LEFT JOIN kept k USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-domain quota (anti-domination cap)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 4  # sandbox cap; the production dial (docs kept per domain)
+RE_HOST = r"https?://([A-Za-z0-9._-]+)"
+
+
+def domain_cap(documents: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """(doc_id, domain, rank_in_domain) — keep at most `cap` docs per
+    registrable domain (C4/RefinedWeb's anti-domination rule: without it a
+    handful of mega-sites dominate the training mix). domain = host of the
+    doc's first URL in the synthesized web text; docs with no URL fall into
+    the '(none)' stratum and are capped under that key like any other.
+
+    Priority inside a domain is md5('domcap|' || doc_id) — deterministic
+    across runs/retries/cluster sizes, and nested: cap=K's survivors are a
+    strict prefix of cap=K+1's (seeded-rand top-k is neither).
+
+    Scale shape: ONE shuffle on the domain key. The rank<=cap filter over
+    row_number() is recognized by Spark 3.5+'s WindowGroupLimit rule, which
+    inserts a map-side partial top-`cap` per domain BEFORE the exchange —
+    a mega-domain ships only cap rows per map task instead of its whole
+    partition's rows, so domain skew is bounded at the source (asserted on
+    the physical plan in tests/test_domain_cap.py)."""
+    web = synthesize_web(documents)
+    doc_id = F.col("doc_id").cast("string")
+    host = F.regexp_extract("web_text", RE_HOST, 1)
+    pr = F.md5(F.concat(F.lit("domcap|"), doc_id))
+    ranked = web.select(
+        doc_id.alias("doc_id"),
+        F.when(host == "", F.lit("(none)")).otherwise(host).alias("domain"),
+        pr.alias("pr"),
+    ).withColumn(
+        "rank_in_domain",
+        F.row_number()
+        .over(Window.partitionBy("domain").orderBy("pr", "doc_id"))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank_in_domain") <= cap).select(
+        "doc_id", "domain", "rank_in_domain"
+    )
+
+
+def sql_domain_cap(table: str = "documents", cap: int = DOMAIN_CAP) -> str:
+    return f"""
+WITH synth AS ({sql_synthesize_web(table)}),
+d AS (
+  SELECT doc_id,
+         COALESCE(NULLIF(regexp_extract(web_text, '{RE_HOST}', 1), ''), '(none)') AS domain,
+         md5('domcap|' || doc_id) AS pr
+  FROM synth
+)
+SELECT doc_id, domain,
+       CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY pr, doc_id) AS INT)
+         AS rank_in_domain
+FROM d QUALIFY rank_in_domain <= {cap}
 """

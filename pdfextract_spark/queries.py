@@ -368,6 +368,14 @@ FROM documents GROUP BY 1
 
 # ------------------------------------ dedup / similarity / multimodal (§2+)
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (new-batch-vs-history) exact dedup — the production
+    shape where history is never re-deduped: the day's crawl anti-joins its
+    fingerprints against the kept corpus (shuffle join, never broadcast —
+    history IS the corpus), then in-batch ties break to the smallest doc_id."""
+    return dedup.incremental_dedup(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
 
@@ -421,6 +429,15 @@ def q_dedup_semantic(spark, sf_dir):
     return similarity.semantic_dedup(_t(spark, sf_dir, "embeddings"))
 
 
+def q_dedup_semdedup(spark, sf_dir):
+    """SemDeDup proper (Abbas et al. 2023): k-means partition of the
+    embedding space, exact within-cluster cosine near-dup pairs, then
+    connected-components keeper — the quadratic pair search confined to one
+    cluster at a time (the paper's scale trick), vs dedup_semantic's
+    hyperplane-LSH candidate generator over the same planted corpus."""
+    return similarity.semdedup_kmeans(_t(spark, sf_dir, "embeddings"))
+
+
 def q_embed_label_centroids(spark, sf_dir):
     return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
 
@@ -430,6 +447,14 @@ def q_embed_kmeans(spark, sf_dir):
     IVF coarse-quantizer training): md5-seeded, 2 rounds, exact int64
     fixed-point so the 2-round DuckDB CTE mirror hash-matches bit-exactly."""
     return clustering.kmeans_assign(_t(spark, sf_dir, "embeddings"))
+
+
+def q_embed_cluster_sample(spark, sf_dir):
+    """Cluster-balanced sampling (diversity-preserving cut, Sorscher et al.
+    2022-family): at most CLUSTER_CAP vectors per k-means cluster,
+    md5-priority nested cuts; rank<=cap plans through WindowGroupLimit so
+    mega-clusters trim map-side before the one cluster-key shuffle."""
+    return clustering.cluster_sample(_t(spark, sf_dir, "embeddings"))
 
 
 def q_web_paragraph_dedup(spark, sf_dir):
@@ -454,6 +479,27 @@ def q_text_perplexity(spark, sf_dir):
     """CCNet-style unigram-LM perplexity score + high-perplexity flag,
     integer fixed-point log2 end-to-end (Spark == DuckDB bit-exact)."""
     return textops.unigram_perplexity(_t(spark, sf_dir, "documents"))
+
+
+def q_text_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): per-doc log ratio of a
+    hashed-bigram target-domain LM vs the raw-corpus LM, int64 fixed-point
+    log2 (the data-selection score a pretraining pipeline resamples by)."""
+    return textops.dsir_weights(_t(spark, sf_dir, "documents"))
+
+
+def q_text_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles (Wenzek et al. 2020):
+    tercile thresholds from a cumulative sum over the bounded per-doc
+    score histogram (no global sort), then a 1-row threshold crossJoin."""
+    return textops.ppl_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_text_tfidf_topk(spark, sf_dir):
+    """Per-document tf-idf keywords: top-3 tokens by tf * int64 fixed-point
+    idf (the keyword/topic-signal pass); per-doc top-k plans through
+    WindowGroupLimit, the df join keyed on the unbounded token census."""
+    return textops.tfidf_topk(_t(spark, sf_dir, "documents"))
 
 
 def q_text_bpe_tokens(spark, sf_dir):
@@ -559,6 +605,14 @@ def q_corpus_mixture_audit(spark, sf_dir):
     """Per-language budget-vs-achieved report for the mixture sample (what
     a pipeline operator alarms on)."""
     return webclean.mixture_audit(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_domain_cap(spark, sf_dir):
+    """Per-domain quota (C4/RefinedWeb anti-domination cap): keep at most
+    DOMAIN_CAP docs per URL host, md5-priority order; rank<=cap is planned
+    through Spark's WindowGroupLimit so mega-domains are trimmed map-side
+    before the one domain-key shuffle."""
+    return webclean.domain_cap(_t(spark, sf_dir, "documents"))
 
 
 def q_corpus_pack_sequences(spark, sf_dir):
@@ -907,27 +961,30 @@ def queries() -> Dict[str, Callable]:
         "serialize_pxml_nested": q_serialize_pxml_nested,
         "serialize_pxml_words": q_serialize_pxml_words,
         "dedup_semantic": q_dedup_semantic,
+        "dedup_semdedup": q_dedup_semdedup,
         "text_perplexity": q_text_perplexity,
+        "text_ppl_buckets": q_text_ppl_buckets,
+        "text_dsir": q_text_dsir,
+        "text_tfidf_topk": q_text_tfidf_topk,
         "extract_media_preservation": q_extract_media_preservation,
         "extract_char_conservation": q_extract_char_conservation,
         "text_quality_rules": q_text_quality_rules,
         "text_vocabulary": q_text_vocabulary,
         "text_length_quantiles": q_text_length_quantiles,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "web_paragraph_dedup": q_web_paragraph_dedup,
         "dedup_window_stats": q_dedup_window_stats,
         "embed_kmeans": q_embed_kmeans,
+        "embed_cluster_sample": q_embed_cluster_sample,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_neardup": q_dedup_simhash_neardup,
         "dedup_simhash_hot_buckets": q_dedup_simhash_hot_buckets,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
         "sim_ivf_topk": q_sim_ivf_topk,
-        "embed_label_centroids": q_embed_label_centroids,
         "text_lang_id": q_text_lang_id,
         "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
@@ -941,6 +998,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_mixture_sample": q_corpus_mixture_sample,
         "corpus_mixture_audit": q_corpus_mixture_audit,
+        "corpus_domain_cap": q_corpus_domain_cap,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_pack_stats": q_corpus_pack_stats,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -949,8 +1007,11 @@ def queries() -> Dict[str, Callable]:
         "html_block_stats": q_html_block_stats,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         # --- position >50: driver's correctness window ends above; all the
-        # entries below have green driver rows in r03 (the last 8 in
+        # entries below have green driver rows in r03 (most in
         # r01+r02+r03) and stay pytest- and check_oracle-gated every round
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "embed_label_centroids": q_embed_label_centroids,
         "text_fingerprint": q_text_fingerprint,
         "text_rolling_fingerprint": q_text_rolling_fingerprint,
         "corpus_sample_hash": q_corpus_sample_hash,
@@ -984,9 +1045,11 @@ def oracle_sql() -> Dict[str, str]:
         "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_incremental": dedup.sql_incremental_dedup(),
         "web_paragraph_dedup": webclean.sql_paragraph_dedup(),
         "dedup_window_stats": dedup.sql_duplicate_window_stats(),
         "embed_kmeans": clustering.sql_kmeans_assign(),
+        "embed_cluster_sample": clustering.sql_cluster_sample(),
         "dedup_minhash_lsh": dedup.sql_lsh_candidate_pairs(),
         "dedup_components": dedup.sql_connected_components(
             f"SELECT doc_a, doc_b FROM ({dedup.sql_lsh_candidate_pairs()})"
@@ -1000,9 +1063,13 @@ def oracle_sql() -> Dict[str, str]:
         "sim_ann_hot_buckets": similarity.sql_ann_oversized_buckets(),
         "sim_ivf_topk": similarity.sql_ivf_topk(),
         "dedup_semantic": similarity.sql_semantic_dedup(),
+        "dedup_semdedup": similarity.sql_semdedup_kmeans(),
         "embed_label_centroids": similarity.sql_label_centroids_agg(),
         "text_lang_id": textops.sql_language_id(),
         "text_perplexity": textops.sql_unigram_perplexity(),
+        "text_ppl_buckets": textops.sql_ppl_buckets(),
+        "text_dsir": textops.sql_dsir_weights(),
+        "text_tfidf_topk": textops.sql_tfidf_topk(),
         "text_bpe_tokens": textops.sql_bpe_token_stats(),
         "text_rolling_fingerprint": textops.sql_rolling_fingerprint(),
         "text_repetition": textops.sql_repetition_stats(),
@@ -1021,6 +1088,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_sample_stratified": webclean.sql_stratified_hash_sample(),
         "corpus_mixture_sample": webclean.sql_mixture_sample(),
         "corpus_mixture_audit": webclean.sql_mixture_audit(),
+        "corpus_domain_cap": webclean.sql_domain_cap(),
         "corpus_pack_sequences": packing.sql_pack_sequences(),
         "corpus_pack_stats": packing.sql_pack_stats(),
         "corpus_decontaminate": decontam.sql_contamination_report(),

@@ -65,6 +65,10 @@ SINGLE_PARTITION_WINDOW_ALLOWED = {
     # q_text_length_quantiles: windows over the length histogram
     # (|distinct lengths| rows, bounded by max doc length, not corpus size)
     "queries.py": 2,
+    # ppl_buckets: the same histogram-cumsum kernel over the per-doc
+    # mean_surprisal_q4 score domain (|distinct q4 scores| <= a few
+    # thousand — bounded by the 1/16-bit log2 range, not corpus size)
+    "textops.py": 2,
 }
 
 
@@ -108,8 +112,10 @@ BROADCAST_ALLOWED = {
     "decontam.py": 1,
     # nation dimension (25 rows) in the TPC-H-ish join query
     "queries.py": 1,
-    # top-VOCAB_CAP unigram LM (hard cap, deterministic order)
-    "textops.py": 1,
+    # top-VOCAB_CAP unigram LM (hard cap, deterministic order) + the two
+    # DSIR hashed-bigram censuses (both <= DSIR_BUCKETS rows by
+    # construction — the hash space IS the cap)
+    "textops.py": 3,
 }
 
 
