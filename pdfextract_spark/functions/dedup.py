@@ -934,15 +934,35 @@ def incremental_dedup(documents: DataFrame) -> DataFrame:
     (bounded width — the planted max is 2)."""
     history, batch = synthesize_incremental(documents)
     fp = F.md5(F.lower(F.trim(F.col("text"))))
-    hist_fps = history.select(fp.alias("fingerprint")).distinct()
-    bat = batch.select("doc_id", fp.alias("fingerprint"))
+    return incremental_dedup_tables(
+        history.select(fp.alias("fingerprint")),
+        batch.select("doc_id", fp.alias("fingerprint")),
+    )
+
+
+def incremental_dedup_tables(history: DataFrame, batch: DataFrame) -> DataFrame:
+    """The production-layout core of incremental_dedup: `history` carries a
+    STORED `fingerprint` column (the kept corpus's fingerprint table),
+    `batch` carries (doc_id, fingerprint). Same output contract as
+    incremental_dedup.
+
+    Storing the fingerprint as a physical column — instead of deriving
+    md5(text) inside the join — is what unlocks Spark's runtime bloom
+    filter (InjectRuntimeFilter): with a selective batch side, Catalyst
+    builds bloom_filter_agg over the batch fingerprints and prefilters the
+    HISTORY SCAN with bloom_might_contain before the shuffle, so the
+    10^12-row history ships only probable matches. The rule tracks the join
+    key's lineage down to the scan, which a derived md5(...) expression
+    defeats — pinned in tests/test_incremental_dedup.py::
+    test_runtime_bloom_prefilter_needs_stored_fingerprints."""
+    hist_fps = history.select("fingerprint").distinct()
     from pyspark.sql import Window
 
     rank = F.row_number().over(
         Window.partitionBy("fingerprint").orderBy("doc_id")
     )
-    flagged = (
-        bat.join(
+    return (
+        batch.join(
             hist_fps.withColumn("in_history", F.lit(True)), "fingerprint", "left"
         )
         .withColumn("rank", rank)
@@ -955,7 +975,6 @@ def incremental_dedup(documents: DataFrame) -> DataFrame:
             .alias("status"),
         )
     )
-    return flagged
 
 
 def sql_incremental_dedup(table: str = "documents") -> str:

@@ -37,6 +37,7 @@ _EXT_FORMAT = {
     ".json": "json",
     ".ndjson": "json",
     ".csv": "csv",
+    ".orc": "orc",
 }
 
 
@@ -59,6 +60,10 @@ def read_documents(spark: SparkSession, path: str, fmt: str | None = None) -> Da
     fmt = fmt or detect_format(path)
     if fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        # columnar like parquet: schema travels with the file, predicate
+        # pushdown and column pruning work the same — no inference scan
+        df = spark.read.orc(path)
     elif fmt == "json":
         df = spark.read.schema(DOCUMENTS_SCHEMA).json(path)
     elif fmt == "csv":

@@ -86,3 +86,54 @@ def test_incremental_dedup_matches_duckdb_oracle(spark):
     assert len(sp) == len(du)
     assert sorted(sp.columns) == sorted(du.columns)
     assert _value_hash(sp) == _value_hash(du)
+
+
+def test_runtime_bloom_prefilter_needs_stored_fingerprints(spark, tmp_path):
+    """The production history layout stores the fingerprint as a physical
+    column: Spark's InjectRuntimeFilter then builds bloom_filter_agg over
+    the (selective) batch fingerprints and prefilters the history SCAN
+    before the shuffle — the plan feature that keeps a 10^12-row history
+    from shipping wholesale. Deriving md5(text) inside the join defeats the
+    rule (it can't track a computed key down to the scan), so this test
+    pins BOTH facts: bloom injected for the stored layout, and results
+    identical with the filter on and off."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), fp.alias("fingerprint"))
+    hist_path = str(tmp_path / "hist.parquet")
+    batch_path = str(tmp_path / "batch.parquet")
+    base.filter(F.col("doc_id") % 10 < 6).write.parquet(hist_path)
+    base.filter(F.col("doc_id") % 10 >= 6).write.parquet(batch_path)
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hist = spark.read.parquet(hist_path)
+        # a selective batch-side predicate is what makes the rule fire
+        batch = spark.read.parquet(batch_path).filter(F.col("doc_id") % 3 == 0)
+        out = dedup.incremental_dedup_tables(hist, batch)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:3000]
+        with_bloom = _value_hash(out.toPandas())
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        out2 = dedup.incremental_dedup_tables(hist, batch)
+        plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" not in plan2
+        assert _value_hash(out2.toPandas()) == with_bloom
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

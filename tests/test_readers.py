@@ -22,8 +22,16 @@ def exports(tmp_path_factory):
     return d
 
 
+def test_orc_matches_parquet(spark, tmp_path):
+    base = read_documents(spark, PARQUET)
+    orc_path = str(tmp_path / "docs.orc")
+    base.write.orc(orc_path)
+    assert rows(read_documents(spark, orc_path)) == rows(base)
+
+
 def test_detect_format():
     assert detect_format("a/b.parquet") == "parquet"
+    assert detect_format("a/b.orc") == "orc"
     assert detect_format("a/b.jsonl") == "json"
     assert detect_format("a/b.ndjson") == "json"
     assert detect_format("a/b.csv") == "csv"
