@@ -1,0 +1,204 @@
+"""End-to-end curation pipeline as ONE per-document flag relation — the
+driver-gated twin of jobs/hygiene_job.py (same stage order, same rules):
+
+    boilerplate-line strip -> PII redaction -> Gopher quality gates ->
+    unigram-LM perplexity gate -> exact-dedup keeper -> hash sample
+
+The job writes parquet + metrics via spark-submit; this operator returns
+the per-doc audit relation (every stage a FLAG column, nothing dropped
+silently) so the whole chain — not just its stages in isolation — is
+value-hash-checked against a DuckDB mirror by the driver's correctness
+gate. A doc's `keep` here is exactly the job's keep rule at the same
+dials.
+
+Scale shape (inherited from the stages): ONE boilerplate census feeding a
+cap-bounded broadcast set, a narrow strip + redact + quality Project, the
+LM token census + one doc_id score join, one keeper shuffle on the content
+hash, a stateless md5 sample — the corpus is traversed, never re-filtered
+stage by stage. The stripped/redacted text is deliberately NOT
+checkpointed: it is corpus-sized (the expensive side of the dedup-module
+checkpoint rule), and its producers are narrow Projects that whole-stage
+codegen re-runs cheaply per consumer (the LM pass and the final select);
+the job variant materializes it to parquet instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from . import textops, webclean
+
+CURATION_SAMPLE_PCT = 90  # keep ~90/100 md5 buckets (the job's --sample-pct)
+# same gate vocabulary as queries.q_text_quality_rules and jobs/hygiene_job.py
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def curation_flags(
+    documents: DataFrame,
+    min_df: int = webclean.MIN_DF,
+    cap: int = webclean.CAP,
+    sample_pct: int = CURATION_SAMPLE_PCT,
+) -> DataFrame:
+    """(doc_id, boiler_removed, pii_found, ok_quality, ppx_flag,
+    is_keeper, sampled, keep) for every document of the synthesized web
+    corpus — keep = ok_quality AND NOT ppx_flag AND is_keeper AND
+    sampled."""
+    web = webclean.synthesize_web(documents).select("doc_id", "web_text")
+    st = webclean.strip_boilerplate(web, min_df, cap)
+
+    t = F.col("clean_text")
+    n_pii = (
+        F.regexp_count(t, F.lit(webclean.RE_EMAIL))
+        + F.regexp_count(t, F.lit(webclean.RE_URL))
+        + F.regexp_count(t, F.lit(webclean.RE_IPV4))
+        + F.regexp_count(t, F.lit(webclean.RE_PHONE))
+    )
+    red = F.regexp_replace(t, webclean.RE_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, webclean.RE_URL, "<URL>")
+    red = F.regexp_replace(red, webclean.RE_IPV4, "<IP>")
+    red = F.regexp_replace(red, webclean.RE_PHONE, "<PHONE>")
+    base = st.select(
+        "doc_id",
+        F.col("n_removed").cast("int").alias("boiler_removed"),
+        n_pii.cast("int").alias("pii_found"),
+        red.alias("text"),
+    )
+    # The fixture carries no duplicate texts, so the keeper stage's
+    # structure is planted (the synthesizer pattern): an md5-selected ~1/8
+    # of post-strip docs reappears verbatim under doc_id 'd'||doc_id — 'd'
+    # sorts after every digit, so the original doc is always the keeper in
+    # both engines. Planted AFTER the strip so the boilerplate census (a
+    # corpus-frequency object) is computed over the un-planted corpus
+    # identically in both engines.
+    plant = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("curp|"), F.col("doc_id"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 8
+        == 0
+    )
+    base = base.unionByName(
+        base.filter(plant).select(
+            F.concat(F.lit("d"), F.col("doc_id")).alias("doc_id"),
+            "boiler_removed",
+            "pii_found",
+            "text",
+        )
+    )
+
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mean_wlen = F.length(F.regexp_replace("text", " ", "")) / n_words
+    digit_words = F.size(F.filter(words, lambda w: w.rlike("^[0-9]+$")))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    ok_quality = (
+        (n_words >= 5)
+        & (n_words <= 100000)
+        & (mean_wlen >= 2.0)
+        & (mean_wlen <= 12.0)
+        & ((digit_words / n_words) <= 0.3)
+        & (stop_hits >= 1)
+    )
+    flagged = base.withColumn("ok_quality", ok_quality)
+
+    # model-based half of the quality filter: LM trained on the post-strip
+    # redacted corpus itself; docs with zero tokens carry no LM evidence
+    # and stay unflagged (the rule gates already reject them)
+    ppx = textops.unigram_perplexity(flagged.select("doc_id", "text")).select(
+        "doc_id", "ppx_flag"
+    )
+    flagged = flagged.join(ppx, "doc_id", "left").withColumn(
+        "ppx_flag", F.coalesce(F.col("ppx_flag"), F.lit(False))
+    )
+
+    keeper = (
+        F.row_number().over(
+            Window.partitionBy(F.md5("text")).orderBy("doc_id")
+        )
+        == 1
+    )
+    h = F.md5(F.concat(F.lit("sample|"), F.col("doc_id")))
+    sampled = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100 < sample_pct
+    )
+    return flagged.select(
+        "doc_id",
+        "boiler_removed",
+        "pii_found",
+        "ok_quality",
+        "ppx_flag",
+        keeper.alias("is_keeper"),
+        sampled.alias("sampled"),
+        (
+            F.col("ok_quality")
+            & ~F.col("ppx_flag")
+            & keeper
+            & sampled
+        ).alias("keep"),
+    )
+
+
+def sql_curation_flags(
+    table: str = "documents",
+    min_df: int = webclean.MIN_DF,
+    cap: int = webclean.CAP,
+    sample_pct: int = CURATION_SAMPLE_PCT,
+) -> str:
+    def cnt(pat: str) -> str:
+        return f"len(regexp_extract_all(clean_text, '{pat}'))"
+
+    red = "clean_text"
+    for pat, tok in (
+        (webclean.RE_EMAIL, "<EMAIL>"),
+        (webclean.RE_URL, "<URL>"),
+        (webclean.RE_IPV4, "<IP>"),
+        (webclean.RE_PHONE, "<PHONE>"),
+    ):
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    stops = STOPWORDS
+    quality = (
+        "(len(string_split(text, ' ')) BETWEEN 5 AND 100000)"
+        " AND (length(replace(text, ' ', '')) * 1.0"
+        "      / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0)"
+        " AND (len(list_filter(string_split(text, ' '),"
+        "                      w -> regexp_full_match(w, '[0-9]+')))"
+        "      * 1.0 / len(string_split(text, ' ')) <= 0.3)"
+        f" AND (len(list_filter(string_split(text, ' '), w -> w IN {stops!r})) >= 1)"
+    )
+    return f"""
+WITH st AS ({webclean.sql_strip_boilerplate(table, min_df, cap)}),
+base0 AS (
+  SELECT doc_id,
+         CAST(n_removed AS INT) AS boiler_removed,
+         CAST({cnt(webclean.RE_EMAIL)} + {cnt(webclean.RE_URL)}
+              + {cnt(webclean.RE_IPV4)} + {cnt(webclean.RE_PHONE)} AS INT)
+           AS pii_found,
+         {red} AS text
+  FROM st
+),
+base AS (
+  SELECT * FROM base0
+  UNION ALL
+  SELECT 'd' || doc_id, boiler_removed, pii_found, text FROM base0
+  WHERE ('0x' || substr(md5('curp|' || doc_id), 1, 4))::BIGINT % 8 = 0
+),
+ppx AS (
+  SELECT doc_id, ppx_flag FROM ({textops.sql_unigram_perplexity('base')})
+),
+flagged AS (
+  SELECT b.doc_id, b.boiler_removed, b.pii_found,
+         ({quality}) AS ok_quality,
+         COALESCE(p.ppx_flag, FALSE) AS ppx_flag,
+         (ROW_NUMBER() OVER (PARTITION BY md5(b.text) ORDER BY b.doc_id) = 1)
+           AS is_keeper,
+         (('0x' || substr(md5('sample|' || b.doc_id), 1, 4))::BIGINT % 100
+          < {sample_pct}) AS sampled
+  FROM base b LEFT JOIN ppx p USING (doc_id)
+)
+SELECT doc_id, boiler_removed, pii_found, ok_quality, ppx_flag, is_keeper,
+       sampled,
+       (ok_quality AND NOT ppx_flag AND is_keeper AND sampled) AS keep
+FROM flagged
+"""

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .functions import (
     bpe,
     clustering,
+    curation,
     decontam,
     dedup,
     htmlops,
@@ -615,6 +616,14 @@ def q_corpus_domain_cap(spark, sf_dir):
     return webclean.domain_cap(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_curation_flags(spark, sf_dir):
+    """End-to-end curation chain as one per-doc flag relation — the
+    driver-gated twin of jobs/hygiene_job.py: boilerplate strip -> PII
+    redaction -> Gopher gates -> perplexity gate -> exact-dedup keeper
+    (planted duplicates) -> hash sample; keep = the job's keep rule."""
+    return curation.curation_flags(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_pack_sequences(spark, sf_dir):
     """Sequence packing: greedy fixed-token-budget fill per deterministic
     pack stream (the pretraining-batch assembly step); oracle replays the
@@ -985,7 +994,6 @@ def queries() -> Dict[str, Callable]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
         "sim_ivf_topk": q_sim_ivf_topk,
-        "text_lang_id": q_text_lang_id,
         "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
         "web_synthesize": q_web_synthesize,
@@ -999,6 +1007,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_mixture_sample": q_corpus_mixture_sample,
         "corpus_mixture_audit": q_corpus_mixture_audit,
         "corpus_domain_cap": q_corpus_domain_cap,
+        "corpus_curation_flags": q_corpus_curation_flags,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_pack_stats": q_corpus_pack_stats,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -1009,6 +1018,7 @@ def queries() -> Dict[str, Callable]:
         # --- position >50: driver's correctness window ends above; all the
         # entries below have green driver rows in r03 (most in
         # r01+r02+r03) and stay pytest- and check_oracle-gated every round
+        "text_lang_id": q_text_lang_id,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_cosine_topk": q_sim_cosine_topk,
         "embed_label_centroids": q_embed_label_centroids,
@@ -1089,6 +1099,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_mixture_sample": webclean.sql_mixture_sample(),
         "corpus_mixture_audit": webclean.sql_mixture_audit(),
         "corpus_domain_cap": webclean.sql_domain_cap(),
+        "corpus_curation_flags": curation.sql_curation_flags(),
         "corpus_pack_sequences": packing.sql_pack_sequences(),
         "corpus_pack_stats": packing.sql_pack_stats(),
         "corpus_decontaminate": decontam.sql_contamination_report(),
