@@ -440,17 +440,23 @@ def dsir_weights(documents: DataFrame) -> DataFrame:
     dial). The flag is the deterministic stand-in for the paper's Gumbel
     resampling (compose with hash_sample for a sized cut)."""
     corpus = synthesize_dsir_corpus(documents)
+    # bigrams via zip_with over two slices of a MATERIALIZED words column:
+    # element_at(words, i) inside a transform re-evaluates the split+filter
+    # expression per gram element (no CSE across lambda scopes) — O(n^2)
+    # per doc, measured as the whole operator's hot spot at sf0.1. The
+    # slice/zip_with form is linear and touches the array exactly twice.
     words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     grams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat(
-                F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)
-            ),
+        F.size("_w") >= 2,
+        F.zip_with(
+            F.slice("_w", 1, F.size("_w") - 1),
+            F.slice("_w", 2, F.size("_w") - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     ex = corpus.select(
+        "doc_id", "is_target", words.alias("_w")
+    ).select(
         "doc_id",
         "is_target",
         F.explode(grams).alias("gram"),
@@ -466,19 +472,23 @@ def dsir_weights(documents: DataFrame) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("b"),
     )
-    raw = ex.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
-    tgt = (
-        ex.filter(F.col("is_target"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    # ONE census with both LM counts (c_tgt as a conditional sum), so the
+    # corpus-exploded `ex` is evaluated exactly twice (census + scoring)
+    # instead of once per LM/total/join consumer — measured 10.0 -> ~4s at
+    # sf0.1. The census is corpus-REDUCED (<= DSIR_BUCKETS rows, the hard
+    # cap), so checkpointing it is the cheap side of the checkpoint rule;
+    # both totals then fold over the census, never re-touching ex.
+    census = ex.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_tgt"),
     )
-    t_raw = raw.agg(F.sum("c_raw").alias("t_raw"))
-    t_tgt = tgt.agg(F.sum("c_tgt").alias("t_tgt"))
+    census = census.localCheckpoint(eager=False)
+    totals = census.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
     scored = (
-        ex.join(F.broadcast(raw), "b")  # bounded: <= DSIR_BUCKETS rows
-        .join(F.broadcast(tgt), "b", "left")
-        .crossJoin(t_raw)
-        .crossJoin(t_tgt)
+        ex.join(F.broadcast(census), "b")  # bounded: <= DSIR_BUCKETS rows
+        .crossJoin(totals)
         .withColumn(
             "_q_raw",
             F.expr(
@@ -488,7 +498,7 @@ def dsir_weights(documents: DataFrame) -> DataFrame:
         .withColumn(
             "_q_tgt",
             F.expr(
-                f"((t_tgt + {DSIR_BUCKETS}) * {LM_PRESCALE}) div (coalesce(c_tgt, 0) + 1)"
+                f"((t_tgt + {DSIR_BUCKETS}) * {LM_PRESCALE}) div (c_tgt + 1)"
             ).cast("long"),
         )
         .withColumn("_d16", (_s16_of("_q_raw") - _s16_of("_q_tgt")).cast("long"))
@@ -497,6 +507,8 @@ def dsir_weights(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_grams"),
         F.sum("_d16").alias("_w"),
     )
+    # agg feeds the corpus-mean stats AND the final select; one row per doc
+    agg = agg.localCheckpoint(eager=False)
     stats = agg.agg(
         F.sum("n_grams").alias("_tg"), F.sum("_w").alias("_sw")
     )
