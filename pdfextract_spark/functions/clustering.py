@@ -226,3 +226,28 @@ SELECT vec_id, cluster,
          AS rank_in_cluster
 FROM d QUALIFY rank_in_cluster <= {cap}
 """
+
+
+def cluster_stats(embeddings: DataFrame) -> DataFrame:
+    """(cluster, n_vecs, inertia, mean_dist) — per-cluster size and exact
+    int64 within-cluster sum of squared distances (the k-means inertia /
+    elbow diagnostic: run across k values, the knee picks the SemDeDup /
+    IVF cluster count; per-cluster mean_dist exposes loose clusters that
+    need a larger k or a re-seed). One groupBy over the assignment — the
+    assignment itself is the map-side Project against K centroid literals,
+    so the whole diagnostic costs one K-row shuffle."""
+    assign = kmeans_assign(embeddings)
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dist").alias("inertia"),
+        F.expr("sum(dist) div count(1)").cast("long").alias("mean_dist"),
+    )
+
+
+def sql_cluster_stats(table: str = "embeddings") -> str:
+    return f"""
+SELECT cluster, COUNT(*)::BIGINT AS n_vecs, SUM(dist)::BIGINT AS inertia,
+       (SUM(dist)::BIGINT // COUNT(*)::BIGINT)::BIGINT AS mean_dist
+FROM ({sql_kmeans_assign(table)})
+GROUP BY cluster
+"""

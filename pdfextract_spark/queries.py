@@ -458,6 +458,13 @@ def q_embed_cluster_sample(spark, sf_dir):
     return clustering.cluster_sample(_t(spark, sf_dir, "embeddings"))
 
 
+def q_embed_cluster_stats(spark, sf_dir):
+    """k-means inertia / elbow diagnostic: per-cluster size, exact int64
+    within-cluster sum of squared distances, and mean distance — one K-row
+    shuffle over the map-side assignment."""
+    return clustering.cluster_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def q_web_paragraph_dedup(spark, sf_dir):
     """CCNet's core dedup: paragraph-level exact dedup corpus-wide (first
     occurrence by (doc_id, pos) survives, docs re-assembled in order)."""
@@ -986,6 +993,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_window_stats": q_dedup_window_stats,
         "embed_kmeans": q_embed_kmeans,
         "embed_cluster_sample": q_embed_cluster_sample,
+        "embed_cluster_stats": q_embed_cluster_stats,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
@@ -993,7 +1001,6 @@ def queries() -> Dict[str, Callable]:
         "dedup_simhash_hot_buckets": q_dedup_simhash_hot_buckets,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
-        "sim_ivf_topk": q_sim_ivf_topk,
         "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
         "web_synthesize": q_web_synthesize,
@@ -1018,6 +1025,7 @@ def queries() -> Dict[str, Callable]:
         # --- position >50: driver's correctness window ends above; all the
         # entries below have green driver rows in r03 (most in
         # r01+r02+r03) and stay pytest- and check_oracle-gated every round
+        "sim_ivf_topk": q_sim_ivf_topk,
         "text_lang_id": q_text_lang_id,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_cosine_topk": q_sim_cosine_topk,
@@ -1060,6 +1068,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_window_stats": dedup.sql_duplicate_window_stats(),
         "embed_kmeans": clustering.sql_kmeans_assign(),
         "embed_cluster_sample": clustering.sql_cluster_sample(),
+        "embed_cluster_stats": clustering.sql_cluster_stats(),
         "dedup_minhash_lsh": dedup.sql_lsh_candidate_pairs(),
         "dedup_components": dedup.sql_connected_components(
             f"SELECT doc_a, doc_b FROM ({dedup.sql_lsh_candidate_pairs()})"

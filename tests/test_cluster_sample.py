@@ -72,3 +72,21 @@ def test_cluster_sample_matches_duckdb_oracle(spark):
     assert len(sp) == len(du)
     assert sorted(sp.columns) == sorted(du.columns)
     assert _value_hash(sp) == _value_hash(du)
+
+
+def test_cluster_stats_matches_duckdb_and_totals(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sp = clustering.cluster_stats(emb).toPandas()
+    assign = clustering.kmeans_assign(emb).toPandas()
+    # totals reconcile with the assignment relation exactly
+    assert sp.n_vecs.sum() == len(assign)
+    assert sp.inertia.sum() == assign.dist.sum()
+    assert (sp.mean_dist == sp.inertia // sp.n_vecs).all()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    du = con.sql(clustering.sql_cluster_stats()).df()
+    assert len(sp) == len(du)
+    assert sorted(sp.columns) == sorted(du.columns)
+    assert _value_hash(sp) == _value_hash(du)
