@@ -33,16 +33,15 @@ CURATION_SAMPLE_PCT = 90  # keep ~90/100 md5 buckets (the job's --sample-pct)
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
-def curation_flags(
+def _curation_frame(
     documents: DataFrame,
     min_df: int = webclean.MIN_DF,
     cap: int = webclean.CAP,
     sample_pct: int = CURATION_SAMPLE_PCT,
 ) -> DataFrame:
-    """(doc_id, boiler_removed, pii_found, ok_quality, ppx_flag,
-    is_keeper, sampled, keep) for every document of the synthesized web
-    corpus — keep = ok_quality AND NOT ppx_flag AND is_keeper AND
-    sampled."""
+    """The full per-doc audit frame (all flag columns + keep + the
+    post-strip redacted text) — curation_flags drops the text,
+    curation_packed packs the keepers' text."""
     web = webclean.synthesize_web(documents).select("doc_id", "web_text")
     st = webclean.strip_boilerplate(web, min_df, cap)
 
@@ -137,15 +136,51 @@ def curation_flags(
             & keeper
             & sampled
         ).alias("keep"),
+        "text",
     )
 
 
-def sql_curation_flags(
+def curation_flags(
+    documents: DataFrame,
+    min_df: int = webclean.MIN_DF,
+    cap: int = webclean.CAP,
+    sample_pct: int = CURATION_SAMPLE_PCT,
+) -> DataFrame:
+    """(doc_id, boiler_removed, pii_found, ok_quality, ppx_flag,
+    is_keeper, sampled, keep) for every document of the synthesized web
+    corpus — keep = ok_quality AND NOT ppx_flag AND is_keeper AND
+    sampled."""
+    return _curation_frame(documents, min_df, cap, sample_pct).drop("text")
+
+
+def curation_packed(
+    documents: DataFrame,
+    min_df: int = webclean.MIN_DF,
+    cap: int = webclean.CAP,
+    sample_pct: int = CURATION_SAMPLE_PCT,
+) -> DataFrame:
+    """The job's --pack-budget tail as a driver-gated query: the curation
+    keepers' redacted text greedily packed into fixed-token-budget
+    pretraining sequences (functions/packing over the keep=true set) —
+    the last stage of the hygiene recipe, composed end-to-end. One extra
+    shuffle on the pack-stream key beyond the curation chain."""
+    from . import packing
+
+    kept = (
+        _curation_frame(documents, min_df, cap, sample_pct)
+        .filter("keep")
+        .select("doc_id", "text")
+    )
+    return packing.pack_sequences(kept)
+
+
+def _sql_flagged_body(
     table: str = "documents",
     min_df: int = webclean.MIN_DF,
     cap: int = webclean.CAP,
     sample_pct: int = CURATION_SAMPLE_PCT,
 ) -> str:
+    """The shared CTE chain up to `flagged` (all flag columns + text)."""
     def cnt(pat: str) -> str:
         return f"len(regexp_extract_all(clean_text, '{pat}'))"
 
@@ -168,7 +203,7 @@ def sql_curation_flags(
         f" AND (len(list_filter(string_split(text, ' '), w -> w IN {stops!r})) >= 1)"
     )
     return f"""
-WITH st AS ({webclean.sql_strip_boilerplate(table, min_df, cap)}),
+st AS ({webclean.sql_strip_boilerplate(table, min_df, cap)}),
 base0 AS (
   SELECT doc_id,
          CAST(n_removed AS INT) AS boiler_removed,
@@ -194,11 +229,48 @@ flagged AS (
          (ROW_NUMBER() OVER (PARTITION BY md5(b.text) ORDER BY b.doc_id) = 1)
            AS is_keeper,
          (('0x' || substr(md5('sample|' || b.doc_id), 1, 4))::BIGINT % 100
-          < {sample_pct}) AS sampled
+          < {sample_pct}) AS sampled,
+         b.text
   FROM base b LEFT JOIN ppx p USING (doc_id)
-)
+)"""
+
+
+def sql_curation_flags(
+    table: str = "documents",
+    min_df: int = webclean.MIN_DF,
+    cap: int = webclean.CAP,
+    sample_pct: int = CURATION_SAMPLE_PCT,
+) -> str:
+    return f"""
+WITH {_sql_flagged_body(table, min_df, cap, sample_pct)}
 SELECT doc_id, boiler_removed, pii_found, ok_quality, ppx_flag, is_keeper,
        sampled,
        (ok_quality AND NOT ppx_flag AND is_keeper AND sampled) AS keep
 FROM flagged
 """
+
+
+def sql_curation_kept(
+    table: str = "documents",
+    min_df: int = webclean.MIN_DF,
+    cap: int = webclean.CAP,
+    sample_pct: int = CURATION_SAMPLE_PCT,
+) -> str:
+    return f"""
+WITH {_sql_flagged_body(table, min_df, cap, sample_pct)}
+SELECT doc_id, text FROM flagged
+WHERE ok_quality AND NOT ppx_flag AND is_keeper AND sampled
+"""
+
+
+def sql_curation_packed(
+    table: str = "documents",
+    min_df: int = webclean.MIN_DF,
+    cap: int = webclean.CAP,
+    sample_pct: int = CURATION_SAMPLE_PCT,
+) -> str:
+    from . import packing
+
+    return packing.sql_pack_sequences(
+        f"({sql_curation_kept(table, min_df, cap, sample_pct)})"
+    )

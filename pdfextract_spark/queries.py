@@ -631,6 +631,15 @@ def q_corpus_curation_flags(spark, sf_dir):
     return curation.curation_flags(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_curation_packed(spark, sf_dir):
+    """The hygiene job's --pack-budget tail composed end-to-end: the
+    curation keepers' redacted text greedily packed into fixed-budget
+    pretraining sequences (one extra pack-stream shuffle beyond the
+    curation chain); oracle replays the fold as a recursive CTE over the
+    same kept set."""
+    return curation.curation_packed(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_pack_sequences(spark, sf_dir):
     """Sequence packing: greedy fixed-token-budget fill per deterministic
     pack stream (the pretraining-batch assembly step); oracle replays the
@@ -999,7 +1008,6 @@ def queries() -> Dict[str, Callable]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_neardup": q_dedup_simhash_neardup,
         "dedup_simhash_hot_buckets": q_dedup_simhash_hot_buckets,
-        "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
         "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
@@ -1015,6 +1023,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_mixture_audit": q_corpus_mixture_audit,
         "corpus_domain_cap": q_corpus_domain_cap,
         "corpus_curation_flags": q_corpus_curation_flags,
+        "corpus_curation_packed": q_corpus_curation_packed,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_pack_stats": q_corpus_pack_stats,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -1025,6 +1034,7 @@ def queries() -> Dict[str, Callable]:
         # --- position >50: driver's correctness window ends above; all the
         # entries below have green driver rows in r03 (most in
         # r01+r02+r03) and stay pytest- and check_oracle-gated every round
+        "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf_topk": q_sim_ivf_topk,
         "text_lang_id": q_text_lang_id,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1109,6 +1119,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_mixture_audit": webclean.sql_mixture_audit(),
         "corpus_domain_cap": webclean.sql_domain_cap(),
         "corpus_curation_flags": curation.sql_curation_flags(),
+        "corpus_curation_packed": curation.sql_curation_packed(),
         "corpus_pack_sequences": packing.sql_pack_sequences(),
         "corpus_pack_stats": packing.sql_pack_stats(),
         "corpus_decontaminate": decontam.sql_contamination_report(),

@@ -60,3 +60,20 @@ def test_curation_matches_duckdb_oracle(spark):
     assert len(sp) == len(du)
     assert sorted(sp.columns) == sorted(du.columns)
     assert _value_hash(sp) == _value_hash(du)
+
+
+def test_curation_packed_matches_duckdb_oracle(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sp = curation.curation_packed(docs).toPandas()
+    flags = curation.curation_flags(docs).toPandas()
+    # exactly the keepers are packed, each once
+    assert len(sp) == int(flags.keep.sum())
+    assert set(sp.doc_id) == set(flags[flags.keep].doc_id)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    du = con.sql(curation.sql_curation_packed()).df()
+    assert len(sp) == len(du)
+    assert sorted(sp.columns) == sorted(du.columns)
+    assert _value_hash(sp) == _value_hash(du)
