@@ -92,3 +92,55 @@ def test_semdedup_kmeans_matches_duckdb_oracle(spark):
     assert len(sp) == len(du)
     assert sorted(sp.columns) == sorted(du.columns)
     assert _value_hash(sp) == _value_hash(du)
+
+
+def test_block_decomposition_matches_naive_cluster_join(spark):
+    """The triangle-block split of the within-cluster self-join must emit
+    exactly the naive cluster-keyed join's pair set (every unordered
+    within-cluster pair once, a < b) before the cosine filter even — here
+    pinned after the filter on the full planted corpus."""
+    from pyspark.sql import functions as F
+
+    from pdfextract_spark.functions.similarity import (
+        SEM_COS_MIN,
+        _cos,
+        _idot,
+        _with_quant,
+        synthesize_semantic_corpus,
+    )
+    from pdfextract_spark.functions.clustering import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = synthesize_semantic_corpus(emb)
+    assign = kmeans_assign(corpus, k=similarity.SEMDEDUP_K).select(
+        "vec_id", "cluster"
+    )
+    quant = _with_quant(corpus).join(assign, "vec_id")
+    a, b = quant.alias("a"), quant.alias("b")
+    cos = _cos(_idot(F.col("a.q"), F.col("b.q")), F.col("a.n2"), F.col("b.n2"))
+    naive = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= SEM_COS_MIN)
+        .collect()
+    }
+    # the production path's pairs are what feed connected_components;
+    # reproduce them by reading the component edges back from the keeper
+    # relation is lossy, so re-derive via the module's own pair builder:
+    # semdedup_kmeans's output clusters {original, copy} 1:1 with pairs
+    out = similarity.semdedup_kmeans(emb).toPandas()
+    comp_pairs = {
+        (int(r.rep), int(r.vec_id))
+        for r in out.itertuples()
+        if not r.is_keeper
+    }
+    assert comp_pairs == naive
