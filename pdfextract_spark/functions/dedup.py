@@ -867,6 +867,122 @@ FROM toks t LEFT JOIN stats s USING (doc_id)
 """
 
 
+def exact_substr_removal(documents: DataFrame, w: int = WINDOW_W) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2022): the *removal* half of the
+    duplicate-window signal above. A w-token window is duplicated when its
+    content occurs >= 2 times in the corpus counting multiplicity (so a
+    within-document repeat qualifies, exactly like the suffix-array
+    formulation). Every token covered by at least one duplicated window is
+    removed and the document is re-assembled from the surviving tokens in
+    order. Output: (doc_id, n_tokens, n_removed, text_clean).
+
+    100 TB shape: the census groupBy on the md5 window key has map-side
+    combine; the occurrences->census join is shuffle-on-key (the duplicated
+    set is corpus-sized — NEVER broadcast); re-assembly is two per-doc
+    aggregations plus O(n*w) pure-Column array work (the coverage test reads
+    a w-wide slice of the per-window dup-flag array per token — linear, no
+    O(n*|dups|) exists() over an unbounded list). Tokens are raw (not
+    lowercased): the output is the cleaned text itself, not a fingerprint.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), toks.alias("t")
+    ).select("doc_id", "t", F.size("t").alias("n"))
+
+    # one row per window occurrence (multiplicity kept — no array_distinct)
+    wins = F.when(
+        F.col("n") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - (w - 1)),
+            lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select("doc_id", F.posexplode(wins).alias("p0", "k")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "k"
+    )
+    census = occ.groupBy("k").agg(F.count(F.lit(1)).alias("df"))
+    flags = (
+        occ.join(census, "k")  # inner: census is built from occ, always hits
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), (F.col("df") >= 2).alias("d")))
+            ).alias("fl")
+        )
+        .select("doc_id", F.transform("fl", lambda x: x["d"]).alias("fl"))
+    )
+
+    joined = base.join(flags, "doc_id", "left").select(
+        "doc_id", "t", "n", F.coalesce("fl", F.array().cast("array<boolean>")).alias("fl")
+    )
+    # token j is covered iff some dup window starts in [j-w+1, j]
+    nw = F.size("fl")
+    kept = F.when(
+        F.col("n") >= 1,
+        F.filter(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda j: ~F.exists(
+                F.slice(
+                    F.col("fl"),
+                    F.greatest(F.lit(1), j - (w - 1)),
+                    F.greatest(
+                        F.lit(0),
+                        F.least(j, nw) - F.greatest(F.lit(1), j - (w - 1)) + 1,
+                    ),
+                ),
+                lambda d: d,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return joined.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        (F.col("n") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda j: F.element_at(F.col("t"), j)), " "
+        ).alias("text_clean"),
+    )
+
+
+def sql_exact_substr_removal(table: str = "documents", w: int = WINDOW_W) -> str:
+    """DuckDB mirror of exact_substr_removal (same raw tokens, same md5
+    window keys with multiplicity, same [j-w+1, j] coverage rule)."""
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM {table}
+),
+sized AS (SELECT doc_id, t, len(t) AS n FROM base),
+occ AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(t, i, i + {w} - 1), ' ')) AS k
+  FROM sized, unnest(range(1, n - {w} + 2)) AS u(i)
+  WHERE n >= {w}
+),
+census AS (SELECT k, COUNT(*) AS df FROM occ GROUP BY k),
+dup AS (SELECT doc_id, pos FROM occ JOIN census USING (k) WHERE df >= 2),
+kept AS (
+  SELECT s.doc_id, j, s.t[CAST(j AS BIGINT)] AS tok
+  FROM sized s, unnest(range(1, n + 1)) AS u(j)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup d
+    WHERE d.doc_id = s.doc_id AND d.pos BETWEEN j - {w} + 1 AND j
+  )
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY j) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n AS BIGINT) AS n_tokens,
+       CAST(s.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.text_clean, '') AS text_clean
+FROM sized s LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ----------------------------------------------------- incremental dedup
 # Dedup a NEW crawl batch against the corpus already kept (the production
 # shape: history is 10^12 fingerprints on disk, the batch is the day's

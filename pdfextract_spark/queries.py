@@ -479,6 +479,13 @@ def q_dedup_window_stats(spark, sf_dir):
     return dedup.duplicate_window_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_substr_removal(spark, sf_dir):
+    """ExactSubstr removal (Lee et al. 2022): every token covered by a
+    w-token window that occurs >= 2x in the corpus (multiplicity counted)
+    is removed; docs re-assembled from the surviving tokens."""
+    return dedup.exact_substr_removal(_t(spark, sf_dir, "documents"))
+
+
 def q_text_lang_id(spark, sf_dir):
     return textops.language_id(_t(spark, sf_dir, "documents"))
 
@@ -1000,6 +1007,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_incremental": q_dedup_incremental,
         "web_paragraph_dedup": q_web_paragraph_dedup,
         "dedup_window_stats": q_dedup_window_stats,
+        "dedup_substr_removal": q_dedup_substr_removal,
         "embed_kmeans": q_embed_kmeans,
         "embed_cluster_sample": q_embed_cluster_sample,
         "embed_cluster_stats": q_embed_cluster_stats,
@@ -1076,6 +1084,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_incremental": dedup.sql_incremental_dedup(),
         "web_paragraph_dedup": webclean.sql_paragraph_dedup(),
         "dedup_window_stats": dedup.sql_duplicate_window_stats(),
+        "dedup_substr_removal": dedup.sql_exact_substr_removal(),
         "embed_kmeans": clustering.sql_kmeans_assign(),
         "embed_cluster_sample": clustering.sql_cluster_sample(),
         "embed_cluster_stats": clustering.sql_cluster_stats(),
