@@ -14,8 +14,16 @@ PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 # files allowed to call .collect(): tiny manifest/metrics reads, the
 # CC fixpoint aggregate (one row per round), the BPE trainer's argmax
 # pair (one row per merge round — the PLANS.md-audited driver traffic),
-# and the k-means centroid sets (K=8 rows per Lloyd round, a constant)
-COLLECT_ALLOWED = {"pipeline.py", "dedup.py", "bpe.py", "clustering.py"}
+# the k-means centroid sets (K=8 rows per Lloyd round, a constant), and
+# the streaming decontamination benchmark gram set (built once batch-side,
+# hard-capped at BENCH_GRAMS_CAP with a loud error past it)
+COLLECT_ALLOWED = {
+    "pipeline.py",
+    "dedup.py",
+    "bpe.py",
+    "clustering.py",
+    "decontam_stream.py",
+}
 
 
 def _py_files():
