@@ -816,3 +816,145 @@ SELECT doc_id, domain,
          AS rank_in_domain
 FROM d QUALIFY rank_in_domain <= {cap}
 """
+
+
+# ---------------------------------------------------------------------------
+# C4 line/doc filters (Raffel et al. 2020, "Colossal Clean Crawled Corpus" §2.2)
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5   # C4: "retained lines that contained at least 5 words"
+C4_MIN_KEPT_LINES = 3   # C4: "discarded any page with fewer than 3 sentences"
+C4_TERMINALS = (".", "!", "?", '"')  # C4's terminal punctuation set
+
+
+def synthesize_c4(documents: DataFrame) -> DataFrame:
+    """(doc_id, web_text, n_lines) — the synthesize_web page with C4 filter
+    signals planted deterministically so every rule fires on a known subset:
+    ~2/3 of lines get a terminal '.', ~1/7 are poisoned with a leading
+    'javascript', doc_id%17 docs get a 'Lorem ipsum' line, doc_id%19 docs a
+    curly-brace code line. Same md5 schedule on both engines."""
+    web = synthesize_web(documents).select(
+        "doc_id", F.split("web_text", "\n").alias("ls")
+    )
+
+    def _mut(i):
+        hl = F.md5(F.concat(F.lit("c4|"), F.col("doc_id"), F.lit("|"), i.cast("string")))
+        base = F.element_at(F.col("ls"), i)
+        poisoned = F.when(
+            _hx(hl, 3, 2) % 7 == 0, F.concat(F.lit("javascript "), base)
+        ).otherwise(base)
+        return F.when(
+            _hx(hl, 1, 2) % 3 != 0, F.concat(poisoned, F.lit("."))
+        ).otherwise(poisoned)
+
+    mut = F.transform(F.sequence(F.lit(1), F.size("ls")), _mut)
+    empty = F.array().cast("array<string>")
+    did = F.col("doc_id").cast("long")
+    lorem = F.when(
+        did % 17 == 0, F.array(F.lit("Lorem ipsum dolor sit amet."))
+    ).otherwise(empty)
+    brace = F.when(
+        did % 19 == 0, F.array(F.lit("function f() { return 1; }"))
+    ).otherwise(empty)
+    lines = F.concat(mut, lorem, brace)
+    return web.select(
+        "doc_id",
+        F.array_join(lines, "\n").alias("web_text"),
+        F.size(lines).cast("int").alias("n_lines"),
+    )
+
+
+def c4_filters(web: DataFrame) -> DataFrame:
+    """C4 cleaning over (doc_id, web_text): keep a line iff it ends in
+    terminal punctuation AND has >= 5 words AND does not mention
+    'javascript'; keep the doc iff it has no 'lorem ipsum', no '{', and
+    >= 3 surviving lines. Output (doc_id, n_lines, n_kept_lines,
+    has_lorem_ipsum, has_brace, keep_doc, text_c4).
+
+    100 TB shape: one narrow Project — pure Column string/array work, zero
+    shuffle, zero Python; filters compose with the census-based boilerplate
+    strip upstream (this is the static-rule half, that is the
+    corpus-frequency half)."""
+    ls = web.select("doc_id", F.col("web_text"), F.split("web_text", "\n").alias("ls"))
+    kept = F.filter(
+        F.col("ls"),
+        lambda x: F.substring(x, -1, 1).isin(*C4_TERMINALS)
+        & (F.size(F.filter(F.split(x, " "), lambda t: t != "")) >= C4_MIN_LINE_WORDS)
+        & ~F.contains(F.lower(x), F.lit("javascript")),
+    )
+    out = ls.select(
+        "doc_id",
+        F.size("ls").cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        F.contains(F.lower("web_text"), F.lit("lorem ipsum")).alias("has_lorem_ipsum"),
+        F.contains("web_text", F.lit("{")).alias("has_brace"),
+        F.array_join(kept, "\n").alias("text_c4"),
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "has_lorem_ipsum",
+        "has_brace",
+        (
+            ~F.col("has_lorem_ipsum")
+            & ~F.col("has_brace")
+            & (F.col("n_kept_lines") >= C4_MIN_KEPT_LINES)
+        ).alias("keep_doc"),
+        "text_c4",
+    )
+
+
+def sql_synthesize_c4(table: str = "documents") -> str:
+    hl = "md5('c4|' || doc_id || '|' || CAST(i AS VARCHAR))"
+    inner = (
+        f"CASE WHEN {_sql_hx(hl, 3, 2)} % 7 = 0 "
+        f"THEN 'javascript ' || ls[CAST(i AS BIGINT)] ELSE ls[CAST(i AS BIGINT)] END"
+    )
+    mut = (
+        f"list_transform(range(1, len(ls) + 1), i -> "
+        f"CASE WHEN {_sql_hx(hl, 1, 2)} % 3 != 0 THEN ({inner}) || '.' ELSE ({inner}) END)"
+    )
+    lines = (
+        f"({mut} "
+        f"|| CASE WHEN CAST(doc_id AS BIGINT) % 17 = 0 "
+        f"THEN ['Lorem ipsum dolor sit amet.'] ELSE CAST([] AS VARCHAR[]) END "
+        f"|| CASE WHEN CAST(doc_id AS BIGINT) % 19 = 0 "
+        f"THEN ['function f() {{ return 1; }}'] ELSE CAST([] AS VARCHAR[]) END)"
+    )
+    return f"""
+WITH w AS ({sql_synthesize_web(table)}),
+l AS (SELECT doc_id, string_split(web_text, chr(10)) AS ls FROM w)
+SELECT doc_id,
+       array_to_string({lines}, chr(10)) AS web_text,
+       CAST(len({lines}) AS INT) AS n_lines
+FROM l
+"""
+
+
+def sql_c4_filters(table: str = "documents") -> str:
+    terms = ", ".join(f"'{t}'" if t != '"' else "'\"'" for t in C4_TERMINALS)
+    keep_line = (
+        f"x -> substr(x, -1, 1) IN ({terms}) "
+        f"AND len(list_filter(string_split(x, ' '), t -> t <> '')) >= {C4_MIN_LINE_WORDS} "
+        f"AND NOT contains(lower(x), 'javascript')"
+    )
+    return f"""
+WITH c4 AS ({sql_synthesize_c4(table)}),
+l AS (
+  SELECT doc_id, web_text, string_split(web_text, chr(10)) AS ls FROM c4
+),
+k AS (
+  SELECT doc_id, web_text, CAST(len(ls) AS INT) AS n_lines,
+         list_filter(ls, {keep_line}) AS kept
+  FROM l
+)
+SELECT doc_id, n_lines, CAST(len(kept) AS INT) AS n_kept_lines,
+       contains(lower(web_text), 'lorem ipsum') AS has_lorem_ipsum,
+       contains(web_text, '{{') AS has_brace,
+       (NOT contains(lower(web_text), 'lorem ipsum')
+        AND NOT contains(web_text, '{{')
+        AND len(kept) >= {C4_MIN_KEPT_LINES}) AS keep_doc,
+       COALESCE(array_to_string(kept, chr(10)), '') AS text_c4
+FROM k
+"""

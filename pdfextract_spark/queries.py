@@ -479,6 +479,13 @@ def q_dedup_window_stats(spark, sf_dir):
     return dedup.duplicate_window_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_web_c4_filters(spark, sf_dir):
+    """C4 line/doc filters (Raffel et al. 2020 §2.2): terminal-punctuation +
+    min-words + javascript line rules, lorem-ipsum / curly-brace / min-kept
+    doc rules, over a deterministically signal-planted web page."""
+    return webclean.c4_filters(webclean.synthesize_c4(_t(spark, sf_dir, "documents")))
+
+
 def q_dedup_substr_removal(spark, sf_dir):
     """ExactSubstr removal (Lee et al. 2022): every token covered by a
     w-token window that occurs >= 2x in the corpus (multiplicity counted)
@@ -1024,6 +1031,7 @@ def queries() -> Dict[str, Callable]:
         "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
         "web_boilerplate_strip": q_web_boilerplate_strip,
         "web_boilerplate_overflow": q_web_boilerplate_overflow,
+        "web_c4_filters": q_web_c4_filters,
         "web_pii_redact": q_web_pii_redact,
         "web_url_domains": q_web_url_domains,
         "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -1120,6 +1128,7 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "web_boilerplate_strip": webclean.sql_strip_boilerplate(),
         "web_boilerplate_overflow": webclean.sql_boilerplate_overflow(),
+        "web_c4_filters": webclean.sql_c4_filters(),
         "web_pii_redact": webclean.sql_redact_pii(),
         "web_url_domains": webclean.sql_url_domain_stats(),
         "corpus_sample_hash": webclean.sql_hash_sample(),
