@@ -374,3 +374,104 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
 FROM {table}
 WHERE doc_id % 4 = 0
 """
+
+
+# ---------------------------------------------------------------------------
+# interleaved-document quality gates (MMC4 / OBELICS-shaped)
+# ---------------------------------------------------------------------------
+
+MM_MAX_MEDIA_RUN = 2        # OBELICS-style: no runs of >2 consecutive images
+MM_MAX_MEDIA_PER_MILLE = 500  # media spans must not dominate the sequence
+MM_MIN_TEXT_CHARS = 80      # MMC4-style minimum grounding text
+
+
+def interleave_stats(interleaved: DataFrame) -> DataFrame:
+    """Per-doc interleave-quality stats + keep gate over the canonical
+    (doc_id, spans) table: span counts by kind, total text chars, longest
+    consecutive media run, media per-mille, and the MMC4/OBELICS-shaped
+    keep_doc rule (>=1 text span, media <= 50%, no media run > 2, enough
+    grounding text).
+
+    100 TB shape: ONE narrow Project, zero shuffle, zero Python — every
+    stat is pure Column array algebra over the spans column (the max-run
+    uses the kinds-string trick: longest 'm'-run = max fragment length
+    after splitting on 't')."""
+    spans = F.col("spans")
+    n_spans = F.size(spans)
+    n_media = F.size(F.filter(spans, lambda s: s["kind"] == "media"))
+    n_text = n_spans - n_media
+    kinds = F.array_join(
+        F.transform(spans, lambda s: F.when(s["kind"] == "media", "m").otherwise("t")),
+        "",
+    )
+    max_run = F.coalesce(
+        F.array_max(F.transform(F.split(kinds, "t"), F.length)), F.lit(0)
+    )
+    n_chars = F.aggregate(
+        spans, F.lit(0), lambda acc, s: acc + F.length(s["text"])
+    )
+    # integer division — keep it exact for the DuckDB mirror
+    media_pm = F.when(n_spans > 0, F.expr(
+        "(1000 * size(filter(spans, s -> s.kind = 'media'))) div size(spans)"
+    )).otherwise(F.lit(0)).cast("int")
+    out = interleaved.select(
+        "doc_id",
+        n_spans.cast("int").alias("n_spans"),
+        n_text.cast("int").alias("n_text_spans"),
+        n_media.cast("int").alias("n_media_spans"),
+        n_chars.cast("long").alias("n_text_chars"),
+        max_run.cast("int").alias("max_media_run"),
+        media_pm.alias("media_per_mille"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("n_text_spans") >= 1)
+            & (F.col("media_per_mille") <= MM_MAX_MEDIA_PER_MILLE)
+            & (F.col("max_media_run") <= MM_MAX_MEDIA_RUN)
+            & (F.col("n_text_chars") >= MM_MIN_TEXT_CHARS)
+        ).alias("keep_doc"),
+    )
+
+
+def sql_interleave_stats(table: str = "documents", w: int = 8) -> str:
+    """DuckDB mirror: re-derives the rich-interleave schedule
+    (sources/adapters.documents_to_interleaved_rich) per chunk — r =
+    hex2(md5('mm|doc|i')) % 8; r==0 -> 'mmm', r<=2 -> 'm' — then computes
+    the same scalars from the kinds string and chunk texts."""
+    r = "(('0x' || substr(md5('mm|' || doc_id || '|' || CAST(i AS VARCHAR)), 1, 2))::BIGINT % 8)"
+    med = f"(CASE WHEN {r} = 0 THEN 'mmm' WHEN {r} <= 2 THEN 'm' ELSE '' END)"
+    chunk_len = f"len(array_to_string(list_slice(ws, i*{w}+1, i*{w}+{w}), ' '))"
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS ws,
+         CAST(ceil(len(string_split(text, ' ')) / {w}.0) AS BIGINT) AS nc
+  FROM {table}
+),
+d AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(0, nc), i -> 't' || {med}), '') AS kinds,
+         list_sum(list_transform(range(0, nc), i -> {chunk_len})) AS n_chars
+  FROM base
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(kinds) AS INT) AS n_spans,
+         CAST(len(kinds) - len(replace(kinds, 'm', '')) AS INT) AS n_media_spans,
+         CAST(len(replace(kinds, 'm', '')) AS INT) AS n_text_spans,
+         CAST(COALESCE(n_chars, 0) AS BIGINT) AS n_text_chars,
+         CAST(COALESCE(list_max(list_transform(string_split(kinds, 't'), x -> len(x))), 0) AS INT)
+           AS max_media_run,
+         CAST(CASE WHEN len(kinds) > 0
+              THEN (1000 * (len(kinds) - len(replace(kinds, 'm', '')))) // len(kinds)
+              ELSE 0 END AS INT) AS media_per_mille
+  FROM d
+)
+SELECT doc_id, n_spans, n_text_spans, n_media_spans, n_text_chars,
+       max_media_run, media_per_mille,
+       (n_text_spans >= 1
+        AND media_per_mille <= {MM_MAX_MEDIA_PER_MILLE}
+        AND max_media_run <= {MM_MAX_MEDIA_RUN}
+        AND n_text_chars >= {MM_MIN_TEXT_CHARS}) AS keep_doc
+FROM s
+"""

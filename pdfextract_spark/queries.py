@@ -479,6 +479,17 @@ def q_dedup_window_stats(spark, sf_dir):
     return dedup.duplicate_window_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_multimodal_interleave(spark, sf_dir):
+    """MMC4/OBELICS-shaped interleave gates: per-doc span-kind counts,
+    longest media run, media per-mille, grounding-text chars, keep rule —
+    zero-shuffle pure-Column algebra over the rich interleaved table."""
+    from .sources.adapters import documents_to_interleaved_rich
+
+    return multimodal.interleave_stats(
+        documents_to_interleaved_rich(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_web_c4_filters(spark, sf_dir):
     """C4 line/doc filters (Raffel et al. 2020 §2.2): terminal-punctuation +
     min-words + javascript line rules, lorem-ipsum / curly-brace / min-kept
@@ -1046,6 +1057,7 @@ def queries() -> Dict[str, Callable]:
         "html_synthesize": q_html_synthesize,
         "html_main_content": q_html_main_content,
         "html_block_stats": q_html_block_stats,
+        "multimodal_interleave": q_multimodal_interleave,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         # --- position >50: driver's correctness window ends above; all the
         # entries below have green driver rows in r03 (most in
@@ -1144,6 +1156,7 @@ def oracle_sql() -> Dict[str, str]:
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),
         "html_block_stats": htmlops.sql_block_stats(),
+        "multimodal_interleave": multimodal.sql_interleave_stats(),
         "multimodal_decode_meta": multimodal.sql_media_meta(),
         "multimodal_resize": multimodal.sql_resize_media(),
         "multimodal_frames": multimodal.sql_frame_sample(),
