@@ -739,3 +739,90 @@ SELECT doc_id, token, tf, (tf * {s16})::BIGINT AS tfidf_q4
 FROM scored
 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf * {s16} DESC, token ASC) <= {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (fasttext-style serving pass)
+# ---------------------------------------------------------------------------
+# The model-based quality filter of the DCLM / FineWeb-Edu / GPT-3 pipelines:
+# a linear classifier over hashed token buckets, applied corpus-wide. The
+# sandbox has no labels to train real weights, so the weight LUT is a
+# DETERMINISTIC PLACEHOLDER computed in closed form from the bucket id
+# (documented, like the multimodal pixel-decode stub); everything else —
+# token hashing, bucket weights, per-doc logit, threshold gate — is the real
+# serving plumbing a trained weight vector would drop into.
+
+QC_BUCKETS = 64
+QC_WEIGHT_MULT = 2654435761  # Knuth multiplicative hash constant
+QC_WEIGHT_MOD = 1001         # weights span [-500, 500]
+QC_THRESHOLD_MILLI = 150_000  # mid-range of the placeholder-LUT score distribution
+
+
+def _qc_bucket(tok):
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("qc|"), tok)), 1, 8), 16, 10)
+        .cast("long")
+        % QC_BUCKETS
+    )
+
+
+def quality_classifier(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, logit_milli, keep_doc) — hashed-bucket linear
+    score: every token hashes to one of QC_BUCKETS buckets, each bucket
+    carries an int weight w(b) = (b * KNUTH) % 1001 - 500, and the doc's
+    logit is the token-count-weighted mean in milli units (integer div, so
+    the DuckDB mirror is bit-exact).
+
+    100 TB shape: ONE narrow Project — pure Column, zero shuffle, zero
+    Python; the real-model swap-in replaces w(b) with a literal weight
+    array lookup (element_at on a 2^20-entry literal), same plan."""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    half = (QC_WEIGHT_MOD - 1) // 2
+    weights = F.transform(
+        toks,
+        lambda t: (_qc_bucket(t) * F.lit(QC_WEIGHT_MULT)) % QC_WEIGHT_MOD
+        - F.lit(half),
+    )
+    total = F.aggregate(weights, F.lit(0).cast("long"), lambda a, x: a + x)
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        total.alias("w_total"),
+    )
+    out = base.select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0, F.expr("(1000 * w_total) div n_tokens")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("logit_milli"),
+    )
+    return out.select(
+        "*", (F.col("logit_milli") >= QC_THRESHOLD_MILLI).alias("keep_doc")
+    )
+
+
+def sql_quality_classifier(table: str = "documents") -> str:
+    half = (QC_WEIGHT_MOD - 1) // 2
+    bucket = "(('0x' || substr(md5('qc|' || t), 1, 8))::BIGINT % 64)"
+    w = f"(({bucket} * {QC_WEIGHT_MULT}) % {QC_WEIGHT_MOD} - {half})"
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+  FROM {table}
+),
+s AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         COALESCE(list_sum(list_transform(ts, t -> {w})), 0) AS w_total
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(CASE WHEN n_tokens > 0 THEN (1000 * w_total) // n_tokens
+            ELSE 0 END AS BIGINT) AS logit_milli,
+       (CASE WHEN n_tokens > 0 THEN (1000 * w_total) // n_tokens
+        ELSE 0 END) >= {QC_THRESHOLD_MILLI} AS keep_doc
+FROM s
+"""

@@ -479,6 +479,14 @@ def q_dedup_window_stats(spark, sf_dir):
     return dedup.duplicate_window_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_text_quality_classifier(spark, sf_dir):
+    """Hashed linear quality classifier (fasttext-style serving pass, the
+    DCLM/FineWeb-Edu model-filter shape): per-token hashed-bucket weights,
+    integer mean logit, threshold gate — placeholder weight LUT, real
+    hashing/scoring plumbing."""
+    return textops.quality_classifier(_t(spark, sf_dir, "documents"))
+
+
 def q_multimodal_interleave(spark, sf_dir):
     """MMC4/OBELICS-shaped interleave gates: per-doc span-kind counts,
     longest media run, media per-mille, grounding-text chars, keep rule —
@@ -1019,6 +1027,7 @@ def queries() -> Dict[str, Callable]:
         "extract_media_preservation": q_extract_media_preservation,
         "extract_char_conservation": q_extract_char_conservation,
         "text_quality_rules": q_text_quality_rules,
+        "text_quality_classifier": q_text_quality_classifier,
         "text_vocabulary": q_text_vocabulary,
         "text_length_quantiles": q_text_length_quantiles,
         "dedup_exact": q_dedup_exact,
@@ -1097,6 +1106,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_token_count": SQL_TEXT_TOKEN_COUNT,
         "text_quality": SQL_TEXT_QUALITY,
         "text_quality_rules": SQL_TEXT_QUALITY_RULES,
+        "text_quality_classifier": textops.sql_quality_classifier(),
         "text_vocabulary": SQL_TEXT_VOCABULARY,
         "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
