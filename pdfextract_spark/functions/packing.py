@@ -52,13 +52,10 @@ def _with_stream(documents: DataFrame, n_streams: int) -> DataFrame:
     )
 
 
-def pack_sequences(
-    documents: DataFrame, budget: int = BUDGET, n_streams: int = N_STREAMS
-) -> DataFrame:
-    """(doc_id, stream, seq_id, seq_offset, n_tokens) — greedy packing of
-    each stream's documents (in doc_id order) into sequences of at most
-    `budget` tokens; seq_id counts per stream, seq_offset is the document's
-    token offset inside its sequence."""
+def _pack_costed(costed: DataFrame, budget: int) -> DataFrame:
+    """Shared greedy fold over a pre-costed frame
+    (doc_id, doc_num, stream, n_tokens) — the kernel behind both the text
+    packer and the interleaved (media-costed) packer."""
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_num").reset_index(drop=True)
@@ -76,11 +73,57 @@ def pack_sequences(
         return pdf[["doc_id", "stream", "seq_id", "seq_offset", "n_tokens"]]
 
     return (
-        _with_stream(documents, n_streams)
-        .groupBy("stream")
+        costed.groupBy("stream")
         .applyInPandas(pack, _SCHEMA)
         .orderBy("stream", "seq_id", "seq_offset")
     )
+
+
+def pack_sequences(
+    documents: DataFrame, budget: int = BUDGET, n_streams: int = N_STREAMS
+) -> DataFrame:
+    """(doc_id, stream, seq_id, seq_offset, n_tokens) — greedy packing of
+    each stream's documents (in doc_id order) into sequences of at most
+    `budget` tokens; seq_id counts per stream, seq_offset is the document's
+    token offset inside its sequence."""
+    return _pack_costed(_with_stream(documents, n_streams), budget)
+
+
+MEDIA_TOKENS = 64      # fixed token cost of one media span (vision-encoder
+MM_BUDGET = 512        # patch budget per image); interleaved context length
+
+
+def pack_interleaved(
+    interleaved: DataFrame,
+    media_tokens: int = MEDIA_TOKENS,
+    budget: int = MM_BUDGET,
+    n_streams: int = N_STREAMS,
+) -> DataFrame:
+    """Interleaved-document packing: same greedy fold, but a document's
+    cost counts text tokens AND a fixed per-media-span token charge (the
+    vision-token budget an interleaved pretraining batch actually pays).
+    Consumes the canonical (doc_id, spans) table; ONE shuffle on the
+    stream key, cost computed as pure Column algebra over spans."""
+    doc_id = F.col("doc_id").cast("string")
+    h = F.md5(F.concat(F.lit("pack|"), doc_id))
+    stream = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_streams
+    ).cast("int")
+    cost = F.aggregate(
+        F.col("spans"),
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(s["kind"] == "media", F.lit(media_tokens)).otherwise(
+            F.size(F.split(s["text"], " "))
+        ),
+    )
+    costed = interleaved.select(
+        doc_id.alias("doc_id"),
+        F.col("doc_id").cast("long").alias("doc_num"),
+        stream.alias("stream"),
+        cost.cast("int").alias("n_tokens"),
+    )
+    return _pack_costed(costed, budget)
 
 
 def pack_stats(
@@ -106,21 +149,24 @@ def pack_stats(
     )
 
 
-def _sql_base(table: str, n_streams: int) -> str:
+def _sql_base(table: str, n_streams: int, cost_sql: str | None = None) -> str:
     h = "md5('pack|' || CAST(doc_id AS VARCHAR))"
     stream = f"CAST((('0x' || substr({h}, 1, 4))::BIGINT % {n_streams}) AS INT)"
+    cost = cost_sql or "len(string_split(text, ' '))"
     return f"""
 base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, {stream} AS stream,
-         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST({cost} AS INT) AS n_tokens,
          ROW_NUMBER() OVER (PARTITION BY {stream} ORDER BY CAST(doc_id AS BIGINT)) AS rn
   FROM {table})"""
 
 
-def _sql_pack(table: str, budget: int, n_streams: int) -> str:
+def _sql_pack(
+    table: str, budget: int, n_streams: int, cost_sql: str | None = None
+) -> str:
     """Recursive-CTE replay of the greedy fold (rn = fold step per stream)."""
     return f"""
-WITH RECURSIVE {_sql_base(table, n_streams)},
+WITH RECURSIVE {_sql_base(table, n_streams, cost_sql)},
 pack AS (
   SELECT doc_id, stream, n_tokens, rn,
          0 AS seq_id, 0 AS seq_offset, n_tokens AS fill
@@ -140,6 +186,33 @@ def sql_pack_sequences(
     table: str = "documents", budget: int = BUDGET, n_streams: int = N_STREAMS
 ) -> str:
     return _sql_pack(table, budget, n_streams) + " ORDER BY stream, seq_id, seq_offset"
+
+
+def sql_pack_interleaved(
+    table: str = "documents",
+    media_tokens: int = MEDIA_TOKENS,
+    budget: int = MM_BUDGET,
+    n_streams: int = N_STREAMS,
+    w: int = 8,
+) -> str:
+    """Mirror of pack_interleaved over the rich-interleave schedule
+    (sources/adapters.documents_to_interleaved_rich): cost = word count +
+    media_tokens * media count, media count re-derived per chunk from the
+    md5 'mm|' schedule (r==0 -> 3 spans, r<=2 -> 1)."""
+    r = (
+        "(('0x' || substr(md5('mm|' || CAST(doc_id AS VARCHAR) || '|' "
+        "|| CAST(i AS VARCHAR)), 1, 2))::BIGINT % 8)"
+    )
+    n_media = (
+        f"COALESCE(list_sum(list_transform("
+        f"range(0, CAST(ceil(len(string_split(text, ' ')) / {w}.0) AS BIGINT)), "
+        f"i -> CASE WHEN {r} = 0 THEN 3 WHEN {r} <= 2 THEN 1 ELSE 0 END)), 0)"
+    )
+    cost = f"(len(string_split(text, ' ')) + {media_tokens} * {n_media})"
+    return (
+        _sql_pack(table, budget, n_streams, cost_sql=cost)
+        + " ORDER BY stream, seq_id, seq_offset"
+    )
 
 
 def sql_pack_stats(

@@ -479,6 +479,17 @@ def q_dedup_window_stats(spark, sf_dir):
     return dedup.duplicate_window_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_multimodal_pack(spark, sf_dir):
+    """Interleaved sequence packing: the greedy pack fold where media spans
+    charge a fixed vision-token cost — the batch-assembly step of an
+    interleaved (text+image) pretraining pipeline."""
+    from .sources.adapters import documents_to_interleaved_rich
+
+    return packing.pack_interleaved(
+        documents_to_interleaved_rich(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_text_quality_classifier(spark, sf_dir):
     """Hashed linear quality classifier (fasttext-style serving pass, the
     DCLM/FineWeb-Edu model-filter shape): per-token hashed-bucket weights,
@@ -1067,6 +1078,7 @@ def queries() -> Dict[str, Callable]:
         "html_main_content": q_html_main_content,
         "html_block_stats": q_html_block_stats,
         "multimodal_interleave": q_multimodal_interleave,
+        "multimodal_pack": q_multimodal_pack,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         # --- position >50: driver's correctness window ends above; all the
         # entries below have green driver rows in r03 (most in
@@ -1167,6 +1179,7 @@ def oracle_sql() -> Dict[str, str]:
         "html_main_content": htmlops.sql_main_content(),
         "html_block_stats": htmlops.sql_block_stats(),
         "multimodal_interleave": multimodal.sql_interleave_stats(),
+        "multimodal_pack": packing.sql_pack_interleaved(),
         "multimodal_decode_meta": multimodal.sql_media_meta(),
         "multimodal_resize": multimodal.sql_resize_media(),
         "multimodal_frames": multimodal.sql_frame_sample(),
