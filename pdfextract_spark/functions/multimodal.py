@@ -475,3 +475,86 @@ SELECT doc_id, n_spans, n_text_spans, n_media_spans, n_text_chars,
         AND n_text_chars >= {MM_MIN_TEXT_CHARS}) AS keep_doc
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# media-asset dedup (image dedup across documents)
+# ---------------------------------------------------------------------------
+
+ASSET_BUCKETS = 32  # synthetic CDN-asset space: refs collapse to shared assets
+
+
+def media_asset_dedup(interleaved: DataFrame) -> DataFrame:
+    """(asset_id, n_occurrences, n_docs, keeper_doc) — image-level exact
+    dedup across the interleaved corpus: media spans map to their underlying
+    asset (here a deterministic md5 bucket of the ref, simulating CDN asset
+    reuse; production maps media_ref -> content hash), then a census picks
+    one keeper per asset (min doc_id — the same first-wins rule as
+    dedup_exact).
+
+    100 TB shape: explode only MEDIA spans (filter before explode — text
+    never leaves the row), ONE groupBy shuffle on asset_id with map-side
+    combine; min() keeper instead of a window sort."""
+    media = interleaved.select(
+        F.col("doc_id"),
+        F.explode(
+            F.filter("spans", lambda s: s["kind"] == "media")
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.concat(
+            F.lit("asset"),
+            (
+                F.conv(F.substring(F.md5(F.col("s.media_ref")), 1, 4), 16, 10)
+                .cast("long")
+                % ASSET_BUCKETS
+            ).cast("string"),
+        ).alias("asset_id"),
+    )
+    return (
+        media.groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min(F.col("doc_id").cast("long")).cast("long").alias("keeper_doc"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+def sql_media_asset_dedup(table: str = "documents", w: int = 8) -> str:
+    """Mirror over the rich-interleave schedule: re-derives each doc's media
+    refs (img://doc/m{i}_{j} for j < span count at chunk i) and applies the
+    same asset bucketing + census."""
+    r = (
+        "(('0x' || substr(md5('mm|' || doc_id || '|' || CAST(i AS VARCHAR)), 1, 2))"
+        "::BIGINT % 8)"
+    )
+    cnt = f"(CASE WHEN {r} = 0 THEN 3 WHEN {r} <= 2 THEN 1 ELSE 0 END)"
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(ceil(len(string_split(text, ' ')) / {w}.0) AS BIGINT) AS nc
+  FROM {table}
+),
+per_chunk AS (
+  SELECT doc_id, i, {cnt} AS m FROM base, unnest(range(0, nc)) AS u(i)
+),
+refs AS (
+  SELECT doc_id,
+         'img://' || doc_id || '/m' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+           AS media_ref
+  FROM per_chunk, unnest(range(0, m)) AS v(j)
+),
+assets AS (
+  SELECT doc_id,
+         'asset' || CAST((('0x' || substr(md5(media_ref), 1, 4))::BIGINT
+                          % {ASSET_BUCKETS}) AS VARCHAR) AS asset_id
+  FROM refs
+)
+SELECT asset_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(CAST(doc_id AS BIGINT)) AS BIGINT) AS keeper_doc
+FROM assets GROUP BY asset_id ORDER BY asset_id
+"""

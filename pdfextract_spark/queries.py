@@ -479,6 +479,17 @@ def q_dedup_window_stats(spark, sf_dir):
     return dedup.duplicate_window_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_multimodal_media_dedup(spark, sf_dir):
+    """Image-level exact dedup across the interleaved corpus: media spans
+    collapse to their underlying asset; one census shuffle picks a keeper
+    per asset (first-wins, like dedup_exact)."""
+    from .sources.adapters import documents_to_interleaved_rich
+
+    return multimodal.media_asset_dedup(
+        documents_to_interleaved_rich(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_multimodal_pack(spark, sf_dir):
     """Interleaved sequence packing: the greedy pack fold where media spans
     charge a fixed vision-token cost — the batch-assembly step of an
@@ -1079,6 +1090,7 @@ def queries() -> Dict[str, Callable]:
         "html_block_stats": q_html_block_stats,
         "multimodal_interleave": q_multimodal_interleave,
         "multimodal_pack": q_multimodal_pack,
+        "multimodal_media_dedup": q_multimodal_media_dedup,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         # --- position >50: driver's correctness window ends above; all the
         # entries below have green driver rows in r03 (most in
@@ -1180,6 +1192,7 @@ def oracle_sql() -> Dict[str, str]:
         "html_block_stats": htmlops.sql_block_stats(),
         "multimodal_interleave": multimodal.sql_interleave_stats(),
         "multimodal_pack": packing.sql_pack_interleaved(),
+        "multimodal_media_dedup": multimodal.sql_media_asset_dedup(),
         "multimodal_decode_meta": multimodal.sql_media_meta(),
         "multimodal_resize": multimodal.sql_resize_media(),
         "multimodal_frames": multimodal.sql_frame_sample(),

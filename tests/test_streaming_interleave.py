@@ -1,0 +1,56 @@
+"""Streaming interleave gates: batch equality + exactly-once resume over
+the rich interleaved corpus (media runs/fractions exercised in-stream)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfextract_spark.functions.multimodal import interleave_stats
+from pdfextract_spark.sources.adapters import documents_to_interleaved_rich
+from pdfextract_spark.streaming.interleave_stream import (
+    start_interleave_gate_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spans_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("inter_in"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 60
+    )
+    documents_to_interleaved_rich(docs).coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_stream_matches_batch(spark, spans_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_interleave_gate_stream(spark, spans_dir, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    want = {
+        r.doc_id: r
+        for r in interleave_stats(spark.read.parquet(spans_dir)).collect()
+    }
+    assert set(got) == set(want) and len(got) == 60
+    for k in want:
+        g, w = got[k], want[k]
+        assert (
+            g.n_spans, g.n_text_spans, g.n_media_spans, g.n_text_chars,
+            g.max_media_run, g.media_per_mille, g.keep_doc,
+        ) == (
+            w.n_spans, w.n_text_spans, w.n_media_spans, w.n_text_chars,
+            w.max_media_run, w.media_per_mille, w.keep_doc,
+        )
+    # the schedule exercises both gate outcomes in-stream
+    assert any(r.keep_doc for r in got.values())
+    assert any(not r.keep_doc for r in got.values())
+
+    # exactly-once: draining again with the same checkpoint adds nothing
+    q2 = start_interleave_gate_stream(spark, spans_dir, out, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 60
