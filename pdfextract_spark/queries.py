@@ -1052,19 +1052,19 @@ def queries() -> Dict[str, Callable]:
         "text_quality_classifier": q_text_quality_classifier,
         "text_vocabulary": q_text_vocabulary,
         "text_length_quantiles": q_text_length_quantiles,
-        "dedup_exact": q_dedup_exact,
         "dedup_incremental": q_dedup_incremental,
         "web_paragraph_dedup": q_web_paragraph_dedup,
         "dedup_window_stats": q_dedup_window_stats,
         "dedup_substr_removal": q_dedup_substr_removal,
+        "multimodal_interleave": q_multimodal_interleave,
+        "multimodal_pack": q_multimodal_pack,
+        "multimodal_media_dedup": q_multimodal_media_dedup,
         "embed_kmeans": q_embed_kmeans,
         "embed_cluster_sample": q_embed_cluster_sample,
         "embed_cluster_stats": q_embed_cluster_stats,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_neardup": q_dedup_simhash_neardup,
-        "dedup_simhash_hot_buckets": q_dedup_simhash_hot_buckets,
         "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
         "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
@@ -1088,13 +1088,13 @@ def queries() -> Dict[str, Callable]:
         "html_synthesize": q_html_synthesize,
         "html_main_content": q_html_main_content,
         "html_block_stats": q_html_block_stats,
-        "multimodal_interleave": q_multimodal_interleave,
-        "multimodal_pack": q_multimodal_pack,
-        "multimodal_media_dedup": q_multimodal_media_dedup,
         "multimodal_decode_meta": q_multimodal_decode_meta,
         # --- position >50: driver's correctness window ends above; all the
         # entries below have green driver rows in r03 (most in
         # r01+r02+r03) and stay pytest- and check_oracle-gated every round
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_hot_buckets": q_dedup_simhash_hot_buckets,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ivf_topk": q_sim_ivf_topk,
         "text_lang_id": q_text_lang_id,
