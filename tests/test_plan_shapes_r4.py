@@ -1,0 +1,65 @@
+"""Physical-plan shape assertions for the round-4 operators: the
+zero-shuffle claims in their docstrings are enforced here so a future
+change cannot silently regress them, and the shuffle-bearing ops are
+pinned to their intended Exchange budget (hard hints stay absent — AQE
+decides broadcast at runtime)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfextract_spark.functions.dedup import exact_substr_removal
+from pdfextract_spark.functions.multimodal import (
+    interleave_stats,
+    media_asset_dedup,
+)
+from pdfextract_spark.functions.textops import quality_classifier
+from pdfextract_spark.functions.webclean import c4_filters, synthesize_c4
+from pdfextract_spark.sources.adapters import documents_to_interleaved_rich
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_c4_filters_zero_shuffle(docs):
+    plan = _plan(c4_filters(synthesize_c4(docs)))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_interleave_stats_zero_shuffle(docs):
+    plan = _plan(interleave_stats(documents_to_interleaved_rich(docs)))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_quality_classifier_zero_shuffle(docs):
+    plan = _plan(quality_classifier(docs))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_media_dedup_census_shuffle_budget(docs):
+    # the census is one logical groupBy; countDistinct(doc_id) planizes as
+    # the standard two-phase aggregate — Exchange on (asset_id, doc_id)
+    # then on asset_id — plus the final orderBy's range Exchange. All three
+    # are keyed with map-side partials; nothing else may shuffle.
+    plan = _plan(media_asset_dedup(documents_to_interleaved_rich(docs)))
+    assert plan.count("Exchange") <= 3, plan[:1200]
+    assert "partial_count" in plan, plan[:1200]
+
+
+def test_substr_removal_no_hard_broadcast_hint(docs):
+    # the census join must NOT carry a planner-forced broadcast: at this SF
+    # AQE may pick broadcast at runtime, but the analyzed plan carries no
+    # ResolvedHint (hard hints on corpus-sized frames are the round-3
+    # scale-killer pattern)
+    df = exact_substr_removal(docs)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
