@@ -826,3 +826,191 @@ SELECT doc_id, n_tokens,
         ELSE 0 END) >= {QC_THRESHOLD_MILLI} AS keep_doc
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted sampling (soft model filter, FineWeb/DCLM resample shape)
+# ---------------------------------------------------------------------------
+# The soft variant of the classifier gate: instead of a hard threshold, each
+# document is kept with probability proportional to its classifier score —
+# the "sample by quality weight" step DCLM and FineWeb-Edu run after scoring.
+# Randomness is a deterministic md5 fraction (same reproducibility contract
+# as corpus_sample_hash): rerunning the job keeps exactly the same docs.
+
+QWS_MICRO = 1_000_000  # probability resolution (micro units)
+
+
+def quality_weighted_sample(documents: DataFrame) -> DataFrame:
+    """(doc_id, logit_milli, p_micro, h_micro, keep_doc) — keep probability
+    is the classifier logit squashed linearly into [0, 1e6] micro units
+    (logit_milli spans [-5e5, 5e5] under the placeholder LUT, so
+    p = clamp(5e5 + logit, 0, 1e6)); the coin is the first 12 md5 hex
+    digits of 'qws|doc_id' mod 1e6.
+
+    100 TB shape: ONE narrow Project on top of the classifier Project —
+    zero shuffle, zero Python, reproducible (nested subsets under a p
+    rescale are NOT guaranteed here, unlike corpus_sample_hash, because p
+    varies per doc; reruns ARE bit-stable)."""
+    scored = quality_classifier(documents)
+    p = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(QWS_MICRO).cast("long"), F.lit(QWS_MICRO // 2) + F.col("logit_milli")),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("qws|"), F.col("doc_id"))), 1, 12), 16, 10)
+        .cast("long")
+        % QWS_MICRO
+    )
+    return scored.select(
+        "doc_id",
+        "logit_milli",
+        p.alias("p_micro"),
+        h.alias("h_micro"),
+        (h < p).alias("keep_doc"),
+    )
+
+
+def sql_quality_weighted_sample(table: str = "documents") -> str:
+    p = (
+        f"greatest(0, least({QWS_MICRO}, {QWS_MICRO // 2} + logit_milli))"
+    )
+    h = (
+        f"(('0x' || substr(md5('qws|' || doc_id), 1, 12))::BIGINT % {QWS_MICRO})"
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, logit_milli FROM ({sql_quality_classifier(table)}))
+SELECT doc_id, logit_milli,
+       CAST({p} AS BIGINT) AS p_micro,
+       CAST({h} AS BIGINT) AS h_micro,
+       {h} < {p} AS keep_doc
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility by language (corpus tokenization-efficiency report)
+# ---------------------------------------------------------------------------
+# The per-language fertility table every multilingual-tokenizer paper prints:
+# tokens-per-word and chars-per-token by language, aggregated corpus-wide.
+# Languages come from the lexicon language-ID pass (the production swap-in is
+# a real langid model feeding the same groupBy).
+
+
+def lang_fertility(documents: DataFrame) -> DataFrame:
+    """(pred_lang, n_docs, n_words, n_tokens, n_chars, fertility_milli,
+    chars_per_token_milli) — per-doc language + counts in ONE narrow
+    Project, then ONE 4-row aggregation. fertility = BPE-ish tokens per
+    whitespace word, in milli units (integer div, corpus-level ratio —
+    i.e. token-weighted, not doc-averaged).
+
+    100 TB shape: one shuffle onto a 4-key space with map-side partial
+    aggregation (the reduce side moves |langs| rows per task, not docs)."""
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    # language expression re-derived inline: the language and the counts
+    # must come from ONE scan — joining language_id(documents) back on
+    # doc_id would shuffle the corpus twice for nothing
+    lang_words = F.split(F.lower(F.col("text")), " ")
+
+    def hit_count(lex):
+        return F.size(F.filter(lang_words, lambda w: w.isin(*lex)))
+
+    scores = {lang: hit_count(lex) for lang, lex in LEXICONS.items()}
+    pred = None
+    best = None
+    for lang in reversed(LANG_ORDER):
+        if pred is None:
+            pred, best = F.lit(lang), scores[lang]
+        else:
+            cond = scores[lang] >= best
+            pred = F.when(cond, F.lit(lang)).otherwise(pred)
+            best = F.when(cond, scores[lang]).otherwise(best)
+    one = documents.select(
+        pred.alias("pred_lang"),
+        F.size(words).cast("long").alias("n_w"),
+        F.size(toks).cast("long").alias("n_t"),
+        F.length("text").cast("long").alias("n_c"),
+    )
+    agg = one.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_w").alias("n_words"),
+        F.sum("n_t").alias("n_tokens"),
+        F.sum("n_c").alias("n_chars"),
+    )
+    return agg.select(
+        "pred_lang", "n_docs", "n_words", "n_tokens", "n_chars",
+        F.when(F.col("n_words") > 0, F.expr("(1000 * n_tokens) div n_words"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fertility_milli"),
+        F.when(F.col("n_tokens") > 0, F.expr("(1000 * n_chars) div n_tokens"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("chars_per_token_milli"),
+    )
+
+
+def sql_lang_fertility(table: str = "documents") -> str:
+    return f"""
+WITH lid AS ({sql_language_id(table)}),
+cnt AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_w,
+         CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_t,
+         CAST(length(text) AS BIGINT) AS n_c
+  FROM {table}
+),
+agg AS (
+  SELECT pred_lang, COUNT(*)::BIGINT AS n_docs, SUM(n_w)::BIGINT AS n_words,
+         SUM(n_t)::BIGINT AS n_tokens, SUM(n_c)::BIGINT AS n_chars
+  FROM lid JOIN cnt USING (doc_id)
+  GROUP BY pred_lang
+)
+SELECT pred_lang, n_docs, n_words, n_tokens, n_chars,
+       CAST(CASE WHEN n_words > 0 THEN (1000 * n_tokens) // n_words ELSE 0 END AS BIGINT)
+         AS fertility_milli,
+       CAST(CASE WHEN n_tokens > 0 THEN (1000 * n_chars) // n_tokens ELSE 0 END AS BIGINT)
+         AS chars_per_token_milli
+FROM agg
+"""
+
+
+def synthesize_multilingual(documents: DataFrame) -> DataFrame:
+    """(doc_id, text) — a deterministic 4-language corpus: doc_id%4==0 docs
+    keep their original (English-lexicon-heavy) text; the rest are rewritten
+    as their language's lexicon cycled to roughly the original length, so
+    the language-ID argmax and the per-language length mix are both real.
+    Same arithmetic schedule in the DuckDB mirror."""
+    did = F.col("doc_id").cast("long")
+    text = None
+    for k, lang in enumerate(LANG_ORDER):
+        if k == 0:
+            continue
+        phrase = " ".join(LEXICONS[lang]) + " "
+        reps = F.greatest(
+            F.lit(1), F.expr(f"length(text) div {len(phrase)}").cast("int")
+        )
+        rewritten = F.repeat(F.lit(phrase), reps)
+        cond = did % 4 == k
+        text = F.when(cond, rewritten) if text is None else text.when(cond, rewritten)
+    text = text.otherwise(F.col("text"))
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), text.alias("text")
+    )
+
+
+def sql_synthesize_multilingual(table: str = "documents") -> str:
+    cases = []
+    for k, lang in enumerate(LANG_ORDER):
+        if k == 0:
+            continue
+        phrase = " ".join(LEXICONS[lang]) + " "
+        cases.append(
+            f"WHEN CAST(doc_id AS BIGINT) % 4 = {k} THEN "
+            f"repeat('{phrase}', greatest(1, length(text) // {len(phrase)}))"
+        )
+    case = "CASE " + " ".join(cases) + " ELSE text END"
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, {case} AS text
+FROM {table}
+"""

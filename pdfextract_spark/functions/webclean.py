@@ -958,3 +958,193 @@ SELECT doc_id, n_lines, CAST(len(kept) AS INT) AS n_kept_lines,
        COALESCE(array_to_string(kept, chr(10)), '') AS text_c4
 FROM k
 """
+
+
+# ---------------------------------------------------------------------------
+# encoding hygiene (ftfy-lite: mojibake repair + replacement/control strip)
+# ---------------------------------------------------------------------------
+# The fix-encoding pass every crawl pipeline runs before filtering (ftfy /
+# CCNet's "fix unicode" step): repair the classic UTF-8-decoded-as-Latin-1
+# mojibake sequences, count and strip U+FFFD replacement characters and C0
+# control bytes, and gate documents whose replacement-char density says the
+# underlying bytes are unrecoverable. Fix table is the two highest-frequency
+# mojibake digraphs (the production swap-in is the full ftfy table — same
+# chained-replace plan, more entries).
+
+MOJI_APOS = "â€™"   # 'a-circ euro tm' — mojibake of U+2019 right quote
+MOJI_EACUTE = "Ã©"       # 'A-tilde copyright-9' — mojibake of U+00E9 e-acute
+REPL_CHAR = "�"               # U+FFFD replacement character
+CTRL_BELL = "\x07"                 # C0 control representative (BEL)
+ENC_MAX_REPL_PERMILLE = 20         # gate: >2% replacement chars = dead bytes
+
+
+def synthesize_encoding(documents: DataFrame) -> DataFrame:
+    """(doc_id, enc_text) — the document text with encoding damage planted
+    deterministically: doc_id%5==0 docs get a mojibake prefix (apostrophe +
+    e-acute digraphs), doc_id%7==0 a replacement-char suffix, doc_id%11==0
+    a BEL control char. Same arithmetic schedule in the DuckDB mirror."""
+    did = F.col("doc_id").cast("long")
+    pre = F.when(
+        did % 5 == 0,
+        F.lit("it" + MOJI_APOS + "s the caf" + MOJI_EACUTE + " "),
+    ).otherwise(F.lit(""))
+    tail = F.when(
+        did % 7 == 0, F.lit(" tail" + REPL_CHAR + REPL_CHAR + "bytes")
+    ).otherwise(F.lit(""))
+    bell = F.when(did % 11 == 0, F.lit(CTRL_BELL)).otherwise(F.lit(""))
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(pre, bell, F.col("text"), tail).alias("enc_text"),
+    )
+
+
+def _count_occ(col, pat: str):
+    """Occurrences of a fixed pattern, by codepoint-length delta (exact on
+    both engines: length() counts codepoints in Spark and DuckDB)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit("")))) / len(pat)
+    ).cast("int")
+
+
+def encoding_fix(enc: DataFrame) -> DataFrame:
+    """(doc_id, n_mojibake, n_repl, n_ctrl, repl_per_mille, keep_doc,
+    text_fixed) over (doc_id, enc_text): chained fixed-string replaces
+    repair the mojibake digraphs, replacement/control chars are stripped,
+    and the doc is gated on replacement-char density.
+
+    100 TB shape: ONE narrow Project — pure Column string algebra, zero
+    shuffle, zero Python; chained replace stays inside whole-stage codegen
+    and composes with the C4/boilerplate passes on the same scan."""
+    t = F.col("enc_text")
+    n_moji = _count_occ(t, MOJI_APOS) + _count_occ(t, MOJI_EACUTE)
+    fixed = F.replace(
+        F.replace(t, F.lit(MOJI_APOS), F.lit("’")),
+        F.lit(MOJI_EACUTE), F.lit("é"),
+    )
+    fixed = F.replace(
+        F.replace(fixed, F.lit(REPL_CHAR), F.lit("")), F.lit(CTRL_BELL), F.lit("")
+    )
+    n_repl_raw = F.length(t) - F.length(F.replace(t, F.lit(REPL_CHAR), F.lit("")))
+    base = enc.select(
+        "doc_id",
+        n_moji.cast("int").alias("n_mojibake"),
+        _count_occ(t, REPL_CHAR).alias("n_repl"),
+        _count_occ(t, CTRL_BELL).alias("n_ctrl"),
+        ((n_repl_raw * 1000).cast("long") / F.length(t))
+        .cast("int")
+        .alias("repl_per_mille"),
+        fixed.alias("text_fixed"),
+    )
+    return base.select(
+        "doc_id", "n_mojibake", "n_repl", "n_ctrl", "repl_per_mille",
+        (F.col("repl_per_mille") <= ENC_MAX_REPL_PERMILLE).alias("keep_doc"),
+        "text_fixed",
+    )
+
+
+def sql_synthesize_encoding(table: str = "documents") -> str:
+    pre = f"it{MOJI_APOS}s the caf{MOJI_EACUTE} "
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       (CASE WHEN CAST(doc_id AS BIGINT) % 5 = 0 THEN '{pre}' ELSE '' END)
+       || (CASE WHEN CAST(doc_id AS BIGINT) % 11 = 0 THEN chr(7) ELSE '' END)
+       || text
+       || (CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0
+           THEN ' tail' || chr(65533) || chr(65533) || 'bytes' ELSE '' END)
+       AS enc_text
+FROM {table}
+"""
+
+
+def sql_encoding_fix(table: str = "documents") -> str:
+    def occ(pat_sql: str, plen: int) -> str:
+        return f"((length(t) - length(replace(t, {pat_sql}, ''))) // {plen})"
+
+    apos = f"'{MOJI_APOS}'"
+    eac = f"'{MOJI_EACUTE}'"
+    repl = "chr(65533)"
+    bell = "chr(7)"
+    fixed = (
+        f"replace(replace(replace(replace(t, {apos}, chr(8217)), {eac}, chr(233)), "
+        f"{repl}, ''), {bell}, '')"
+    )
+    return f"""
+WITH e AS (SELECT doc_id, enc_text AS t FROM ({sql_synthesize_encoding(table)}))
+SELECT doc_id,
+       CAST({occ(apos, 3)} + {occ(eac, 2)} AS INT) AS n_mojibake,
+       CAST({occ(repl, 1)} AS INT) AS n_repl,
+       CAST({occ(bell, 1)} AS INT) AS n_ctrl,
+       CAST((1000 * (length(t) - length(replace(t, {repl}, '')))) // length(t) AS INT)
+         AS repl_per_mille,
+       ((1000 * (length(t) - length(replace(t, {repl}, '')))) // length(t))
+         <= {ENC_MAX_REPL_PERMILLE} AS keep_doc,
+       {fixed} AS text_fixed
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# badword document filter (C4 §2.2 blocklist rule)
+# ---------------------------------------------------------------------------
+# C4 removes any page containing a word from a public blocklist (the
+# "List of Dirty, Naughty, Obscene..." word list). The list itself is
+# swappable content, not engine: this uses a three-entry PLACEHOLDER list of
+# made-up tokens (the production swap-in is the full LDNOOBW list as the same
+# array literal — Catalyst compiles isin over a few hundred entries fine).
+
+BADWORDS = ("darnscale", "heckish", "fragglenark")
+
+
+def synthesize_badwords(documents: DataFrame) -> DataFrame:
+    """(doc_id, bw_text): doc_id%13==0 docs get ' darnscale', %23==0 get
+    ' heckish glop' appended — both rules fire on known subsets; 'class'
+    style substring traps stay absent by construction."""
+    did = F.col("doc_id").cast("long")
+    s1 = F.when(did % 13 == 0, F.lit(" " + BADWORDS[0])).otherwise(F.lit(""))
+    s2 = F.when(did % 23 == 0, F.lit(" " + BADWORDS[1] + " glop")).otherwise(F.lit(""))
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.col("text"), s1, s2).alias("bw_text"),
+    )
+
+
+def badwords_filter(bw: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_bad_tokens, has_badword, keep_doc) over
+    (doc_id, bw_text): token-membership match against the blocklist
+    (C4 matches words, not substrings — 'class' must not trip 'ass').
+
+    100 TB shape: ONE narrow Project, zero shuffle, zero Python."""
+    toks = F.filter(F.split(F.lower("bw_text"), " "), lambda w: w != "")
+    n_bad = F.size(F.filter(toks, lambda w: w.isin(*BADWORDS)))
+    return bw.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        n_bad.cast("int").alias("n_bad_tokens"),
+        (n_bad > 0).alias("has_badword"),
+        (n_bad == 0).alias("keep_doc"),
+    )
+
+
+def sql_badwords_filter(table: str = "documents") -> str:
+    inl = ", ".join(f"'{w}'" for w in BADWORDS)
+    return f"""
+WITH b AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         text
+         || (CASE WHEN CAST(doc_id AS BIGINT) % 13 = 0 THEN ' {BADWORDS[0]}' ELSE '' END)
+         || (CASE WHEN CAST(doc_id AS BIGINT) % 23 = 0 THEN ' {BADWORDS[1]} glop' ELSE '' END)
+         AS bw_text
+  FROM {table}
+),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(bw_text), ' '), w -> w <> '') AS ts
+  FROM b
+)
+SELECT doc_id,
+       CAST(len(ts) AS INT) AS n_tokens,
+       CAST(len(list_filter(ts, w -> w IN ({inl}))) AS INT) AS n_bad_tokens,
+       len(list_filter(ts, w -> w IN ({inl}))) > 0 AS has_badword,
+       len(list_filter(ts, w -> w IN ({inl}))) = 0 AS keep_doc
+FROM t
+"""

@@ -538,6 +538,40 @@ def q_text_lang_id(spark, sf_dir):
     return textops.language_id(_t(spark, sf_dir, "documents"))
 
 
+def q_text_weighted_sample(spark, sf_dir):
+    """Quality-weighted sampling (DCLM/FineWeb-Edu resample shape): keep
+    probability proportional to the classifier logit, deterministic md5
+    coin — soft model filter, zero shuffle, rerun-stable."""
+    return textops.quality_weighted_sample(_t(spark, sf_dir, "documents"))
+
+
+def q_text_lang_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility report (tokens/word, chars/token by
+    language) over a deterministic 4-language synthesized corpus — one
+    narrow Project + one 4-key aggregation."""
+    return textops.lang_fertility(
+        textops.synthesize_multilingual(_t(spark, sf_dir, "documents"))
+    )
+
+
+def q_web_encoding_fix(spark, sf_dir):
+    """ftfy-lite encoding hygiene: mojibake digraph repair, replacement/
+    control-char strip + counts, dead-bytes gate on U+FFFD density —
+    chained fixed-string replaces, pure Column, zero shuffle."""
+    return webclean.encoding_fix(
+        webclean.synthesize_encoding(_t(spark, sf_dir, "documents"))
+    )
+
+
+def q_web_badwords(spark, sf_dir):
+    """C4 §2.2 blocklist rule: token-membership badword match (words, not
+    substrings) with counts and keep gate over a planted schedule —
+    placeholder 3-entry list, real isin-over-array plumbing."""
+    return webclean.badwords_filter(
+        webclean.synthesize_badwords(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_text_perplexity(spark, sf_dir):
     """CCNet-style unigram-LM perplexity score + high-perplexity flag,
     integer fixed-point log2 end-to-end (Spark == DuckDB bit-exact)."""
@@ -1046,12 +1080,13 @@ def queries() -> Dict[str, Callable]:
         "text_ppl_buckets": q_text_ppl_buckets,
         "text_dsir": q_text_dsir,
         "text_tfidf_topk": q_text_tfidf_topk,
-        "extract_media_preservation": q_extract_media_preservation,
-        "extract_char_conservation": q_extract_char_conservation,
-        "text_quality_rules": q_text_quality_rules,
         "text_quality_classifier": q_text_quality_classifier,
         "text_vocabulary": q_text_vocabulary,
         "text_length_quantiles": q_text_length_quantiles,
+        "text_weighted_sample": q_text_weighted_sample,
+        "text_lang_fertility": q_text_lang_fertility,
+        "web_encoding_fix": q_web_encoding_fix,
+        "web_badwords": q_web_badwords,
         "dedup_incremental": q_dedup_incremental,
         "web_paragraph_dedup": q_web_paragraph_dedup,
         "dedup_window_stats": q_dedup_window_stats,
@@ -1062,7 +1097,6 @@ def queries() -> Dict[str, Callable]:
         "embed_kmeans": q_embed_kmeans,
         "embed_cluster_sample": q_embed_cluster_sample,
         "embed_cluster_stats": q_embed_cluster_stats,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "dedup_simhash_neardup": q_dedup_simhash_neardup,
         "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
@@ -1092,6 +1126,10 @@ def queries() -> Dict[str, Callable]:
         # --- position >50: driver's correctness window ends above; all the
         # entries below have green driver rows in r03 (most in
         # r01+r02+r03) and stay pytest- and check_oracle-gated every round
+        "extract_media_preservation": q_extract_media_preservation,
+        "extract_char_conservation": q_extract_char_conservation,
+        "text_quality_rules": q_text_quality_rules,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_hot_buckets": q_dedup_simhash_hot_buckets,
@@ -1158,6 +1196,12 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_semdedup": similarity.sql_semdedup_kmeans(),
         "embed_label_centroids": similarity.sql_label_centroids_agg(),
         "text_lang_id": textops.sql_language_id(),
+        "text_weighted_sample": textops.sql_quality_weighted_sample(),
+        "text_lang_fertility": textops.sql_lang_fertility(
+            f"({textops.sql_synthesize_multilingual()})"
+        ),
+        "web_encoding_fix": webclean.sql_encoding_fix(),
+        "web_badwords": webclean.sql_badwords_filter(),
         "text_perplexity": textops.sql_unigram_perplexity(),
         "text_ppl_buckets": textops.sql_ppl_buckets(),
         "text_dsir": textops.sql_dsir_weights(),

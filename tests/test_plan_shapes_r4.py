@@ -63,3 +63,39 @@ def test_substr_removal_no_hard_broadcast_hint(docs):
     df = exact_substr_removal(docs)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+from pdfextract_spark.functions.textops import (
+    lang_fertility,
+    quality_weighted_sample,
+    synthesize_multilingual,
+)
+from pdfextract_spark.functions.webclean import (
+    badwords_filter,
+    encoding_fix,
+    synthesize_badwords,
+    synthesize_encoding,
+)
+
+
+def test_weighted_sample_zero_shuffle(docs):
+    plan = _plan(quality_weighted_sample(docs))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_encoding_fix_zero_shuffle(docs):
+    plan = _plan(encoding_fix(synthesize_encoding(docs)))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_badwords_zero_shuffle(docs):
+    plan = _plan(badwords_filter(synthesize_badwords(docs)))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_lang_fertility_one_shuffle(docs):
+    # ONE hash aggregation onto the 4-key language space with a map-side
+    # partial (the reduce side moves |langs| rows per task, not docs)
+    plan = _plan(lang_fertility(synthesize_multilingual(docs)))
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "partial_count" in plan or "partial_sum" in plan, plan[:1200]

@@ -3,7 +3,8 @@
 Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
 on DuckDB at the given sf dir, and compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted by their
-stringified tuple). Usage: python tools/check_oracle.py [sf_dir]
+stringified tuple). Usage: python tools/check_oracle.py [sf_dir] [only,names]
+(the optional second arg is a comma list of query-name substrings to run).
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     # fixture-backed oracles (extract_pipeline) must follow the sf under test
     sf_key = os.path.basename(sf_dir.rstrip("/"))
     if sf_key.startswith("sf"):
@@ -58,6 +59,8 @@ def main(sf_dir: str) -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and not any(s in name for s in only):
+            continue
         t0 = time.time()
         spark_df = fn(spark, sf_dir).toPandas()
         took = time.time() - t0
@@ -89,4 +92,5 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(main(sf))
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    sys.exit(main(sf, only))
