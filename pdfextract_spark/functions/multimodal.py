@@ -558,3 +558,64 @@ SELECT asset_id,
        CAST(MIN(CAST(doc_id AS BIGINT)) AS BIGINT) AS keeper_doc
 FROM assets GROUP BY asset_id ORDER BY asset_id
 """
+
+
+# ---------------------------------------------------------------------------
+# image quality filters (LAION / DataComp-shaped metadata gates)
+# ---------------------------------------------------------------------------
+# The size/aspect gates every image-text corpus applies after metadata
+# decode (LAION-5B drops tiny thumbnails and extreme aspect ratios;
+# DataComp's pools gate on min dimension): min side, max aspect ratio,
+# max pixel count (decompression-bomb guard). All gates run on the header
+# metadata the real parser extracted — no pixel decode needed, which is
+# exactly why production pipelines run these gates FIRST.
+
+IMG_MIN_SIDE = 200           # LAION-style tiny-thumbnail cut
+IMG_MAX_ASPECT_MILLI = 3000  # max(w,h)/min(w,h) <= 3.0, milli fixed-point
+IMG_MAX_PIXELS = 2_000_000   # decompression-bomb guard (w*h cap)
+
+
+def image_filters(meta: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, width, height, fmt, aspect_milli, min_side_ok,
+    aspect_ok, pixels_ok, keep_media) over decoded media metadata
+    (decode_media_meta output).
+
+    100 TB shape: pure Column integer algebra on top of the mapInPandas
+    header decode — no extra shuffle, no Python beyond the decode batch
+    already paid; gates compose with the decode in one stage."""
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    aspect = F.expr(
+        "(1000 * greatest(cast(width as bigint), cast(height as bigint)))"
+        " div least(cast(width as bigint), cast(height as bigint))"
+    )
+    base = meta.select(
+        "doc_id", "media_ref", "width", "height", "fmt",
+        aspect.cast("int").alias("aspect_milli"),
+        (F.least(w, h) >= IMG_MIN_SIDE).alias("min_side_ok"),
+        (aspect <= IMG_MAX_ASPECT_MILLI).alias("aspect_ok"),
+        (w * h <= IMG_MAX_PIXELS).alias("pixels_ok"),
+    )
+    return base.select(
+        "*",
+        (F.col("min_side_ok") & F.col("aspect_ok") & F.col("pixels_ok")).alias(
+            "keep_media"
+        ),
+    )
+
+
+def sql_image_filters(table: str = "documents") -> str:
+    w, h = "CAST(width AS BIGINT)", "CAST(height AS BIGINT)"
+    aspect = f"((1000 * greatest({w}, {h})) // least({w}, {h}))"
+    return f"""
+WITH m AS ({sql_media_meta(table)})
+SELECT doc_id, media_ref, width, height, fmt,
+       CAST({aspect} AS INT) AS aspect_milli,
+       least({w}, {h}) >= {IMG_MIN_SIDE} AS min_side_ok,
+       {aspect} <= {IMG_MAX_ASPECT_MILLI} AS aspect_ok,
+       {w} * {h} <= {IMG_MAX_PIXELS} AS pixels_ok,
+       (least({w}, {h}) >= {IMG_MIN_SIDE}
+        AND {aspect} <= {IMG_MAX_ASPECT_MILLI}
+        AND {w} * {h} <= {IMG_MAX_PIXELS}) AS keep_media
+FROM m
+"""

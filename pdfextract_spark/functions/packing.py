@@ -230,3 +230,130 @@ FROM (
 )
 GROUP BY stream ORDER BY stream
 """
+
+
+# ---------------------------------------------------------------------------
+# context-boundary chunking of interleaved documents
+# ---------------------------------------------------------------------------
+# The splitting step upstream of packing: a document longer than the context
+# budget is cut into chunks at span boundaries (spans are atomic — a media
+# span's vision tokens can't be split across sequences, and text spans are
+# the pipeline's smallest addressable unit). Chunk assignment is by
+# exclusive-prefix cost: span i goes to chunk floor(sum(cost[0..i-1]) /
+# budget) — deterministic, order-preserving, and expressible in both
+# engines without a greedy fold.
+
+CHUNK_BUDGET = 96  # sandbox dial; production = context length
+
+
+def chunk_interleaved(
+    interleaved: DataFrame,
+    media_tokens: int = MEDIA_TOKENS,
+    budget: int = CHUNK_BUDGET,
+) -> DataFrame:
+    """(doc_id, span_offset, kind, cost, chunk_id) — one row per span of
+    the canonical (doc_id, spans) table, with its token cost and the chunk
+    it lands in.
+
+    100 TB shape: ZERO shuffle — the prefix sums are computed inside the
+    row (an array fold over the spans column; the O(n^2) element copies of
+    the accumulator are bounded by per-document span counts, which the
+    layout contract keeps small), and the explode is narrow. The spans
+    column is materialized once before the fold so Catalyst never
+    re-evaluates its producer per element (no-CSE-across-lambda-scopes
+    trap, PLANS.md round-4 DSIR note)."""
+    costs = F.transform(
+        F.col("spans"),
+        lambda s: F.when(s["kind"] == "media", F.lit(media_tokens))
+        .otherwise(F.size(F.split(s["text"], " ")))
+        .cast("long"),
+    )
+    base = interleaved.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "spans",
+        costs.alias("costs"),
+    )
+    # exclusive prefix sums: fold builds [0, c0, c0+c1, ...]; element i is
+    # the cost mass strictly before span i
+    prefix = F.aggregate(
+        F.col("costs"),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, c: F.concat(acc, F.array(F.element_at(acc, -1) + c)),
+    )
+    rows = base.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.col("spans"),
+                F.slice(prefix, 1, F.size(F.col("costs"))),
+                lambda s, b: F.struct(
+                    s["kind"].alias("kind"),
+                    F.when(s["kind"] == "media", F.lit(media_tokens))
+                    .otherwise(F.size(F.split(s["text"], " ")))
+                    .cast("long")
+                    .alias("cost"),
+                    b.alias("before"),
+                ),
+            )
+        ).alias("pos", "z"),
+    )
+    return rows.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("span_offset"),
+        F.col("z.kind").alias("kind"),
+        F.col("z.cost").cast("int").alias("cost"),
+        F.expr(f"z.before div {budget}").cast("int").alias("chunk_id"),
+    )
+
+
+def sql_chunk_interleaved(
+    table: str = "documents",
+    media_tokens: int = MEDIA_TOKENS,
+    budget: int = CHUNK_BUDGET,
+    w: int = 8,
+) -> str:
+    """Mirror over the rich-interleave schedule (documents_to_interleaved_rich):
+    per chunk i the text span costs least(w, len-i*w) words, then r==0 ->
+    three media spans, r<=2 -> one (r = hex2(md5('mm|doc|i')) % 8); chunk
+    assignment replays the exclusive window cumsum."""
+    r = (
+        "(('0x' || substr(md5('mm|' || doc_id || '|' "
+        "|| CAST(i AS VARCHAR)), 1, 2))::BIGINT % 8)"
+    )
+    per_chunk = (
+        f"list_concat([least({w}, len(ws) - i * {w})], "
+        f"CASE WHEN {r} = 0 THEN [-1, -1, -1] "
+        f"WHEN {r} <= 2 THEN [-1] ELSE [] END)"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS ws
+  FROM {table}
+),
+sp AS (
+  SELECT doc_id,
+         flatten(list_transform(
+           range(0, CAST(ceil(len(ws) / {w}.0) AS BIGINT)), i -> {per_chunk}
+         )) AS marks
+  FROM base
+),
+u0 AS (
+  SELECT doc_id,
+         unnest(range(0, len(marks))) AS span_offset,
+         unnest(marks) AS mark
+  FROM sp
+),
+u AS (
+  SELECT doc_id, span_offset,
+         CASE WHEN mark = -1 THEN 'media' ELSE 'text' END AS kind,
+         CAST(CASE WHEN mark = -1 THEN {media_tokens} ELSE mark END AS BIGINT)
+           AS cost
+  FROM u0
+)
+SELECT doc_id, CAST(span_offset AS INT) AS span_offset, kind,
+       CAST(cost AS INT) AS cost,
+       CAST((COALESCE(SUM(cost) OVER (
+           PARTITION BY doc_id ORDER BY span_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {budget})
+         AS INT) AS chunk_id
+FROM u
+"""

@@ -1148,3 +1148,59 @@ SELECT doc_id,
        len(list_filter(ts, w -> w IN ({inl}))) = 0 AS keep_doc
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# epoch-salted global shuffle (training-order assignment)
+# ---------------------------------------------------------------------------
+# The final step before a corpus is consumed for training: assign every
+# document a reproducible random position, re-randomized per epoch. Shard
+# assignment and intra-shard order both derive from md5('shuf|epoch|doc'),
+# so the order is stable across reruns, independent of input partitioning,
+# and changes completely between epochs — no rand(), no global sort.
+
+SHUF_SHARDS = 64  # sandbox dial; production = corpus_size / shard_size
+
+
+def epoch_shuffle(
+    documents: DataFrame, epoch: int = 0, n_shards: int = SHUF_SHARDS
+) -> DataFrame:
+    """(doc_id, shard, pos) — training order for one epoch: shard =
+    md5-bucket, pos = rank of the md5 within the shard.
+
+    100 TB shape: ONE shuffle onto the shard key + a per-shard sort
+    (window row_number) — never a global sort. Shard sizes are md5-uniform
+    (~n/S), so n_shards is the skew/memory dial: production sets S =
+    corpus/shard_size and writes one sorted file per shard, which is
+    exactly the layout a training loader wants to read sequentially."""
+    h = F.md5(
+        F.concat(
+            F.lit("shuf|"), F.lit(str(epoch)), F.lit("|"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards)
+        .cast("int")
+        .alias("shard"),
+        h.alias("h"),
+    )
+    win = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return base.select(
+        "doc_id", "shard", F.row_number().over(win).cast("int").alias("pos")
+    )
+
+
+def sql_epoch_shuffle(
+    table: str = "documents", epoch: int = 0, n_shards: int = SHUF_SHARDS
+) -> str:
+    h = f"md5('shuf|{epoch}|' || CAST(doc_id AS VARCHAR))"
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST((('0x' || substr({h}, 1, 4))::BIGINT % {n_shards}) AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY ('0x' || substr({h}, 1, 4))::BIGINT % {n_shards}
+         ORDER BY {h}, CAST(doc_id AS VARCHAR)) AS INT) AS pos
+FROM {table}
+"""

@@ -563,6 +563,33 @@ def q_web_encoding_fix(spark, sf_dir):
     )
 
 
+def q_multimodal_image_filters(spark, sf_dir):
+    """LAION/DataComp-shaped image gates (min side, max aspect, pixel-bomb
+    cap) as pure Column algebra over the real header-decode output — the
+    metadata-first filter order a production image pipeline uses."""
+    return multimodal.image_filters(
+        multimodal.media_meta_query(_t(spark, sf_dir, "documents"))
+    )
+
+
+def q_corpus_chunk_interleaved(spark, sf_dir):
+    """Context-boundary chunking of interleaved docs: span-atomic chunk
+    assignment by exclusive-prefix cost (text = words, media = fixed
+    vision-token charge) — zero shuffle, in-row prefix fold + narrow
+    explode."""
+    from .sources.adapters import documents_to_interleaved_rich
+
+    return packing.chunk_interleaved(
+        documents_to_interleaved_rich(_t(spark, sf_dir, "documents"))
+    )
+
+
+def q_corpus_epoch_shuffle(spark, sf_dir):
+    """Epoch-salted reproducible training order: md5 shard + in-shard rank,
+    one shuffle onto the shard key, never a global sort."""
+    return webclean.epoch_shuffle(_t(spark, sf_dir, "documents"), epoch=1)
+
+
 def q_web_badwords(spark, sf_dir):
     """C4 §2.2 blocklist rule: token-membership badword match (words, not
     substrings) with counts and keep gate over a planted schedule —
@@ -1087,6 +1114,9 @@ def queries() -> Dict[str, Callable]:
         "text_lang_fertility": q_text_lang_fertility,
         "web_encoding_fix": q_web_encoding_fix,
         "web_badwords": q_web_badwords,
+        "multimodal_image_filters": q_multimodal_image_filters,
+        "corpus_chunk_interleaved": q_corpus_chunk_interleaved,
+        "corpus_epoch_shuffle": q_corpus_epoch_shuffle,
         "dedup_incremental": q_dedup_incremental,
         "web_paragraph_dedup": q_web_paragraph_dedup,
         "dedup_window_stats": q_dedup_window_stats,
@@ -1108,9 +1138,6 @@ def queries() -> Dict[str, Callable]:
         "web_boilerplate_strip": q_web_boilerplate_strip,
         "web_boilerplate_overflow": q_web_boilerplate_overflow,
         "web_c4_filters": q_web_c4_filters,
-        "web_pii_redact": q_web_pii_redact,
-        "web_url_domains": q_web_url_domains,
-        "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_mixture_sample": q_corpus_mixture_sample,
         "corpus_mixture_audit": q_corpus_mixture_audit,
         "corpus_domain_cap": q_corpus_domain_cap,
@@ -1126,6 +1153,9 @@ def queries() -> Dict[str, Callable]:
         # --- position >50: driver's correctness window ends above; all the
         # entries below have green driver rows in r03 (most in
         # r01+r02+r03) and stay pytest- and check_oracle-gated every round
+        "web_pii_redact": q_web_pii_redact,
+        "web_url_domains": q_web_url_domains,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
         "extract_media_preservation": q_extract_media_preservation,
         "extract_char_conservation": q_extract_char_conservation,
         "text_quality_rules": q_text_quality_rules,
@@ -1202,6 +1232,9 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "web_encoding_fix": webclean.sql_encoding_fix(),
         "web_badwords": webclean.sql_badwords_filter(),
+        "multimodal_image_filters": multimodal.sql_image_filters(),
+        "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
+        "corpus_epoch_shuffle": webclean.sql_epoch_shuffle(epoch=1),
         "text_perplexity": textops.sql_unigram_perplexity(),
         "text_ppl_buckets": textops.sql_ppl_buckets(),
         "text_dsir": textops.sql_dsir_weights(),

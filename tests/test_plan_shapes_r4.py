@@ -99,3 +99,27 @@ def test_lang_fertility_one_shuffle(docs):
     plan = _plan(lang_fertility(synthesize_multilingual(docs)))
     assert plan.count("Exchange") == 1, plan[:1200]
     assert "partial_count" in plan or "partial_sum" in plan, plan[:1200]
+
+
+from pdfextract_spark.functions.multimodal import image_filters, media_meta_query
+from pdfextract_spark.functions.packing import chunk_interleaved
+from pdfextract_spark.functions.webclean import epoch_shuffle
+
+
+def test_image_filters_zero_shuffle(docs):
+    # gates ride the mapInPandas decode stage — no Exchange anywhere
+    plan = _plan(image_filters(media_meta_query(docs)))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_chunk_interleaved_zero_shuffle(docs):
+    plan = _plan(chunk_interleaved(documents_to_interleaved_rich(docs)))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_epoch_shuffle_one_exchange(docs):
+    # ONE hash Exchange on the shard key feeding the per-shard sort; never
+    # a global (range) sort
+    plan = _plan(epoch_shuffle(docs))
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "rangepartitioning" not in plan.lower(), plan[:1200]
