@@ -619,3 +619,177 @@ SELECT doc_id, media_ref, width, height, fmt,
         AND {w} * {h} <= {IMG_MAX_PIXELS}) AS keep_media
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# media perceptual near-dup (pHash-banded, the image half of SimHash dedup)
+# ---------------------------------------------------------------------------
+# Image near-dedup the way LAION/DataComp run it: a perceptual hash per
+# image, then banded hamming search over the hash space. A REAL pHash is a
+# DCT over decoded grayscale pixels — pixel decode is honestly stubbed in
+# this container (decode_pixels_real), so the hash here is a deterministic
+# stand-in with real near-dup GEOMETRY: every CDN "scene" gets a random
+# 60-bit base hash and each asset a single-bit perturbation of its scene's
+# base, giving hamming <=2 within a scene and ~30 across scenes. The
+# banded search, hot-bucket trim, and verify are the production pipeline;
+# the production swap-in replaces ONE expression (the hash) with the DCT
+# UDF output.
+
+PHASH_BITS = 60
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 15          # 60 bits / 4 bands
+PHASH_HAM_MAX = 4             # verify threshold (2 flipped bits max planted)
+PHASH_MAX_BUCKET = 64         # hot-band trim, same rule as simhash_neardups
+
+
+def media_phash_table(interleaved: DataFrame) -> DataFrame:
+    """(asset_id, phash) — one 60-bit perceptual hash per distinct media
+    asset of the corpus (media spans filtered BEFORE explode; text never
+    leaves the row; ONE distinct shuffle on the asset key)."""
+    nums = interleaved.select(
+        F.explode(F.filter("spans", lambda s: s["kind"] == "media")).alias("s")
+    ).select(
+        (
+            F.conv(F.substring(F.md5(F.col("s.media_ref")), 1, 4), 16, 10)
+            .cast("long") % ASSET_BUCKETS
+        ).alias("num")
+    ).distinct()
+    scene = F.shiftright(F.col("num"), 1)  # num // 2 (nonneg domain)
+    base = F.conv(
+        F.substring(F.md5(F.concat(F.lit("scene|"), scene.cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ph|asset"), F.col("num").cast("string"))), 1, 4
+            ),
+            16, 10,
+        ).cast("long") % PHASH_BITS
+    ).cast("int")
+    t = nums.select(
+        F.concat(F.lit("asset"), F.col("num").cast("string")).alias("asset_id"),
+        base.alias("b"), flip.alias("f"),
+    )
+    return t.select(
+        "asset_id", F.expr("b ^ shiftleft(cast(1 as bigint), f)").alias("phash")
+    )
+
+
+def media_phash_neardup(interleaved: DataFrame) -> DataFrame:
+    """(asset_a, asset_b, hamming) — asset pairs sharing a 15-bit pHash
+    band AND within PHASH_HAM_MAX hamming distance.
+
+    100 TB shape (the simhash_neardups kernel on the media axis): band
+    explode is narrow; ONE shuffle on the band key; buckets wider than
+    PHASH_MAX_BUCKET are anti-join-trimmed before collect_list (no hard
+    broadcast hint — AQE decides); in-bucket pairs are generated JVM-side
+    (<= C(64,2) per bucket) and only hamming-verified pairs survive. The
+    asset table is already the deduplicated space, so bucket widths track
+    distinct assets per band value, not corpus occurrences."""
+    ph = media_phash_table(interleaved).localCheckpoint(eager=False)
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = ph.select(
+        "asset_id", "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("phash"), j * PHASH_BAND_BITS).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for j in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    hot = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .filter(F.col("width") > PHASH_MAX_BUCKET)
+        .select("band_id", "band_val")
+    )
+    bands = bands.join(hot, ["band_id", "band_val"], "left_anti")
+    grouped = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.array_sort(F.collect_list(F.struct("asset_id", "phash"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+
+    def pair(a, b):
+        return F.struct(
+            a["asset_id"].alias("asset_a"),
+            b["asset_id"].alias("asset_b"),
+            F.bit_count(a["phash"].bitwiseXOR(b["phash"])).cast("int").alias("hamming"),
+        )
+
+    ms = F.col("ms")
+    pairs_col = F.flatten(
+        F.transform(
+            ms,
+            lambda a, i: F.transform(F.slice(ms, i + 2, F.size(ms)), lambda b: pair(a, b)),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs_col).alias("p"))
+        .select("p.asset_a", "p.asset_b", "p.hamming")
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .dropDuplicates(["asset_a", "asset_b"])
+    )
+
+
+def _sql_phash_assets(table: str, w: int = 8) -> str:
+    """assets CTE: distinct asset nums + phash over the rich-interleave
+    media-ref schedule (same derivation as sql_media_asset_dedup)."""
+    r = (
+        "(('0x' || substr(md5('mm|' || doc_id || '|' || CAST(i AS VARCHAR)), 1, 2))"
+        "::BIGINT % 8)"
+    )
+    cnt = f"(CASE WHEN {r} = 0 THEN 3 WHEN {r} <= 2 THEN 1 ELSE 0 END)"
+    base = "('0x' || substr(md5('scene|' || CAST(num // 2 AS VARCHAR)), 1, 15))::BIGINT"
+    flip = (
+        f"(('0x' || substr(md5('ph|asset' || CAST(num AS VARCHAR)), 1, 4))::BIGINT"
+        f" % {PHASH_BITS})"
+    )
+    return f"""base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(ceil(len(string_split(text, ' ')) / {w}.0) AS BIGINT) AS nc
+  FROM {table}
+),
+per_chunk AS (
+  SELECT doc_id, i, {cnt} AS m FROM base, unnest(range(0, nc)) AS u(i)
+),
+nums AS (
+  SELECT DISTINCT ('0x' || substr(md5(
+           'img://' || doc_id || '/m' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+         ), 1, 4))::BIGINT % {ASSET_BUCKETS} AS num
+  FROM per_chunk, unnest(range(0, m)) AS v(j)
+),
+assets AS (
+  SELECT 'asset' || CAST(num AS VARCHAR) AS asset_id,
+         xor({base}, 1::BIGINT << CAST({flip} AS INT)) AS phash
+  FROM nums
+)"""
+
+
+def sql_media_phash_neardup(table: str = "documents", w: int = 8) -> str:
+    mask = (1 << PHASH_BAND_BITS) - 1
+    return f"""
+WITH {_sql_phash_assets(table, w)},
+bands AS (
+  SELECT asset_id, phash, j AS band_id,
+         (phash >> (j * {PHASH_BAND_BITS})) & {mask} AS band_val
+  FROM assets, (SELECT unnest(range({PHASH_BANDS})) AS j)
+),
+ok AS (
+  SELECT band_id, band_val FROM bands
+  GROUP BY band_id, band_val
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {PHASH_MAX_BUCKET}
+)
+SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
+            AND a.asset_id < b.asset_id
+JOIN ok ON ok.band_id = a.band_id AND ok.band_val = a.band_val
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_MAX}
+"""

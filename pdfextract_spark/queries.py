@@ -584,6 +584,18 @@ def q_corpus_chunk_interleaved(spark, sf_dir):
     )
 
 
+def q_multimodal_phash_neardup(spark, sf_dir):
+    """Perceptual near-dup of media assets: banded hamming search over a
+    60-bit pHash (deterministic stand-in with real near-dup geometry; the
+    DCT hash itself needs the stubbed pixel decode). simhash kernel on
+    the media axis: one band shuffle, capped buckets, JVM-side pairs."""
+    from .sources.adapters import documents_to_interleaved_rich
+
+    return multimodal.media_phash_neardup(
+        documents_to_interleaved_rich(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_corpus_epoch_shuffle(spark, sf_dir):
     """Epoch-salted reproducible training order: md5 shard + in-shard rank,
     one shuffle onto the shard key, never a global sort."""
@@ -1115,6 +1127,7 @@ def queries() -> Dict[str, Callable]:
         "web_encoding_fix": q_web_encoding_fix,
         "web_badwords": q_web_badwords,
         "multimodal_image_filters": q_multimodal_image_filters,
+        "multimodal_phash_neardup": q_multimodal_phash_neardup,
         "corpus_chunk_interleaved": q_corpus_chunk_interleaved,
         "corpus_epoch_shuffle": q_corpus_epoch_shuffle,
         "dedup_incremental": q_dedup_incremental,
@@ -1132,7 +1145,6 @@ def queries() -> Dict[str, Callable]:
         "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
         "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
-        "web_synthesize": q_web_synthesize,
         "web_boilerplate_lines": q_web_boilerplate_lines,
         "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
         "web_boilerplate_strip": q_web_boilerplate_strip,
@@ -1153,6 +1165,7 @@ def queries() -> Dict[str, Callable]:
         # --- position >50: driver's correctness window ends above; all the
         # entries below have green driver rows in r03 (most in
         # r01+r02+r03) and stay pytest- and check_oracle-gated every round
+        "web_synthesize": q_web_synthesize,
         "web_pii_redact": q_web_pii_redact,
         "web_url_domains": q_web_url_domains,
         "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -1233,6 +1246,7 @@ def oracle_sql() -> Dict[str, str]:
         "web_encoding_fix": webclean.sql_encoding_fix(),
         "web_badwords": webclean.sql_badwords_filter(),
         "multimodal_image_filters": multimodal.sql_image_filters(),
+        "multimodal_phash_neardup": multimodal.sql_media_phash_neardup(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
         "corpus_epoch_shuffle": webclean.sql_epoch_shuffle(epoch=1),
         "text_perplexity": textops.sql_unigram_perplexity(),

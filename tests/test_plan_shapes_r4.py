@@ -123,3 +123,28 @@ def test_epoch_shuffle_one_exchange(docs):
     plan = _plan(epoch_shuffle(docs))
     assert plan.count("Exchange") == 1, plan[:1200]
     assert "rangepartitioning" not in plan.lower(), plan[:1200]
+
+
+from pdfextract_spark.functions.multimodal import media_phash_neardup
+
+
+def test_phash_neardup_planted_geometry(docs):
+    # the stand-in hash plants one scene per pair of adjacent asset nums:
+    # recall must be ALL 16 scene partners (hamming <= 2), and the random
+    # cross-scene distance (~30 bits) must produce zero false positives
+    rows = media_phash_neardup(documents_to_interleaved_rich(docs)).collect()
+    got = {(r.asset_a, r.asset_b) for r in rows}
+    want = {(f"asset{2*s}", f"asset{2*s+1}") for s in range(16)}
+    assert got == want, got ^ want
+    assert all(r.hamming <= 2 for r in rows)
+
+
+def test_phash_neardup_shuffle_budget(docs):
+    # distinct assets + band census + bucket grouping + pair dedup — a
+    # fixed Exchange budget, no cartesian, no hard broadcast hint
+    df = media_phash_neardup(documents_to_interleaved_rich(docs))
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 5, plan[:1500]
+    assert "CartesianProduct" not in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
