@@ -793,3 +793,133 @@ JOIN bands b ON a.band_id = b.band_id AND a.band_val = b.band_val
 JOIN ok ON ok.band_id = a.band_id AND ok.band_val = a.band_val
 WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_MAX}
 """
+
+
+# ---------------------------------------------------------------------------
+# media dedup APPLIED back onto the interleaved table (contract-preserving)
+# ---------------------------------------------------------------------------
+# Curation decisions are only useful if the output is again a valid
+# interleaved document: media_asset_dedup picks keepers; this operator
+# drops every non-keeper media occurrence and re-sequences span offsets so
+# the (kind, text, media_ref, order) contract holds on the curated corpus.
+# Keep rule: a media span survives iff its doc is the asset's keeper doc
+# AND it is the first occurrence of that asset within the doc; text spans
+# always survive.
+
+
+def media_dedup_apply(interleaved: DataFrame) -> DataFrame:
+    """(doc_id, new_offset, kind, media_ref, old_offset) — the curated
+    interleaved corpus as span rows, offsets dense and order-preserving.
+
+    100 TB shape: media spans only are exploded for the census (text never
+    leaves the row); keeper census is ONE groupBy on asset_id; kept
+    offsets fold back to ONE small per-doc array (collect_set over media
+    offsets, bounded by media-per-doc) joined to the corpus on doc_id —
+    with write_bucketed_spans layout that join is Exchange-free; the
+    filter + re-sequence is in-row Column algebra and the final explode is
+    narrow."""
+    media = interleaved.select(
+        F.col("doc_id"),
+        F.explode(F.filter("spans", lambda s: s["kind"] == "media")).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        (
+            F.conv(F.substring(F.md5(F.col("s.media_ref")), 1, 4), 16, 10)
+            .cast("long") % ASSET_BUCKETS
+        ).alias("asset"),
+    )
+    keeper = media.groupBy("asset").agg(
+        F.min(F.col("doc_id").cast("long")).alias("keeper_doc")
+    )
+    kept_media = (
+        media.join(keeper, "asset")
+        .filter(F.col("doc_id").cast("long") == F.col("keeper_doc"))
+        .groupBy("doc_id", "asset")
+        .agg(F.min("offset").alias("offset"))
+    )
+    kept_sets = kept_media.groupBy("doc_id").agg(
+        F.collect_set("offset").alias("kept")
+    )
+    base = interleaved.join(kept_sets, "doc_id", "left").select(
+        "doc_id", "spans",
+        F.coalesce(F.col("kept"), F.array().cast("array<int>")).alias("kept"),
+    )
+    survivors = F.filter(
+        F.col("spans"),
+        lambda s: (s["kind"] == "text") | F.array_contains(F.col("kept"), s["offset"]),
+    )
+    rows = base.select(
+        "doc_id",
+        F.posexplode(survivors).alias("new_offset", "s"),
+    )
+    return rows.select(
+        "doc_id",
+        F.col("new_offset").cast("int").alias("new_offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").cast("int").alias("old_offset"),
+    )
+
+
+def sql_media_dedup_apply(table: str = "documents", w: int = 8) -> str:
+    """Mirror over the rich-interleave schedule: span offsets replayed via
+    a per-doc cumulative count of spans per chunk (1 text + m_i media),
+    keeper/first-occurrence rules as window minima."""
+    r = (
+        "(('0x' || substr(md5('mm|' || doc_id || '|' || CAST(i AS VARCHAR)), 1, 2))"
+        "::BIGINT % 8)"
+    )
+    cnt = f"(CASE WHEN {r} = 0 THEN 3 WHEN {r} <= 2 THEN 1 ELSE 0 END)"
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(ceil(len(string_split(text, ' ')) / {w}.0) AS BIGINT) AS nc
+  FROM {table}
+),
+per_chunk AS (
+  SELECT doc_id, i, {cnt} AS m FROM base, unnest(range(0, nc)) AS u(i)
+),
+offs AS (
+  SELECT doc_id, i, m,
+         COALESCE(SUM(1 + m) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS text_off
+  FROM per_chunk
+),
+text_spans AS (
+  SELECT doc_id, CAST(text_off AS BIGINT) AS old_offset,
+         'text' AS kind, '' AS media_ref, NULL::BIGINT AS asset
+  FROM offs
+),
+media_spans AS (
+  SELECT doc_id, text_off + 1 + j AS old_offset, 'media' AS kind,
+         'img://' || doc_id || '/m' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+           AS media_ref
+  FROM offs, unnest(range(0, m)) AS v(j)
+),
+media_assets AS (
+  SELECT doc_id, old_offset, kind, media_ref,
+         ('0x' || substr(md5(media_ref), 1, 4))::BIGINT % {ASSET_BUCKETS} AS asset
+  FROM media_spans
+),
+kept_media AS (
+  SELECT doc_id, old_offset, kind, media_ref, asset FROM (
+    SELECT *,
+           MIN(CAST(doc_id AS BIGINT)) OVER (PARTITION BY asset) AS keeper_doc,
+           MIN(old_offset) OVER (PARTITION BY asset, doc_id) AS first_off
+    FROM media_assets
+  )
+  WHERE CAST(doc_id AS BIGINT) = keeper_doc AND old_offset = first_off
+),
+survivors AS (
+  SELECT doc_id, old_offset, kind, media_ref FROM text_spans
+  UNION ALL
+  SELECT doc_id, old_offset, kind, media_ref FROM kept_media
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY old_offset) - 1
+         AS INT) AS new_offset,
+       kind, media_ref, CAST(old_offset AS INT) AS old_offset
+FROM survivors
+"""

@@ -596,6 +596,17 @@ def q_multimodal_phash_neardup(spark, sf_dir):
     )
 
 
+def q_multimodal_dedup_apply(spark, sf_dir):
+    """Media dedup APPLIED: non-keeper media occurrences dropped and span
+    offsets re-sequenced, so the curated corpus is again a valid
+    interleaved table under the (kind, text, media_ref, order) contract."""
+    from .sources.adapters import documents_to_interleaved_rich
+
+    return multimodal.media_dedup_apply(
+        documents_to_interleaved_rich(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_corpus_epoch_shuffle(spark, sf_dir):
     """Epoch-salted reproducible training order: md5 shard + in-shard rank,
     one shuffle onto the shard key, never a global sort."""
@@ -1128,6 +1139,7 @@ def queries() -> Dict[str, Callable]:
         "web_badwords": q_web_badwords,
         "multimodal_image_filters": q_multimodal_image_filters,
         "multimodal_phash_neardup": q_multimodal_phash_neardup,
+        "multimodal_dedup_apply": q_multimodal_dedup_apply,
         "corpus_chunk_interleaved": q_corpus_chunk_interleaved,
         "corpus_epoch_shuffle": q_corpus_epoch_shuffle,
         "dedup_incremental": q_dedup_incremental,
@@ -1145,7 +1157,6 @@ def queries() -> Dict[str, Callable]:
         "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
         "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
-        "web_boilerplate_lines": q_web_boilerplate_lines,
         "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
         "web_boilerplate_strip": q_web_boilerplate_strip,
         "web_boilerplate_overflow": q_web_boilerplate_overflow,
@@ -1166,6 +1177,7 @@ def queries() -> Dict[str, Callable]:
         # entries below have green driver rows in r03 (most in
         # r01+r02+r03) and stay pytest- and check_oracle-gated every round
         "web_synthesize": q_web_synthesize,
+        "web_boilerplate_lines": q_web_boilerplate_lines,
         "web_pii_redact": q_web_pii_redact,
         "web_url_domains": q_web_url_domains,
         "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -1247,6 +1259,7 @@ def oracle_sql() -> Dict[str, str]:
         "web_badwords": webclean.sql_badwords_filter(),
         "multimodal_image_filters": multimodal.sql_image_filters(),
         "multimodal_phash_neardup": multimodal.sql_media_phash_neardup(),
+        "multimodal_dedup_apply": multimodal.sql_media_dedup_apply(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
         "corpus_epoch_shuffle": webclean.sql_epoch_shuffle(epoch=1),
         "text_perplexity": textops.sql_unigram_perplexity(),

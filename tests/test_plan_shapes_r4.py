@@ -148,3 +148,45 @@ def test_phash_neardup_shuffle_budget(docs):
     assert "CartesianProduct" not in plan
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+from collections import Counter
+
+from pdfextract_spark.functions.multimodal import media_dedup_apply
+
+
+def test_media_dedup_apply_contract(docs):
+    inter = documents_to_interleaved_rich(docs)
+    rows = media_dedup_apply(inter).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_text_in = {
+        r["doc_id"]: sum(1 for s in r["spans"] if s["kind"] == "text")
+        for r in inter.collect()
+    }
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.new_offset)
+        # offsets dense 0..n-1 and order-preserving vs the original
+        assert [r.new_offset for r in rs] == list(range(len(rs)))
+        olds = [r.old_offset for r in rs]
+        assert olds == sorted(olds)
+        # every text span survives
+        assert sum(1 for r in rs if r.kind == "text") == n_text_in[doc]
+    # corpus-wide: at most one occurrence per asset survives
+    assets = Counter(
+        int(hashlib.md5(r.media_ref.encode()).hexdigest()[:4], 16) % 32
+        for r in rows if r.kind == "media"
+    )
+    assert assets and max(assets.values()) == 1
+
+
+import hashlib  # noqa: E402  (used above at call time)
+
+
+def test_media_dedup_apply_plan(docs):
+    df = media_dedup_apply(documents_to_interleaved_rich(docs))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
