@@ -7,10 +7,11 @@
         [--min-df 10] [--boiler-cap 256] [--sample-pct 100] \\
         [--pack-budget 0] [--n-streams 64]
 
-The C4/Gopher/CCNet-style recipe, stage order: corpus-wide boilerplate-line
-strip -> PII redaction -> quality gates -> unigram-LM perplexity gate ->
-exact-dedup keeper selection -> deterministic hash sample -> optional
-sequence packing.
+The C4/Gopher/CCNet-style recipe, stage order: encoding hygiene
+(ftfy-lite mojibake repair + dead-bytes gate) + badword blocklist gate ->
+corpus-wide boilerplate-line strip -> PII redaction -> quality gates ->
+unigram-LM perplexity gate -> exact-dedup keeper selection ->
+deterministic hash sample -> optional sequence packing.
 
 Scale discipline: every per-document stage is computed as a FLAG or
 TRANSFORM COLUMN on one DataFrame — the corpus is traversed, not
@@ -60,6 +61,36 @@ def main() -> None:
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
 
+    # -- stage 0: encoding hygiene (ftfy-lite) + badword blocklist gate -----
+    # mojibake repair and replacement/control strip run FIRST so every
+    # downstream census sees repaired text (the ftfy-before-everything rule);
+    # both gates are pure Column algebra on the same scan. The badword rule
+    # is a flag, not a rewrite (C4 drops the page, never edits it).
+    t0 = F.col("text")
+    n_repl = F.length(t0) - F.length(
+        F.replace(t0, F.lit(webclean.REPL_CHAR), F.lit(""))
+    )
+    # integer form of repl_per_mille > gate (no division; len 0 -> false)
+    enc_bad = (n_repl * 1000) > (F.length(t0) * webclean.ENC_MAX_REPL_PERMILLE)
+    fixed = F.replace(
+        F.replace(t0, F.lit(webclean.MOJI_APOS), F.lit("’")),
+        F.lit(webclean.MOJI_EACUTE), F.lit("é"),
+    )
+    fixed = F.replace(
+        F.replace(fixed, F.lit(webclean.REPL_CHAR), F.lit("")),
+        F.lit(webclean.CTRL_BELL), F.lit(""),
+    )
+    toks0 = F.filter(F.split(F.lower(t0), " "), lambda w: w != "")
+    has_badword = (
+        F.size(F.filter(toks0, lambda w: w.isin(*webclean.BADWORDS))) > 0
+    )
+    docs = docs.select(
+        "doc_id",
+        fixed.alias("text"),
+        enc_bad.alias("enc_bad"),
+        has_badword.alias("has_badword"),
+    )
+
     # -- stage 1: boilerplate-line strip (ONE census, persisted, shared by
     # the capped set and the overflow report) -------------------------------
     web = docs.select("doc_id", F.col("text").alias("web_text"))
@@ -73,7 +104,7 @@ def main() -> None:
     lines = F.split("text", "\n")
     kept_lines = F.filter(lines, lambda l: ~F.array_contains(F.col("blines"), l))
     df = docs.crossJoin(F.broadcast(blist)).select(
-        "doc_id",
+        "doc_id", "enc_bad", "has_badword",
         (F.size(lines) - F.size(kept_lines)).alias("boiler_removed"),
         F.array_join(kept_lines, "\n").alias("text"),
     )
@@ -90,7 +121,10 @@ def main() -> None:
     red = F.regexp_replace(red, webclean.RE_URL, "<URL>")
     red = F.regexp_replace(red, webclean.RE_IPV4, "<IP>")
     red = F.regexp_replace(red, webclean.RE_PHONE, "<PHONE>")
-    df = df.select("doc_id", "boiler_removed", n_pii.alias("pii_found"), red.alias("text"))
+    df = df.select(
+        "doc_id", "enc_bad", "has_badword", "boiler_removed",
+        n_pii.alias("pii_found"), red.alias("text"),
+    )
 
     # -- stage 3: quality gates (Gopher-style, same rules as the query) -----
     words = F.split(F.col("text"), " ")
@@ -137,7 +171,9 @@ def main() -> None:
     df = df.withColumn("sampled", bucket < args.sample_pct)
     df = df.withColumn(
         "keep",
-        F.col("ok_quality")
+        ~F.col("enc_bad")
+        & ~F.col("has_badword")
+        & F.col("ok_quality")
         & ~F.col("ppx_flag")
         & F.col("is_keeper")
         & F.col("sampled"),
@@ -148,6 +184,8 @@ def main() -> None:
         F.count(F.lit(1)).alias("docs_in"),
         F.sum("boiler_removed").alias("boiler_lines_removed"),
         F.sum("pii_found").alias("pii_redacted"),
+        F.sum(F.when(F.col("enc_bad"), 1).otherwise(0)).alias("dropped_encoding"),
+        F.sum(F.when(F.col("has_badword"), 1).otherwise(0)).alias("dropped_badword"),
         F.sum(F.when(~F.col("ok_quality"), 1).otherwise(0)).alias("dropped_quality"),
         F.sum(F.when(F.col("ppx_flag"), 1).otherwise(0)).alias("dropped_perplexity"),
         F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0)).alias("dropped_dups"),
@@ -176,6 +214,8 @@ def main() -> None:
             "n_overflow": overflow.n_overflow,
         },
         "pii_redacted": int(m.pii_redacted or 0),
+        "dropped_encoding": int(m.dropped_encoding or 0),
+        "dropped_badword": int(m.dropped_badword or 0),
         "dropped_quality": int(m.dropped_quality or 0),
         "dropped_perplexity": int(m.dropped_perplexity or 0),
         "ppx_gate": ppx_gate,

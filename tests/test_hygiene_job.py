@@ -122,3 +122,38 @@ def test_hygiene_job_perplexity_gate_drops_gibberish(tmp_path):
     assert "999" not in kept
     # the gibberish doc passed the RULE gates (it was the LM that caught it)
     assert metrics["dropped_quality"] == 0
+
+
+def test_hygiene_job_encoding_and_badword_gates(tmp_path):
+    """Stage 0: a dead-bytes doc (high U+FFFD density) and a badword doc are
+    dropped with their drops counted; a mojibake doc is REPAIRED (kept, with
+    the fixed text written out)."""
+    src = str(tmp_path / "in.parquet")
+    body = " ".join(f"the good w{i}" for i in range(10))
+    con = duckdb.connect()
+    con.sql(
+        "COPY (SELECT * FROM (VALUES "
+        f"(1, '{body} itâ€™s the cafÃ©'), "      # mojibake: repaired, kept
+        f"(2, '{body} darnscale extra'), "        # badword: dropped
+        "(3, 'a' || repeat(chr(65533), 40)), "    # dead bytes: dropped
+        f"(4, '{body} four')"
+        f") t(doc_id, text)) TO '{src}' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "hyg")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "hygiene_job.py"),
+            "--input", src, "--output", out,
+        ],
+        capture_output=True, text=True, timeout=420, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    assert metrics["dropped_badword"] == 1
+    assert metrics["dropped_encoding"] == 1
+    kept = dict(
+        con.sql(f"SELECT doc_id, text FROM '{out}/clean/*.parquet'").fetchall()
+    )
+    assert "2" not in kept and "3" not in kept
+    assert kept["1"].endswith("it’s the café")  # mojibake repaired in output
