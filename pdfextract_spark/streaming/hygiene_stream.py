@@ -34,10 +34,32 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
 def hygiene_columns(docs: DataFrame) -> DataFrame:
-    """(doc_id, text, pii_found, ok_quality) — the stateless hygiene
-    stages as one Project; shared verbatim by the stream and its
-    batch-equality oracle."""
-    t = F.col("text")
+    """(doc_id, text, pii_found, ok_quality, enc_bad, has_badword) — the
+    stateless hygiene stages as one Project (stage order mirrors
+    jobs/hygiene_job.py: encoding fix FIRST, then PII redaction, then the
+    quality rules over the repaired+redacted text); shared verbatim by the
+    stream and its batch-equality oracle."""
+    from ..functions.webclean import (
+        BADWORDS,
+        CTRL_BELL,
+        ENC_MAX_REPL_PERMILLE,
+        MOJI_APOS,
+        MOJI_EACUTE,
+        REPL_CHAR,
+    )
+
+    t0 = F.col("text")
+    n_repl = F.length(t0) - F.length(F.replace(t0, F.lit(REPL_CHAR), F.lit("")))
+    enc_bad = (n_repl * 1000) > (F.length(t0) * ENC_MAX_REPL_PERMILLE)
+    t = F.replace(
+        F.replace(t0, F.lit(MOJI_APOS), F.lit("’")),
+        F.lit(MOJI_EACUTE), F.lit("é"),
+    )
+    t = F.replace(
+        F.replace(t, F.lit(REPL_CHAR), F.lit("")), F.lit(CTRL_BELL), F.lit("")
+    )
+    toks0 = F.filter(F.split(F.lower(t), " "), lambda w: w != "")
+    has_badword = F.size(F.filter(toks0, lambda w: w.isin(*BADWORDS))) > 0
     n_pii = (
         F.regexp_count(t, F.lit(RE_EMAIL))
         + F.regexp_count(t, F.lit(RE_URL))
@@ -66,6 +88,8 @@ def hygiene_columns(docs: DataFrame) -> DataFrame:
         red.alias("text"),
         n_pii.cast("int").alias("pii_found"),
         ok.alias("ok_quality"),
+        enc_bad.alias("enc_bad"),
+        has_badword.alias("has_badword"),
     )
 
 
