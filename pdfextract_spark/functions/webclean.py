@@ -1204,3 +1204,102 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          ORDER BY {h}, CAST(doc_id AS VARCHAR)) AS INT) AS pos
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup-by-URL (the crawl pipeline's first dedup)
+# ---------------------------------------------------------------------------
+# CCNet/C4 dedup by URL before ever touching content: canonicalize
+# (scheme/www/fragment/tracking-query/trailing-slash) and keep one doc per
+# canonical URL. The canonical chain here is regex rules whose semantics
+# are identical in Spark (Java regex) and DuckDB (RE2): scheme strip, www
+# strip, fragment strip, utm-query strip (the synthesized corpus only
+# emits tracking params as a whole query; a production pipeline swaps in a
+# param-level parser under the same keeper kernel), trailing-slash strip.
+
+
+def synthesize_urls(documents: DataFrame) -> DataFrame:
+    """(doc_id, url) — a deterministic crawl-frontier: docs in groups of 5
+    share a base URL; variants 0-3 (plain / http+www+slash / utm query /
+    fragment) canonicalize to the SAME key, variant 4 carries a real query
+    param and stays distinct."""
+    did = F.col("doc_id").cast("long")
+    base = F.concat(
+        F.lit("site"), (did / 5).cast("long").cast("string"),
+        F.lit(".org/a/p"), (did / 50).cast("long").cast("string"),
+    )
+    v = did % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), base))
+        .when(v == 1, F.concat(F.lit("http://www."), base, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://"), base,
+                               F.lit("?utm_source=feed&utm_campaign=c1")))
+        .when(v == 3, F.concat(F.lit("https://"), base, F.lit("#section-2")))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?id=7")))
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), url.alias("url")
+    )
+
+
+def _canonical_url(col: Column) -> Column:
+    c = F.regexp_replace(col, r"^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, r"\?utm_[^#]*$", "")
+    return F.regexp_replace(c, r"/$", "")
+
+
+def url_dedup(urls: DataFrame) -> DataFrame:
+    """(doc_id, url, canonical, keeper_doc, is_keeper) over (doc_id, url).
+
+    100 TB shape: canonicalization is a narrow Project; the keeper is ONE
+    window min on the canonical key (no join back — the census and the
+    per-doc rows share the shuffle). Canonical-key skew (one viral URL
+    crawled millions of times) stays safe: the window computes only min,
+    which Spark evaluates without buffering the partition (running
+    aggregate over the sorted run)."""
+    base = urls.select(
+        "doc_id", "url", _canonical_url(F.col("url")).alias("canonical")
+    )
+    w = Window.partitionBy("canonical")
+    keeper = F.min(F.col("doc_id").cast("long")).over(w)
+    return base.select(
+        "doc_id", "url", "canonical",
+        keeper.cast("long").alias("keeper_doc"),
+        (F.col("doc_id").cast("long") == keeper).alias("is_keeper"),
+    )
+
+
+def sql_url_dedup(table: str = "documents") -> str:
+    did = "CAST(doc_id AS BIGINT)"
+    base = (
+        f"'site' || CAST({did} // 5 AS VARCHAR) || '.org/a/p' "
+        f"|| CAST({did} // 50 AS VARCHAR)"
+    )
+    return f"""
+WITH u AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE CAST(doc_id AS BIGINT) % 5
+           WHEN 0 THEN 'https://' || {base}
+           WHEN 1 THEN 'http://www.' || {base} || '/'
+           WHEN 2 THEN 'https://' || {base} || '?utm_source=feed&utm_campaign=c1'
+           WHEN 3 THEN 'https://' || {base} || '#section-2'
+           ELSE 'https://' || {base} || '?id=7'
+         END AS url
+  FROM {table}
+),
+c AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(url, '^https?://', ''), '^www\\.', ''),
+           '#.*$', ''), '\\?utm_[^#]*$', ''), '/$', '') AS canonical
+  FROM u
+)
+SELECT doc_id, url, canonical,
+       CAST(MIN(CAST(doc_id AS BIGINT)) OVER (PARTITION BY canonical) AS BIGINT)
+         AS keeper_doc,
+       CAST(doc_id AS BIGINT) = MIN(CAST(doc_id AS BIGINT)) OVER (PARTITION BY canonical)
+         AS is_keeper
+FROM c
+"""

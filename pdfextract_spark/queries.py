@@ -613,6 +613,15 @@ def q_corpus_epoch_shuffle(spark, sf_dir):
     return webclean.epoch_shuffle(_t(spark, sf_dir, "documents"), epoch=1)
 
 
+def q_web_url_dedup(spark, sf_dir):
+    """URL canonicalization + dedup-by-URL (the crawl pipeline's first
+    dedup, CCNet/C4): scheme/www/fragment/utm/trailing-slash canonical
+    chain, keeper = window min on the canonical key (no join back)."""
+    return webclean.url_dedup(
+        webclean.synthesize_urls(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_web_badwords(spark, sf_dir):
     """C4 §2.2 blocklist rule: token-membership badword match (words, not
     substrings) with counts and keep gate over a planted schedule —
@@ -1137,6 +1146,7 @@ def queries() -> Dict[str, Callable]:
         "text_lang_fertility": q_text_lang_fertility,
         "web_encoding_fix": q_web_encoding_fix,
         "web_badwords": q_web_badwords,
+        "web_url_dedup": q_web_url_dedup,
         "multimodal_image_filters": q_multimodal_image_filters,
         "multimodal_phash_neardup": q_multimodal_phash_neardup,
         "multimodal_dedup_apply": q_multimodal_dedup_apply,
@@ -1157,7 +1167,6 @@ def queries() -> Dict[str, Callable]:
         "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
         "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
-        "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
         "web_boilerplate_strip": q_web_boilerplate_strip,
         "web_boilerplate_overflow": q_web_boilerplate_overflow,
         "web_c4_filters": q_web_c4_filters,
@@ -1178,6 +1187,7 @@ def queries() -> Dict[str, Callable]:
         # r01+r02+r03) and stay pytest- and check_oracle-gated every round
         "web_synthesize": q_web_synthesize,
         "web_boilerplate_lines": q_web_boilerplate_lines,
+        "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
         "web_pii_redact": q_web_pii_redact,
         "web_url_domains": q_web_url_domains,
         "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -1257,6 +1267,7 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "web_encoding_fix": webclean.sql_encoding_fix(),
         "web_badwords": webclean.sql_badwords_filter(),
+        "web_url_dedup": webclean.sql_url_dedup(),
         "multimodal_image_filters": multimodal.sql_image_filters(),
         "multimodal_phash_neardup": multimodal.sql_media_phash_neardup(),
         "multimodal_dedup_apply": multimodal.sql_media_dedup_apply(),

@@ -190,3 +190,24 @@ def test_media_dedup_apply_plan(docs):
     assert "CartesianProduct" not in plan
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+from pdfextract_spark.functions.webclean import synthesize_urls, url_dedup
+
+
+def test_url_dedup_one_exchange_and_planted_groups(docs):
+    df = url_dedup(synthesize_urls(docs))
+    plan = _plan(df)
+    # canonicalization is narrow; the keeper window is the ONE Exchange
+    assert plan.count("Exchange") == 1, plan[:1200]
+    rows = df.collect()
+    # variants 0-3 of each 5-group collapse; variant 4 stays distinct
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canonical, []).append(r)
+    sizes = sorted(len(v) for v in by_canon.values())
+    assert set(sizes) == {1, 4}
+    for rs in by_canon.values():
+        keeper = min(int(r.doc_id) for r in rs)
+        assert all((int(r.doc_id) == keeper) == r.is_keeper for r in rs)
+        assert all(r.keeper_doc == keeper for r in rs)
