@@ -1303,3 +1303,113 @@ SELECT doc_id, url, canonical,
          AS is_keeper
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# param-level URL canonicalization (the production swap-in for url_dedup)
+# ---------------------------------------------------------------------------
+# The regex chain above handles whole-query tracking strings; real crawls
+# carry tracking params ANYWHERE in the query and equivalent URLs with
+# reordered params. This canonicalizer parses the query into params, drops
+# the tracking ones wherever they sit, sorts the rest (param order is not
+# semantic), and reassembles — still pure Column algebra, zero shuffle.
+
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid)="
+
+
+def synthesize_urls_messy(documents: DataFrame) -> DataFrame:
+    """(doc_id, url) — frontier with param-level noise: groups of 5 share a
+    base; variants 0-3 (sorted / reordered / tracking-in-middle /
+    fragment) canonicalize together, variant 4 changes a param VALUE and
+    stays distinct."""
+    did = F.col("doc_id").cast("long")
+    base = F.concat(
+        F.lit("https://shop"), (did / 5).cast("long").cast("string"),
+        F.lit(".example/item"),
+    )
+    v = did % 5
+    url = (
+        F.when(v == 0, F.concat(base, F.lit("?a=1&b=2")))
+        .when(v == 1, F.concat(base, F.lit("?b=2&a=1")))
+        .when(v == 2, F.concat(base, F.lit("?a=1&utm_source=x&b=2")))
+        .when(v == 3, F.concat(base, F.lit("?b=2&a=1#frag")))
+        .otherwise(F.concat(base, F.lit("?a=1&b=3")))
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), url.alias("url")
+    )
+
+
+def _canonical_url_params(col: Column) -> Column:
+    u = F.regexp_replace(col, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    path = F.regexp_replace(F.regexp_extract(u, r"^([^?]*)", 1), r"/$", "")
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.when(F.size(params) > 0, F.concat(path, F.lit("?"), F.array_join(params, "&"))).otherwise(path)
+
+
+def url_dedup_params(urls: DataFrame) -> DataFrame:
+    """(doc_id, url, canonical, keeper_doc, is_keeper) — the url_dedup
+    keeper kernel (ONE window-min shuffle) under the param-level
+    canonicalizer: tracking params dropped anywhere in the query,
+    remaining params sorted (order is not semantic)."""
+    base = urls.select(
+        "doc_id", "url", _canonical_url_params(F.col("url")).alias("canonical")
+    )
+    w = Window.partitionBy("canonical")
+    keeper = F.min(F.col("doc_id").cast("long")).over(w)
+    return base.select(
+        "doc_id", "url", "canonical",
+        keeper.cast("long").alias("keeper_doc"),
+        (F.col("doc_id").cast("long") == keeper).alias("is_keeper"),
+    )
+
+
+def sql_url_dedup_params(table: str = "documents") -> str:
+    did = "CAST(doc_id AS BIGINT)"
+    base = f"'https://shop' || CAST({did} // 5 AS VARCHAR) || '.example/item'"
+    canon = (
+        "CASE WHEN len(ps) > 0 "
+        "THEN path || '?' || array_to_string(ps, '&') ELSE path END"
+    )
+    return f"""
+WITH u AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE CAST(doc_id AS BIGINT) % 5
+           WHEN 0 THEN {base} || '?a=1&b=2'
+           WHEN 1 THEN {base} || '?b=2&a=1'
+           WHEN 2 THEN {base} || '?a=1&utm_source=x&b=2'
+           WHEN 3 THEN {base} || '?b=2&a=1#frag'
+           ELSE {base} || '?a=1&b=3'
+         END AS url
+  FROM {table}
+),
+s AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(regexp_replace(url,
+           '^https?://', ''), '^www\\.', ''), '#.*$', '') AS stripped
+  FROM u
+),
+p AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_extract(stripped, '^([^?]*)', 1), '/$', '') AS path,
+         list_sort(list_filter(
+           string_split(regexp_extract(stripped, '\\?(.*)$', 1), '&'),
+           q -> q <> '' AND NOT regexp_matches(q, '{TRACKING_PARAM_RE}')
+         )) AS ps
+  FROM s
+)
+SELECT doc_id, url, {canon} AS canonical,
+       CAST(MIN(CAST(doc_id AS BIGINT)) OVER (PARTITION BY {canon}) AS BIGINT)
+         AS keeper_doc,
+       CAST(doc_id AS BIGINT) = MIN(CAST(doc_id AS BIGINT)) OVER (PARTITION BY {canon})
+         AS is_keeper
+FROM p
+"""

@@ -622,6 +622,15 @@ def q_web_url_dedup(spark, sf_dir):
     )
 
 
+def q_web_url_dedup_params(spark, sf_dir):
+    """Param-level URL canonicalization (tracking params dropped anywhere,
+    survivors sorted) under the same window-min keeper kernel — the
+    production swap-in for the regex-chain canonicalizer."""
+    return webclean.url_dedup_params(
+        webclean.synthesize_urls_messy(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_web_badwords(spark, sf_dir):
     """C4 §2.2 blocklist rule: token-membership badword match (words, not
     substrings) with counts and keep gate over a planted schedule —
@@ -1147,6 +1156,7 @@ def queries() -> Dict[str, Callable]:
         "web_encoding_fix": q_web_encoding_fix,
         "web_badwords": q_web_badwords,
         "web_url_dedup": q_web_url_dedup,
+        "web_url_dedup_params": q_web_url_dedup_params,
         "multimodal_image_filters": q_multimodal_image_filters,
         "multimodal_phash_neardup": q_multimodal_phash_neardup,
         "multimodal_dedup_apply": q_multimodal_dedup_apply,
@@ -1167,7 +1177,6 @@ def queries() -> Dict[str, Callable]:
         "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
         "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
-        "web_boilerplate_strip": q_web_boilerplate_strip,
         "web_boilerplate_overflow": q_web_boilerplate_overflow,
         "web_c4_filters": q_web_c4_filters,
         "corpus_mixture_sample": q_corpus_mixture_sample,
@@ -1188,6 +1197,7 @@ def queries() -> Dict[str, Callable]:
         "web_synthesize": q_web_synthesize,
         "web_boilerplate_lines": q_web_boilerplate_lines,
         "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
+        "web_boilerplate_strip": q_web_boilerplate_strip,
         "web_pii_redact": q_web_pii_redact,
         "web_url_domains": q_web_url_domains,
         "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -1268,6 +1278,7 @@ def oracle_sql() -> Dict[str, str]:
         "web_encoding_fix": webclean.sql_encoding_fix(),
         "web_badwords": webclean.sql_badwords_filter(),
         "web_url_dedup": webclean.sql_url_dedup(),
+        "web_url_dedup_params": webclean.sql_url_dedup_params(),
         "multimodal_image_filters": multimodal.sql_image_filters(),
         "multimodal_phash_neardup": multimodal.sql_media_phash_neardup(),
         "multimodal_dedup_apply": multimodal.sql_media_dedup_apply(),

@@ -211,3 +211,20 @@ def test_url_dedup_one_exchange_and_planted_groups(docs):
         keeper = min(int(r.doc_id) for r in rs)
         assert all((int(r.doc_id) == keeper) == r.is_keeper for r in rs)
         assert all(r.keeper_doc == keeper for r in rs)
+
+
+from pdfextract_spark.functions.webclean import synthesize_urls_messy, url_dedup_params
+
+
+def test_url_dedup_params_collapse(docs):
+    df = url_dedup_params(synthesize_urls_messy(docs))
+    assert _plan(df).count("Exchange") == 1
+    rows = df.collect()
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canonical, []).append(r)
+    # reordered / tracking-in-middle / fragment variants all collapse with
+    # the sorted-params form; the changed-value variant stays distinct
+    sizes = sorted(len(v) for v in by_canon.values())
+    assert set(sizes) == {1, 4}
+    assert all("utm_" not in c for c in by_canon)
