@@ -1014,3 +1014,115 @@ def sql_synthesize_multilingual(table: str = "documents") -> str:
 SELECT CAST(doc_id AS VARCHAR) AS doc_id, {case} AS text
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint selection (Schleimer et al. 2003, the MOSS kernel)
+# ---------------------------------------------------------------------------
+# The local-min fingerprint selection every plagiarism/overlap detector
+# uses: k-gram rolling hashes, then from every window of w consecutive
+# hashes select the minimum (rightmost on ties). Guarantee: any shared
+# substring of >= w+k-1 tokens shares a selected fingerprint, at ~2/(w+1)
+# selection density — the fixed-recall way to shrink an n-gram index
+# before a cross-doc census.
+
+WINNOW_K = 3  # k-gram size
+WINNOW_W = 4  # winnowing window (consecutive hashes)
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, pos, fp) — the selected fingerprint set per document (pos =
+    0-based k-gram position; short docs with < w hashes winnow their whole
+    hash sequence as one window).
+
+    100 TB shape: ZERO shuffle — hashes, window minima, rightmost-tie
+    positions and the in-row distinct are all Column algebra over
+    materialized array columns (O(n*w) slice work per doc, the same
+    bounded-window trick as exact_substr_removal), and the explode is
+    narrow. The cross-doc census over the selected set is the md5-keyed
+    one-groupBy shape shared with duplicate_window_stats — at ~2/(w+1)
+    density it moves (w+1)/2 x fewer rows than a full n-gram index."""
+    words = F.split(F.col("text"), " ")
+    t = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(
+            words,
+            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+            % P31,
+        ).alias("hs"),
+    )
+    n = F.size(F.col("hs"))
+    # sequence(1, 0) DESCENDS in Spark — guard short docs to an empty array
+    # (same trap as repetition_stats)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.aggregate(
+                F.slice(F.col("hs"), i, k),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * HORNER_BASE + h) % P31,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = t.select("doc_id", grams.alias("g"))
+    m = F.greatest(F.lit(1), F.size(F.col("g")) - (w - 1))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.struct(
+                (
+                    j - 1 + F.size(F.slice(F.col("g"), j, w))
+                    - F.array_position(
+                        F.reverse(F.slice(F.col("g"), j, w)),
+                        F.array_min(F.slice(F.col("g"), j, w)),
+                    )
+                ).cast("int").alias("pos"),
+                F.array_min(F.slice(F.col("g"), j, w)).alias("fp"),
+            ),
+        )
+    )
+    out = g.filter(F.size(F.col("g")) > 0).select(
+        "doc_id", F.explode(sel).alias("s")
+    )
+    return out.select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+
+
+def sql_winnowing_fingerprints(
+    table: str = "documents", k: int = WINNOW_K, w: int = WINNOW_W
+) -> str:
+    hs = (
+        "list_transform(string_split(text, ' '), "
+        f"x -> ((('0x' || substr(md5(x),1,15))::BIGINT) % {P31}))"
+    )
+    gram = (
+        f"list_reduce(list_concat([0::BIGINT], list_slice(hs, i, i + {k - 1})), "
+        f"(acc, h) -> (acc * {HORNER_BASE} + h) % {P31})"
+    )
+    win = f"list_slice(g, j, j + {w - 1})"
+    return f"""
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {hs} AS hs FROM {table}
+),
+gr AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(1, len(hs) - {k - 1}) + 1), i -> {gram}) AS g
+  FROM h WHERE len(hs) >= {k}
+),
+sel AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(1, len(g) - {w - 1}) + 1),
+           j -> struct_pack(
+             pos := j - 1 + len({win})
+                    - list_position(list_reverse({win}), list_min({win})),
+             fp := list_min({win})
+           )
+         )) AS s
+  FROM gr
+)
+SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, CAST(s.fp AS BIGINT) AS fp
+FROM sel
+"""

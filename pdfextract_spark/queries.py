@@ -613,6 +613,14 @@ def q_corpus_epoch_shuffle(spark, sf_dir):
     return webclean.epoch_shuffle(_t(spark, sf_dir, "documents"), epoch=1)
 
 
+def q_text_winnowing(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer et al. 2003 / MOSS):
+    k-gram rolling hashes, rightmost window minima, ~2/(w+1) density with
+    the >= w+k-1 shared-substring guarantee — zero shuffle, in-row
+    windows, the fixed-recall index shrink before a cross-doc census."""
+    return textops.winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_web_url_dedup(spark, sf_dir):
     """URL canonicalization + dedup-by-URL (the crawl pipeline's first
     dedup, CCNet/C4): scheme/www/fragment/utm/trailing-slash canonical
@@ -1155,6 +1163,7 @@ def queries() -> Dict[str, Callable]:
         "text_lang_fertility": q_text_lang_fertility,
         "web_encoding_fix": q_web_encoding_fix,
         "web_badwords": q_web_badwords,
+        "text_winnowing": q_text_winnowing,
         "web_url_dedup": q_web_url_dedup,
         "web_url_dedup_params": q_web_url_dedup_params,
         "multimodal_image_filters": q_multimodal_image_filters,
@@ -1177,7 +1186,6 @@ def queries() -> Dict[str, Callable]:
         "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
         "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
-        "web_boilerplate_overflow": q_web_boilerplate_overflow,
         "web_c4_filters": q_web_c4_filters,
         "corpus_mixture_sample": q_corpus_mixture_sample,
         "corpus_mixture_audit": q_corpus_mixture_audit,
@@ -1198,6 +1206,7 @@ def queries() -> Dict[str, Callable]:
         "web_boilerplate_lines": q_web_boilerplate_lines,
         "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
         "web_boilerplate_strip": q_web_boilerplate_strip,
+        "web_boilerplate_overflow": q_web_boilerplate_overflow,
         "web_pii_redact": q_web_pii_redact,
         "web_url_domains": q_web_url_domains,
         "corpus_sample_stratified": q_corpus_sample_stratified,
@@ -1277,6 +1286,7 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "web_encoding_fix": webclean.sql_encoding_fix(),
         "web_badwords": webclean.sql_badwords_filter(),
+        "text_winnowing": textops.sql_winnowing_fingerprints(),
         "web_url_dedup": webclean.sql_url_dedup(),
         "web_url_dedup_params": webclean.sql_url_dedup_params(),
         "multimodal_image_filters": multimodal.sql_image_filters(),

@@ -228,3 +228,37 @@ def test_url_dedup_params_collapse(docs):
     sizes = sorted(len(v) for v in by_canon.values())
     assert set(sizes) == {1, 4}
     assert all("utm_" not in c for c in by_canon)
+
+
+from pdfextract_spark.functions.textops import winnowing_fingerprints
+
+
+def test_winnowing_guarantee_and_density(spark, docs):
+    # guarantee: docs sharing a substring of >= w+k-1 = 6 tokens share a
+    # selected fingerprint at the aligned position
+    a = "alpha beta gamma delta epsilon zeta shared run of six tokens here x1"
+    b = "totally different prefix words shared run of six tokens here and on"
+    df = spark.createDataFrame([("a", a), ("b", b)], "doc_id string, text string")
+    rows = winnowing_fingerprints(df).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps["a"] & fps["b"], "shared 6-token run must share a fingerprint"
+    plan = _plan(winnowing_fingerprints(docs))
+    assert "Exchange" not in plan, plan[:800]
+    # density: the selected set is a real shrink of the full gram index
+    # (expected ~2/(w+1)=0.4) but never empty per eligible doc
+    full = winnowing_fingerprints(docs).groupBy("doc_id").count().collect()
+    from pyspark.sql import functions as FF
+    gram_counts = {
+        r.doc_id: r.n
+        for r in docs.select(
+            FF.col("doc_id").cast("string").alias("doc_id"),
+            (FF.size(FF.split("text", " ")) - 2).alias("n"),
+        ).collect()
+    }
+    for r in full:
+        assert 0 < r["count"] <= max(1, gram_counts[r.doc_id])
+    total_sel = sum(r["count"] for r in full)
+    total_grams = sum(max(0, v) for v in gram_counts.values())
+    assert total_sel / total_grams < 0.7  # real shrink vs the full index
