@@ -75,3 +75,44 @@ def start_interleave_gate_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def chunk_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming context-boundary chunking of arriving interleaved docs.
+
+    functions/packing.chunk_interleaved is per-document Column algebra
+    (in-row prefix fold + narrow explode, no corpus aggregate), so the
+    streaming plan IS the batch plan — same stateless pattern as the gate
+    stream above. Chunk ids are per-document, so they are stable however
+    the stream micro-batches the input."""
+    from ..functions.packing import chunk_interleaved
+
+    reader = spark.readStream.format("parquet").schema(SPAN_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return chunk_interleaved(reader.load(input_dir))
+
+
+def start_chunk_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start (or drain, with available_now) the chunking stream into a
+    parquet sink."""
+    writer = (
+        chunk_stream(spark, input_dir)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

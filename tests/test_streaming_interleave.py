@@ -54,3 +54,32 @@ def test_stream_matches_batch(spark, spans_dir, tmp_path):
     q2 = start_interleave_gate_stream(spark, spans_dir, out, ckpt)
     q2.awaitTermination(60)
     assert spark.read.parquet(out).count() == 60
+
+
+def test_chunk_stream_matches_batch(spark, spans_dir, tmp_path):
+    from pdfextract_spark.functions.packing import chunk_interleaved
+    from pdfextract_spark.streaming.interleave_stream import start_chunk_stream
+
+    out = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    q = start_chunk_stream(spark, spans_dir, out, ckpt)
+    q.awaitTermination(120)
+
+    key = lambda r: (r.doc_id, r.span_offset)
+    got = {key(r): r for r in spark.read.parquet(out).collect()}
+    want = {
+        key(r): r
+        for r in chunk_interleaved(spark.read.parquet(spans_dir)).collect()
+    }
+    assert set(got) == set(want) and len(got) > 60
+    for k in want:
+        assert (got[k].kind, got[k].cost, got[k].chunk_id) == (
+            want[k].kind, want[k].cost, want[k].chunk_id
+        )
+    # multi-chunk docs actually occurred in-stream
+    assert any(r.chunk_id > 0 for r in got.values())
+
+    # exactly-once: draining again with the same checkpoint adds nothing
+    q2 = start_chunk_stream(spark, spans_dir, out, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == len(want)
