@@ -1126,3 +1126,140 @@ sel AS (
 SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos, CAST(s.fp AS BIGINT) AS fp
 FROM sel
 """
+
+
+WINNOW_DF_CAP = 50  # drop fingerprints shared by more docs (boilerplate)
+WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
+
+
+def winnowing_overlap(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    df_cap: int = WINNOW_DF_CAP,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared, pm_a, pm_b) — the MOSS overlap report: for
+    every document pair sharing >= min_shared selected fingerprints, the
+    shared count and the per-mille of each side's fingerprint set it covers
+    (winnowing guarantee: any common run of >= w+k-1 tokens contributes a
+    shared fingerprint, so pm_* lower-bounds copied-passage coverage).
+
+    100 TB shape: the candidate generator is the df-capped inverted-index
+    kernel of ngram_jaccard_pairs, but over the winnowed selection —
+    ~2/(w+1) of the gram volume for the same >=w+k-1-token recall. The
+    per-doc fingerprint SET is built in-row (array_distinct of the window
+    minima — no (doc_id, fp) distinct shuffle); the hot-fingerprint cut is a
+    shuffle anti-join with NO broadcast hint (the above-cap list grows with
+    the corpus); posting lists are <= df_cap docs so in-list pairs
+    (<= C(df_cap, 2) per fingerprint) are generated JVM-side. The two size
+    joins move only the pair report, never the corpus."""
+    words = F.split(F.col("text"), " ")
+    t = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(
+            words,
+            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+            % P31,
+        ).alias("hs"),
+    )
+    n = F.size(F.col("hs"))
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.aggregate(
+                F.slice(F.col("hs"), i, k),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * HORNER_BASE + h) % P31,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    g = t.select("doc_id", grams.alias("g"))
+    m = F.greatest(F.lit(1), F.size(F.col("g")) - (w - 1))
+    # the selected SET is the distinct window minima — pos dropped, so the
+    # per-doc distinct happens in-row instead of as a (doc_id, fp) shuffle
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.array_min(F.slice(F.col("g"), j, w)),
+        )
+    )
+    per_doc = g.filter(F.size(F.col("g")) > 0).select(
+        "doc_id", fps.alias("fps")
+    )
+    sizes = per_doc.select("doc_id", F.size("fps").alias("n_fp"))
+    inv = per_doc.select("doc_id", F.explode("fps").alias("fp"))
+    hot = (
+        inv.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("fp")
+    )
+    inv = inv.join(hot, "fp", "left_anti")
+    per_fp = (
+        inv.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    pairs_col = F.flatten(
+        F.transform(
+            ds,
+            lambda a, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    shared = (
+        per_fp.select(F.explode(pairs_col).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_fp", "n_fp_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_fp", "n_fp_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr("(1000 * n_shared) div n_fp_a").cast("int").alias("pm_a"),
+            F.expr("(1000 * n_shared) div n_fp_b").cast("int").alias("pm_b"),
+        )
+    )
+
+
+def sql_winnowing_overlap(
+    table: str = "documents",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    df_cap: int = WINNOW_DF_CAP,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> str:
+    # mirrors the OUTPUT relation (per-doc distinct fingerprint sets -> df
+    # cut -> pair census), not the Spark plan
+    sel = sql_winnowing_fingerprints(table, k, w)
+    return f"""
+WITH sel AS ({sel}),
+pd AS (SELECT DISTINCT doc_id, fp FROM sel),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM pd GROUP BY doc_id),
+cen AS (SELECT fp FROM pd GROUP BY fp HAVING COUNT(*) <= {df_cap}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM pd a JOIN cen USING (fp) JOIN pd b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_shared}
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST((1000 * n_shared) // sa.n_fp AS INT) AS pm_a,
+       CAST((1000 * n_shared) // sb.n_fp AS INT) AS pm_b
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""

@@ -621,6 +621,15 @@ def q_text_winnowing(spark, sf_dir):
     return textops.winnowing_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_text_moss_overlap(spark, sf_dir):
+    """Cross-document MOSS overlap report over the winnowing selection:
+    df-capped inverted index on selected fingerprints, JVM-side in-list
+    pairs, per-pair shared count + per-mille coverage of each side's
+    fingerprint set (lower-bounds copied-passage coverage by the
+    >= w+k-1-token winnowing guarantee)."""
+    return textops.winnowing_overlap(_t(spark, sf_dir, "documents"))
+
+
 def q_web_url_dedup(spark, sf_dir):
     """URL canonicalization + dedup-by-URL (the crawl pipeline's first
     dedup, CCNet/C4): scheme/www/fragment/utm/trailing-slash canonical
@@ -1164,6 +1173,7 @@ def queries() -> Dict[str, Callable]:
         "web_encoding_fix": q_web_encoding_fix,
         "web_badwords": q_web_badwords,
         "text_winnowing": q_text_winnowing,
+        "text_moss_overlap": q_text_moss_overlap,
         "web_url_dedup": q_web_url_dedup,
         "web_url_dedup_params": q_web_url_dedup_params,
         "multimodal_image_filters": q_multimodal_image_filters,
@@ -1287,6 +1297,7 @@ def oracle_sql() -> Dict[str, str]:
         "web_encoding_fix": webclean.sql_encoding_fix(),
         "web_badwords": webclean.sql_badwords_filter(),
         "text_winnowing": textops.sql_winnowing_fingerprints(),
+        "text_moss_overlap": textops.sql_winnowing_overlap(),
         "web_url_dedup": webclean.sql_url_dedup(),
         "web_url_dedup_params": webclean.sql_url_dedup_params(),
         "multimodal_image_filters": multimodal.sql_image_filters(),
