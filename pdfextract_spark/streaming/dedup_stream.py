@@ -26,7 +26,7 @@ DEDUP_SCHEMA = "fingerprint string, keeper_doc_id string"
 _SEEN_SCHEMA = "seen boolean"
 
 
-def _make_first_seen(ttl_ms: int):
+def _make_first_seen(ttl_ms: int, key_col: str = "fingerprint"):
     def _first_seen(
         key: Tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
@@ -56,7 +56,7 @@ def _make_first_seen(ttl_ms: int):
         state.update((True,))
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)
-        yield pd.DataFrame({"fingerprint": [key[0]], "keeper_doc_id": [best]})
+        yield pd.DataFrame({key_col: [key[0]], "keeper_doc_id": [best]})
 
     return _first_seen
 
