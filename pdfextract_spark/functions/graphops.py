@@ -1,0 +1,172 @@
+"""Link-graph operators: host-level PageRank for crawl prioritization.
+
+Web-scale training-data pipelines rank hosts/domains by link authority to
+prioritize crawl frontiers and to weight quality sampling (Common Crawl
+publishes exactly this kind of host-level harmonic-centrality/PageRank
+ranking). The graph here is synthesized deterministically from the
+documents table — every doc lives on a host (md5 bucket of doc_id) and
+emits OUT_LINKS outbound host links (md5 of doc_id|k) — so the DuckDB
+oracle can re-derive the identical edge set.
+
+All arithmetic is integer fixed-point (micro-rank units with integer
+division) so Spark and DuckDB produce bit-identical scores — no float
+drift across engines, the same trick as text_perplexity.
+
+100 TB shape: the edge census is ONE distinct shuffle over the corpus
+(map-side combine collapses duplicate host->host pairs before the
+exchange); each PageRank iteration is the classic distributed shape — a
+join of ranks onto edges keyed on src followed by a groupBy(dst) sum, both
+shuffles keyed on host ids whose cardinality is the HOST universe (tiny
+relative to docs; at production scale ~10^8 hosts, still far below 10^12
+docs). K is a fixed constant, so the whole query is one static K-stage
+plan with no driver-side collects or loops over data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+HOSTS = 32           # synthetic host universe (md5 buckets)
+OUT_LINKS = 3        # outbound links per document
+PR_ITERS = 5         # fixed, unrolled iteration count
+PR_SCALE = 1_000_000  # fixed-point rank unit (micro-ranks)
+# integer damping: contribution = (85 * (rank div outdeg)) div 100,
+# teleport base = (15 * PR_SCALE) div 100
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_BASE = (100 - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN
+
+
+def _host_of(col) -> F.Column:
+    return F.concat(
+        F.lit("h"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit("hs|"), col)), 1, 4), 16, 10)
+         .cast("long") % HOSTS).cast("string"),
+    )
+
+
+def host_edges(documents: DataFrame) -> DataFrame:
+    """Deterministic host->host link census from the documents table:
+    src = host(doc), dst_k = md5('lk|doc|k') bucket for k < OUT_LINKS,
+    self-loops dropped, duplicates collapsed (ONE distinct shuffle)."""
+    doc = F.col("doc_id").cast("string")
+    links = F.transform(
+        F.sequence(F.lit(0), F.lit(OUT_LINKS - 1)),
+        lambda k: F.concat(
+            F.lit("h"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("lk|"), doc, F.lit("|"), k.cast("string"))),
+                        1, 4,
+                    ),
+                    16, 10,
+                ).cast("long") % HOSTS
+            ).cast("string"),
+        ),
+    )
+    edges = documents.select(
+        _host_of(doc).alias("src"), F.explode(links).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    return edges.distinct()
+
+
+def host_rank(documents: DataFrame) -> DataFrame:
+    """(host, out_links, in_links, score) — integer fixed-point PageRank
+    over the synthesized host link graph, PR_ITERS unrolled iterations.
+
+    r_0(v) = PR_SCALE; r_{t+1}(v) = PR_BASE + sum over in-edges (u,v) of
+    (85 * (r_t(u) div outdeg(u))) div 100. Hosts = union of edge endpoints.
+    Dangling mass (hosts with no out-edges) is dropped, as in the classic
+    formulation without dangling redistribution — documented, mirrored in
+    the oracle.
+    """
+    edges = host_edges(documents)
+    hosts = edges.select(F.col("src").alias("host")).union(
+        edges.select(F.col("dst").alias("host"))
+    ).distinct()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+
+    ranks = hosts.select("host", F.lit(PR_SCALE).cast("long").alias("score"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.host)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst"),
+                F.expr(
+                    f"({PR_DAMP_NUM} * (score div outdeg)) div {PR_DAMP_DEN}"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = hosts.join(
+            contrib, hosts.host == contrib.dst, "left"
+        ).select(
+            "host",
+            (F.lit(PR_BASE) + F.coalesce(F.col("in_mass"), F.lit(0)))
+            .cast("long")
+            .alias("score"),
+        )
+
+    out = (
+        hosts.join(outdeg, hosts.host == outdeg.src, "left")
+        .join(indeg, hosts.host == indeg.dst, "left")
+        .select(
+            "host",
+            F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("out_links"),
+            F.coalesce(F.col("indeg"), F.lit(0)).cast("long").alias("in_links"),
+        )
+        .join(ranks, "host")
+    )
+    return out.orderBy("host")
+
+
+def sql_host_rank(table: str = "documents") -> str:
+    """DuckDB mirror: identical edge synthesis and PR_ITERS unrolled
+    integer-PageRank CTEs."""
+    host_src = f"'h' || CAST((('0x' || substr(md5('hs|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % {HOSTS}) AS VARCHAR)"
+    host_dst = f"'h' || CAST((('0x' || substr(md5('lk|' || CAST(doc_id AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % {HOSTS}) AS VARCHAR)"
+    iters = []
+    for t in range(PR_ITERS):
+        iters.append(f"""
+r{t + 1} AS (
+  SELECT h.host,
+         CAST({PR_BASE} + COALESCE(SUM(
+           ({PR_DAMP_NUM} * (r.score // d.outdeg)) // {PR_DAMP_DEN}
+         ), 0) AS BIGINT) AS score
+  FROM hosts h
+  LEFT JOIN (edges e JOIN r{t} r ON e.src = r.host
+             JOIN outdeg d ON e.src = d.src)
+    ON e.dst = h.host
+  GROUP BY h.host
+)""")
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT {host_src} AS src, {host_dst} AS dst
+  FROM {table}, unnest(range(0, {OUT_LINKS})) AS u(k)
+  WHERE {host_src} <> {host_dst}
+),
+hosts AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+),
+outdeg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+),
+indeg AS (
+  SELECT dst, COUNT(*) AS indeg FROM edges GROUP BY dst
+),
+r0 AS (
+  SELECT host, CAST({PR_SCALE} AS BIGINT) AS score FROM hosts
+),{",".join(iters)}
+SELECT h.host,
+       CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS out_links,
+       CAST(COALESCE(i.indeg, 0) AS BIGINT) AS in_links,
+       r.score
+FROM hosts h
+LEFT JOIN outdeg o ON h.host = o.src
+LEFT JOIN indeg i ON h.host = i.dst
+JOIN r{PR_ITERS} r ON h.host = r.host
+ORDER BY h.host
+"""

@@ -923,3 +923,133 @@ SELECT doc_id,
        kind, media_ref, CAST(old_offset AS INT) AS old_offset
 FROM survivors
 """
+
+
+# ---------------------------------------------------------------------------
+# caption-pair mining (CLIP / LAION-style image-text pair extraction)
+# ---------------------------------------------------------------------------
+# Interleaved corpora are the raw material for paired image-text training
+# sets: for every media span, the nearest text span is its caption
+# candidate (MMC4 assigns each image to a sentence; LAION pairs come from
+# alt-text adjacency). The side rule here is deterministic: the closer of
+# the nearest preceding / nearest following text span wins, ties go to the
+# FOLLOWING span (web captions usually trail the image), and a pair is kept
+# only when the caption has enough words to ground the image.
+
+MIN_CAPTION_WORDS = 3
+
+
+def caption_pairs(interleaved: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, media_offset, caption_side, caption_dist,
+    caption, pair_ok) — one row per media span in the interleaved corpus,
+    paired with its nearest text span.
+
+    100 TB shape: zero shuffle, zero Python — all pure Column array algebra
+    inside one Project. The nearest-text lookup runs entirely within the
+    row's own spans array (text spans never leave the row), and only the
+    small per-media result structs are exploded, so the text payload is
+    not duplicated per media span.
+    """
+    texts = F.filter("spans", lambda s: s["kind"] == "text")
+    media = F.filter("spans", lambda s: s["kind"] == "media")
+
+    def pair(m):
+        prev = F.try_element_at(F.filter(texts, lambda t: t["offset"] < m["offset"]), F.lit(-1))
+        nxt = F.try_element_at(F.filter(texts, lambda t: t["offset"] > m["offset"]), F.lit(1))
+        prev_dist = m["offset"] - prev["offset"]
+        next_dist = nxt["offset"] - m["offset"]
+        # ties -> following span; a missing side loses automatically
+        side = (
+            F.when(nxt.isNull() & prev.isNull(), F.lit("none"))
+            .when(nxt.isNull(), F.lit("prev"))
+            .when(prev.isNull(), F.lit("next"))
+            .when(prev_dist < next_dist, F.lit("prev"))
+            .otherwise(F.lit("next"))
+        )
+        caption = (
+            F.when(side == "prev", prev["text"])
+            .when(side == "next", nxt["text"])
+            .otherwise(F.lit(""))
+        )
+        dist = (
+            F.when(side == "prev", prev_dist)
+            .when(side == "next", next_dist)
+            .otherwise(F.lit(-1))
+        )
+        return F.struct(
+            m["media_ref"].alias("media_ref"),
+            m["offset"].cast("int").alias("media_offset"),
+            side.alias("caption_side"),
+            dist.cast("int").alias("caption_dist"),
+            caption.alias("caption"),
+            (
+                (side != "none")
+                & (F.size(F.split(caption, " ")) >= MIN_CAPTION_WORDS)
+            ).alias("pair_ok"),
+        )
+
+    out = interleaved.select(
+        "doc_id", F.explode(F.transform(media, pair)).alias("p")
+    )
+    return out.select("doc_id", "p.*").orderBy("doc_id", "media_offset")
+
+
+def sql_caption_pairs(table: str = "documents", w: int = 8) -> str:
+    """DuckDB mirror over the rich-interleave schedule
+    (sources/adapters.documents_to_interleaved_rich): spans for chunk i are
+    [text_i, media x L_i] with L_i in {0,1,3}, so for media j of chunk i the
+    nearest preceding text is chunk i's text at distance j+1 and the nearest
+    following text is chunk i+1's text (when it exists) at distance L_i-j.
+    """
+    r = (
+        "(('0x' || substr(md5('mm|' || doc_id || '|' || CAST(i AS VARCHAR)), 1, 2))"
+        "::BIGINT % 8)"
+    )
+    cnt = f"(CASE WHEN {r} = 0 THEN 3 WHEN {r} <= 2 THEN 1 ELSE 0 END)"
+    chunk_txt = f"array_to_string(list_slice(ws, i*{w}+1, i*{w}+{w}), ' ')"
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS ws,
+         CAST(ceil(len(string_split(text, ' ')) / {w}.0) AS BIGINT) AS nc
+  FROM {table}
+),
+chunks AS (
+  SELECT doc_id, nc, i, {cnt} AS m, {chunk_txt} AS txt
+  FROM base, unnest(range(0, nc)) AS u(i)
+),
+pos AS (
+  SELECT doc_id, nc, i, m, txt,
+         COALESCE(SUM(1 + m) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS text_pos,
+         LEAD(txt) OVER (PARTITION BY doc_id ORDER BY i) AS next_txt
+  FROM chunks
+),
+media AS (
+  SELECT doc_id,
+         'img://' || doc_id || '/m' || CAST(i AS VARCHAR) || '_'
+           || CAST(j AS VARCHAR) AS media_ref,
+         CAST(text_pos + 1 + j AS INT) AS media_offset,
+         CAST(j + 1 AS BIGINT) AS prev_dist,
+         CAST(m - j AS BIGINT) AS next_dist,
+         txt AS prev_txt, next_txt,
+         (i + 1 < nc) AS has_next
+  FROM pos, unnest(range(0, m)) AS v(j)
+),
+sided AS (
+  SELECT doc_id, media_ref, media_offset,
+         CASE WHEN NOT has_next THEN 'prev'
+              WHEN prev_dist < next_dist THEN 'prev'
+              ELSE 'next' END AS caption_side,
+         CASE WHEN NOT has_next OR prev_dist < next_dist
+              THEN prev_dist ELSE next_dist END AS caption_dist,
+         CASE WHEN NOT has_next OR prev_dist < next_dist
+              THEN prev_txt ELSE next_txt END AS caption
+  FROM media
+)
+SELECT doc_id, media_ref, media_offset, caption_side,
+       CAST(caption_dist AS INT) AS caption_dist, caption,
+       (len(string_split(caption, ' ')) >= {MIN_CAPTION_WORDS}) AS pair_ok
+FROM sided
+ORDER BY doc_id, media_offset
+"""

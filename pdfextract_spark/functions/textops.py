@@ -1263,3 +1263,86 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# readability scoring (Flesch reading ease, integer fixed-point)
+# ---------------------------------------------------------------------------
+# A classic cheap document-quality signal next to the Gopher gates: Flesch
+# reading ease 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words),
+# with syllables approximated by vowel-group count (the standard
+# no-dictionary heuristic). Computed in integer milli-units with integer
+# division so the Spark and DuckDB results are bit-identical — the same
+# fixed-point discipline as unigram_perplexity.
+
+READ_EASY_MILLI = 60_000    # >= 60.0 -> 'easy' (plain English)
+READ_MEDIUM_MILLI = 30_000  # >= 30.0 -> 'medium', below -> 'hard'
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch_milli, band) —
+    integer fixed-point Flesch reading ease per document.
+
+    100 TB shape: ONE narrow Project, zero shuffle, zero Python — counts
+    come from split/regexp Column algebra, the score from integer div.
+    """
+    words = F.greatest(F.lit(1), F.size(F.split(F.col("text"), " ")))
+    # sentences = terminal-punctuation count, floored at 1
+    sentences = F.greatest(
+        F.lit(1),
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), r"[.!?]", "")),
+    )
+    # syllable proxy: vowel-group count, floored at 1
+    syllables = F.greatest(
+        F.lit(1),
+        F.size(F.split(F.lower(F.col("text")), "[aeiou]+")) - 1,
+    )
+    flesch = (
+        F.lit(206_835)
+        - F.expr("1015 * n_words div n_sentences")
+        - F.expr("84600 * n_syllables div n_words")
+    )
+    out = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+    ).select("*", flesch.cast("long").alias("flesch_milli"))
+    return out.select(
+        "*",
+        F.when(F.col("flesch_milli") >= READ_EASY_MILLI, "easy")
+        .when(F.col("flesch_milli") >= READ_MEDIUM_MILLI, "medium")
+        .otherwise("hard")
+        .alias("band"),
+    )
+
+
+def sql_readability(table: str = "documents") -> str:
+    """DuckDB mirror with the same integer fixed-point formula."""
+    return f"""
+WITH c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         GREATEST(1, len(string_split(text, ' '))) AS n_words,
+         GREATEST(1, len(text) - len(regexp_replace(text, '[.!?]', '', 'g')))
+           AS n_sentences,
+         GREATEST(1, len(string_split_regex(lower(text), '[aeiou]+')) - 1)
+           AS n_syllables
+  FROM {table}
+),
+s AS (
+  SELECT doc_id,
+         CAST(n_words AS BIGINT) AS n_words,
+         CAST(n_sentences AS BIGINT) AS n_sentences,
+         CAST(n_syllables AS BIGINT) AS n_syllables,
+         CAST(206835 - (1015 * n_words) // n_sentences
+                     - (84600 * n_syllables) // n_words AS BIGINT)
+           AS flesch_milli
+  FROM c
+)
+SELECT *,
+       CASE WHEN flesch_milli >= {READ_EASY_MILLI} THEN 'easy'
+            WHEN flesch_milli >= {READ_MEDIUM_MILLI} THEN 'medium'
+            ELSE 'hard' END AS band
+FROM s
+"""

@@ -29,6 +29,7 @@ from .functions import (
     curation,
     decontam,
     dedup,
+    graphops,
     htmlops,
     multimodal,
     packing,
@@ -1143,13 +1144,41 @@ def _sql_dehyphenate_op() -> str:
     return _sql_dehyphenate(SQL_DEHYPH_SPANS)
 
 
+def q_multimodal_caption_pairs(spark, sf_dir):
+    """CLIP/LAION-style caption-pair mining over the interleaved corpus:
+    every media span paired with its nearest text span (ties to the
+    following span, MMC4-style), min-words grounding gate — zero-shuffle
+    pure-Column array algebra; only the small pair structs are exploded."""
+    from .sources.adapters import documents_to_interleaved_rich
+
+    return multimodal.caption_pairs(
+        documents_to_interleaved_rich(_t(spark, sf_dir, "documents"))
+    )
+
+
+def q_graph_host_rank(spark, sf_dir):
+    """Host-level PageRank for crawl prioritization (Common Crawl-style
+    host ranking): deterministic host link census from documents, then
+    PR_ITERS unrolled integer fixed-point PageRank iterations — the classic
+    distributed join+agg-per-iteration shape, bit-identical to the DuckDB
+    unrolled-CTE mirror."""
+    return graphops.host_rank(_t(spark, sf_dir, "documents"))
+
+
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease quality signal in integer milli-units (vowel-
+    group syllable proxy), banded easy/medium/hard — ONE narrow Project,
+    zero shuffle, zero Python."""
+    return textops.readability(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
-    # task 1): the extraction/serializer family and this round's new
-    # operators lead; the 8 entries parked past position 50 are the
-    # relational/text veterans green in r01+r02+r03 (and still pytest- and
-    # check_oracle-gated every round).
+    # task 1): every entry with NO prior driver-green round sits inside the
+    # first 50 (script-verified against CORRECTNESS_r01–r03); the entries
+    # parked past position 50 are veterans green in >=1 prior round (most
+    # in 2–3) and stay pytest- and check_oracle-gated every round.
     return {
         "extract_pipeline": q_extract_pipeline,
         "extract_paged": q_extract_paged,
@@ -1166,19 +1195,20 @@ def queries() -> Dict[str, Callable]:
         "text_dsir": q_text_dsir,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_quality_classifier": q_text_quality_classifier,
-        "text_vocabulary": q_text_vocabulary,
-        "text_length_quantiles": q_text_length_quantiles,
         "text_weighted_sample": q_text_weighted_sample,
         "text_lang_fertility": q_text_lang_fertility,
+        "text_readability": q_text_readability,
         "web_encoding_fix": q_web_encoding_fix,
         "web_badwords": q_web_badwords,
         "text_winnowing": q_text_winnowing,
         "text_moss_overlap": q_text_moss_overlap,
         "web_url_dedup": q_web_url_dedup,
         "web_url_dedup_params": q_web_url_dedup_params,
+        "graph_host_rank": q_graph_host_rank,
         "multimodal_image_filters": q_multimodal_image_filters,
         "multimodal_phash_neardup": q_multimodal_phash_neardup,
         "multimodal_dedup_apply": q_multimodal_dedup_apply,
+        "multimodal_caption_pairs": q_multimodal_caption_pairs,
         "corpus_chunk_interleaved": q_corpus_chunk_interleaved,
         "corpus_epoch_shuffle": q_corpus_epoch_shuffle,
         "dedup_incremental": q_dedup_incremental,
@@ -1191,8 +1221,6 @@ def queries() -> Dict[str, Callable]:
         "embed_kmeans": q_embed_kmeans,
         "embed_cluster_sample": q_embed_cluster_sample,
         "embed_cluster_stats": q_embed_cluster_stats,
-        "dedup_components": q_dedup_components,
-        "dedup_simhash_neardup": q_dedup_simhash_neardup,
         "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
         "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
@@ -1212,6 +1240,10 @@ def queries() -> Dict[str, Callable]:
         # --- position >50: driver's correctness window ends above; all the
         # entries below have green driver rows in r03 (most in
         # r01+r02+r03) and stay pytest- and check_oracle-gated every round
+        "text_vocabulary": q_text_vocabulary,
+        "text_length_quantiles": q_text_length_quantiles,
+        "dedup_components": q_dedup_components,
+        "dedup_simhash_neardup": q_dedup_simhash_neardup,
         "web_synthesize": q_web_synthesize,
         "web_boilerplate_lines": q_web_boilerplate_lines,
         "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
@@ -1303,6 +1335,9 @@ def oracle_sql() -> Dict[str, str]:
         "multimodal_image_filters": multimodal.sql_image_filters(),
         "multimodal_phash_neardup": multimodal.sql_media_phash_neardup(),
         "multimodal_dedup_apply": multimodal.sql_media_dedup_apply(),
+        "multimodal_caption_pairs": multimodal.sql_caption_pairs(),
+        "graph_host_rank": graphops.sql_host_rank(),
+        "text_readability": textops.sql_readability(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
         "corpus_epoch_shuffle": webclean.sql_epoch_shuffle(epoch=1),
         "text_perplexity": textops.sql_unigram_perplexity(),

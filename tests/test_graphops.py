@@ -1,0 +1,69 @@
+"""Host-rank (integer PageRank) semantics: rank-mass sanity, authority
+ordering on a handcrafted star graph via the synthesized census, and the
+fixed-point determinism contract. Value-level DuckDB parity runs in the
+parametrized oracle suite (graph_host_rank)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdfextract_spark.functions.graphops import (
+    HOSTS,
+    PR_BASE,
+    PR_ITERS,
+    PR_SCALE,
+    host_edges,
+    host_rank,
+)
+
+
+@pytest.fixture(scope="module")
+def ranked(spark):
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    return host_rank(docs).collect()
+
+
+def test_universe_and_schema(ranked):
+    assert 0 < len(ranked) <= HOSTS
+    r = ranked[0]
+    assert set(r.asDict()) == {"host", "out_links", "in_links", "score"}
+
+
+def test_scores_bounded_and_deterministic(spark, ranked):
+    # every host gets at least the teleport base; nobody exceeds total mass
+    total = sum(r["score"] for r in ranked)
+    for r in ranked:
+        assert r["score"] >= PR_BASE
+        assert r["score"] < total
+    # integer fixed-point: a second run is bit-identical
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    again = host_rank(docs).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in ranked]
+
+
+def test_indegree_drives_rank(ranked):
+    # across the synthesized graph, the top-scored host should be among the
+    # most-linked-to hosts (PageRank follows in-link mass on a flat graph)
+    by_score = sorted(ranked, key=lambda r: -r["score"])
+    top_in = sorted(ranked, key=lambda r: -r["in_links"])
+    top_in_hosts = {r["host"] for r in top_in[: max(3, len(ranked) // 4)]}
+    assert by_score[0]["host"] in top_in_hosts
+
+
+def test_edges_distinct_no_self_loops(spark):
+    docs = spark.range(300).select(F.col("id").alias("doc_id"))
+    edges = host_edges(docs)
+    n = edges.count()
+    assert n == edges.distinct().count()
+    assert edges.where(F.col("src") == F.col("dst")).count() == 0
+    assert n <= HOSTS * HOSTS
+
+
+def test_iteration_count_is_static_plan(spark):
+    # PR_ITERS is a compile-time constant: the plan contains no Python loop
+    # state — smoke-check the plan string mentions no more joins than the
+    # unrolled iteration count allows (3 joins per iter + 3 final joins).
+    docs = spark.range(50).select(F.col("id").alias("doc_id"))
+    plan = host_rank(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 3 * PR_ITERS + 4
+    assert PR_SCALE % 2 == 0
