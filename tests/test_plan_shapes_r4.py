@@ -290,3 +290,35 @@ def test_winnowing_overlap_no_hard_hints(docs):
     # broadcast hint anywhere in the logical plan (round-3 judge finding)
     logical = winnowing_overlap(docs)._jdf.queryExecution().logical().toString()
     assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+
+
+def test_readability_zero_shuffle(docs):
+    from pdfextract_spark.functions.textops import readability
+
+    plan = _plan(readability(docs))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_caption_pairs_single_sort_no_extra_shuffle(docs):
+    # caption_pairs is Project + Generate; the only Exchange allowed is the
+    # final orderBy's range partitioning (driver-contract ordering)
+    from pdfextract_spark.functions.multimodal import caption_pairs
+
+    plan = _plan(caption_pairs(documents_to_interleaved_rich(docs)))
+    assert plan.count("Exchange") <= 1, plan[:1200]
+    assert "rangepartitioning" in plan.lower(), plan[:1200]
+
+
+def test_host_rank_no_hard_broadcast_hint(docs):
+    # the per-iteration rank joins must carry no planner-forced broadcast —
+    # AQE picks the strategy from actual sizes (the host universe is tiny
+    # here but the operator must not assume it)
+    from pdfextract_spark.functions.graphops import host_rank
+
+    logical = (
+        host_rank(docs.select("doc_id"))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "ResolvedHint" not in logical, logical[:800]
