@@ -1172,6 +1172,15 @@ def q_text_readability(spark, sf_dir):
     return textops.readability(_t(spark, sf_dir, "documents"))
 
 
+def q_embed_hard_negatives(spark, sf_dir):
+    """ANN-mined hard negatives for contrastive training (ANCE-style): per
+    vector, the most-similar LSH candidate with a different label — composes
+    the scale-adaptive ann_lsh_pairs kernel + a label join + one struct-max
+    groupBy; ties to the smaller neg_id for cross-engine determinism."""
+    return similarity.hard_negatives(_t(spark, sf_dir, "embeddings"))
+
+
+
 def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
@@ -1221,7 +1230,7 @@ def queries() -> Dict[str, Callable]:
         "embed_kmeans": q_embed_kmeans,
         "embed_cluster_sample": q_embed_cluster_sample,
         "embed_cluster_stats": q_embed_cluster_stats,
-        "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
+        "embed_hard_negatives": q_embed_hard_negatives,
         "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
         "web_c4_filters": q_web_c4_filters,
@@ -1244,6 +1253,7 @@ def queries() -> Dict[str, Callable]:
         "text_length_quantiles": q_text_length_quantiles,
         "dedup_components": q_dedup_components,
         "dedup_simhash_neardup": q_dedup_simhash_neardup,
+        "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
         "web_synthesize": q_web_synthesize,
         "web_boilerplate_lines": q_web_boilerplate_lines,
         "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
@@ -1316,6 +1326,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_ngram_jaccard": dedup.sql_ngram_jaccard_pairs(),
         "sim_cosine_topk": similarity.sql_cosine_topk(),
         "sim_ann_lsh": similarity.sql_ann_lsh_pairs(),
+        "embed_hard_negatives": similarity.sql_hard_negatives(),
         "sim_ann_hot_buckets": similarity.sql_ann_oversized_buckets(),
         "sim_ivf_topk": similarity.sql_ivf_topk(),
         "dedup_semantic": similarity.sql_semantic_dedup(),
