@@ -1030,6 +1030,19 @@ WINNOW_K = 3  # k-gram size
 WINNOW_W = 4  # winnowing window (consecutive hashes)
 
 
+def _fanout_docs(documents: DataFrame) -> DataFrame:
+    """Auto fan-out for the expensive in-row winnowing stage: a small corpus
+    arrives as one file = one partition, serializing the O(n*w) per-doc work
+    onto one core. At real scale the scan already has >= cores splits and
+    this is a no-op (same self-disabling rule as operators/extract.py)."""
+    target = documents.sparkSession.sparkContext.defaultParallelism
+    from ..scanutil import estimate_scan_splits
+
+    if estimate_scan_splits(documents) < target:
+        return documents.repartition(target)
+    return documents
+
+
 def winnowing_fingerprints(
     documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
 ) -> DataFrame:
@@ -1037,13 +1050,22 @@ def winnowing_fingerprints(
     0-based k-gram position; short docs with < w hashes winnow their whole
     hash sequence as one window).
 
-    100 TB shape: ZERO shuffle — hashes, window minima, rightmost-tie
+    100 TB shape: zero data-dependent shuffle — hashes, window minima, rightmost-tie
     positions and the in-row distinct are all Column algebra over
     materialized array columns (O(n*w) slice work per doc, the same
     bounded-window trick as exact_substr_removal), and the explode is
-    narrow. The cross-doc census over the selected set is the md5-keyed
+    narrow (the self-disabling _fanout_docs balance keeps the per-doc work
+    parallel when a small corpus scans as one split). The cross-doc census over the selected set is the md5-keyed
     one-groupBy shape shared with duplicate_window_stats — at ~2/(w+1)
     density it moves (w+1)/2 x fewer rows than a full n-gram index."""
+    documents = _fanout_docs(documents)
+    # pre-filter on the cheap token count (equivalent to the former
+    # size(g) > 0 filter: g is non-empty iff n_tokens >= k). Filtering on g
+    # itself is the second plan trap: predicate pushdown substitutes the
+    # whole gram pipeline into the scan Filter, where interpreted HOF
+    # evaluation re-computes the hash array once PER LAMBDA ELEMENT —
+    # O(n^2) md5 calls per row (measured ~10x at sf0.1).
+    documents = documents.filter(F.size(F.split(F.col("text"), " ")) >= k)
     words = F.split(F.col("text"), " ")
     t = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -1084,9 +1106,7 @@ def winnowing_fingerprints(
             ),
         )
     )
-    out = g.filter(F.size(F.col("g")) > 0).select(
-        "doc_id", F.explode(sel).alias("s")
-    )
+    out = g.select("doc_id", F.explode(sel).alias("s"))
     return out.select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
 
 
@@ -1152,8 +1172,25 @@ def winnowing_overlap(
     minima — no (doc_id, fp) distinct shuffle); the hot-fingerprint cut is a
     shuffle anti-join with NO broadcast hint (the above-cap list grows with
     the corpus); posting lists are <= df_cap docs so in-list pairs
-    (<= C(df_cap, 2) per fingerprint) are generated JVM-side. The two size
-    joins move only the pair report, never the corpus."""
+    (<= C(df_cap, 2) per fingerprint) are generated JVM-side. Each side's
+    set size rides on the inverted-index rows into the posting-list structs,
+    so the pair report needs NO join back to a sizes relation.
+
+    Plan trap (measured 20x, round 4): the explode's child must be the
+    fingerprint EXPRESSION, not a projected attribute — explode(attribute)
+    makes InferFiltersFromGenerate emit size(attr)>0, and predicate pushdown
+    then substitutes the whole nested fps/grams/hashes tree into a
+    scan-level interpreted Filter, re-expanding the gram pipeline once per
+    window. Inline generator children are exempt from that rule (same shape
+    as winnowing_fingerprints, 5s vs 106s at sf0.001)."""
+    documents = _fanout_docs(documents)
+    # pre-filter on the cheap token count (equivalent to the former
+    # size(g) > 0 filter: g is non-empty iff n_tokens >= k). Filtering on g
+    # itself is the second plan trap: predicate pushdown substitutes the
+    # whole gram pipeline into the scan Filter, where interpreted HOF
+    # evaluation re-computes the hash array once PER LAMBDA ELEMENT —
+    # O(n^2) md5 calls per row (measured ~10x at sf0.1).
+    documents = documents.filter(F.size(F.split(F.col("text"), " ")) >= k)
     words = F.split(F.col("text"), " ")
     t = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -1185,11 +1222,15 @@ def winnowing_overlap(
             lambda j: F.array_min(F.slice(F.col("g"), j, w)),
         )
     )
-    per_doc = g.filter(F.size(F.col("g")) > 0).select(
-        "doc_id", fps.alias("fps")
+    # explode the EXPRESSION (see plan trap above); n_fp rides along so no
+    # sizes relation needs joining back later
+    inv = g.select(
+        "doc_id",
+        F.size(fps).alias("n_fp"),
+        F.explode(fps).alias("fp"),
     )
-    sizes = per_doc.select("doc_id", F.size("fps").alias("n_fp"))
-    inv = per_doc.select("doc_id", F.explode("fps").alias("fp"))
+    # two consumers (hot census + anti-join probe): materialize once
+    inv = inv.localCheckpoint(eager=False)
     hot = (
         inv.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1199,7 +1240,9 @@ def winnowing_overlap(
     inv = inv.join(hot, "fp", "left_anti")
     per_fp = (
         inv.groupBy("fp")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "n_fp"))).alias("ds")
+        )
         .filter(F.size("ds") >= 2)
     )
     ds = F.col("ds")
@@ -1208,28 +1251,32 @@ def winnowing_overlap(
             ds,
             lambda a, i: F.transform(
                 F.slice(ds, i + 2, F.size(ds)),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    a["n_fp"].alias("n_fp_a"),
+                    b["n_fp"].alias("n_fp_b"),
+                ),
             ),
         )
     )
     shared = (
         per_fp.select(F.explode(pairs_col).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.n_fp_a").alias("n_fp_a"),
+            F.col("p.n_fp_b").alias("n_fp_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
-    return (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("n_fp", "n_fp_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("n_fp", "n_fp_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("n_shared").cast("long").alias("n_shared"),
-            F.expr("(1000 * n_shared) div n_fp_a").cast("int").alias("pm_a"),
-            F.expr("(1000 * n_shared) div n_fp_b").cast("int").alias("pm_b"),
-        )
+    return shared.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.expr("(1000 * n_shared) div n_fp_a").cast("int").alias("pm_a"),
+        F.expr("(1000 * n_shared) div n_fp_b").cast("int").alias("pm_b"),
     )
 
 

@@ -245,7 +245,16 @@ def test_winnowing_guarantee_and_density(spark, docs):
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps["a"] & fps["b"], "shared 6-token run must share a fingerprint"
     plan = _plan(winnowing_fingerprints(docs))
-    assert "Exchange" not in plan, plan[:800]
+    # only the self-disabling balancing repartition may shuffle (small corpus
+    # scans as one split); nothing data-dependent
+    assert plan.count("Exchange") <= 1, plan[:800]
+    if "Exchange" in plan:
+        assert "roundrobin" in plan.lower(), plan[:800]
+    # regression guard (round-4, measured 20x): the selection expression must
+    # appear exactly once — an explode over a projected attribute makes
+    # InferFiltersFromGenerate push the whole nested expression into a
+    # scan-level interpreted Filter, duplicating it
+    assert plan.count("array_distinct") == 1, plan[:1200]
     # density: the selected set is a real shrink of the full gram index
     # (expected ~2/(w+1)=0.4) but never empty per eligible doc
     full = winnowing_fingerprints(docs).groupBy("doc_id").count().collect()
