@@ -685,8 +685,25 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"),
         _shingles(_words(F.col("text"))).alias("grams"),
     )
-    sizes = docs.select("doc_id", F.size("grams").alias("n_grams"))
-    inv = docs.select("doc_id", F.explode("grams").alias("gram"))
+    # explode a cheap struct-wrapper EXPRESSION over the materialized grams
+    # attribute: exploding the attribute directly makes
+    # InferFiltersFromGenerate push size(attr)>0 into the scan Filter with
+    # the whole shingling expression substituted (the winnowing plan trap),
+    # while inlining the shingling expression into the explode would
+    # evaluate it twice per row (measured 2.7x worse here). The wrapper
+    # references only the attribute (computed once — multi-use blocks
+    # projection collapse) and carries n_grams on each row, so no sizes
+    # relation needs joining back later.
+    ga = F.col("grams")
+    inv = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                ga,
+                lambda x: F.struct(x.alias("gram"), F.size(ga).alias("n_grams")),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.gram").alias("gram"), F.col("s.n_grams").alias("n_grams"))
     # inv feeds the df census AND the posting-list grouping, but unlike the
     # signature tables elsewhere in this module (n_docs rows — cheap to
     # localCheckpoint) it is CORPUS-EXPLODED (one row per (doc, gram)):
@@ -713,7 +730,9 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     # and recomputed the shingling of the whole corpus twice
     per_gram = (
         inv.groupBy("gram")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "n_grams"))).alias("ds")
+        )
         .filter(F.size("ds") >= 2)
     )
     ds = F.col("ds")
@@ -722,29 +741,32 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
             ds,
             lambda a, i: F.transform(
                 F.slice(ds, i + 2, F.size(ds)),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    a["n_grams"].alias("na"),
+                    b["n_grams"].alias("nb"),
+                ),
             ),
         )
     )
     shared = (
         per_gram.select(F.explode(pairs_col).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
-    out = (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_MIN)
-    )
+    out = shared.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= JACCARD_MIN)
     return out
 
 

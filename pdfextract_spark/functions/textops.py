@@ -1176,13 +1176,16 @@ def winnowing_overlap(
     set size rides on the inverted-index rows into the posting-list structs,
     so the pair report needs NO join back to a sizes relation.
 
-    Plan trap (measured 20x, round 4): the explode's child must be the
-    fingerprint EXPRESSION, not a projected attribute — explode(attribute)
-    makes InferFiltersFromGenerate emit size(attr)>0, and predicate pushdown
-    then substitutes the whole nested fps/grams/hashes tree into a
-    scan-level interpreted Filter, re-expanding the gram pipeline once per
-    window. Inline generator children are exempt from that rule (same shape
-    as winnowing_fingerprints, 5s vs 106s at sf0.001)."""
+    Plan traps (measured 20x combined, round 4): (1) the explode's child
+    must not be a bare projected attribute — explode(attribute) makes
+    InferFiltersFromGenerate emit size(attr)>0, and predicate pushdown then
+    substitutes the whole nested fps/grams/hashes tree into a scan-level
+    interpreted Filter, re-expanding the gram pipeline once per window; the
+    child here is a cheap struct-wrapper expression over the attribute, so
+    the rule skips it while fps itself is still computed once. (2) no
+    filter may mention g or fps — interpreted HOF evaluation inside a
+    pushed filter recomputes inner arrays once per lambda element; the row
+    gate is the cheap n_tokens >= k pre-filter instead."""
     documents = _fanout_docs(documents)
     # pre-filter on the cheap token count (equivalent to the former
     # size(g) > 0 filter: g is non-empty iff n_tokens >= k). Filtering on g
@@ -1222,13 +1225,20 @@ def winnowing_overlap(
             lambda j: F.array_min(F.slice(F.col("g"), j, w)),
         )
     )
-    # explode the EXPRESSION (see plan trap above); n_fp rides along so no
-    # sizes relation needs joining back later
-    inv = g.select(
+    # explode a cheap struct-wrapper EXPRESSION over the materialized fps
+    # attribute (see plan trap above; the wrapper references only the
+    # attribute, so fps is computed once and no filter is inferred); n_fp
+    # rides along so no sizes relation needs joining back later
+    pd_ = g.select("doc_id", fps.alias("fps"))
+    fa = F.col("fps")
+    inv = pd_.select(
         "doc_id",
-        F.size(fps).alias("n_fp"),
-        F.explode(fps).alias("fp"),
-    )
+        F.explode(
+            F.transform(
+                fa, lambda x: F.struct(x.alias("fp"), F.size(fa).alias("n_fp"))
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.fp").alias("fp"), F.col("s.n_fp").alias("n_fp"))
     # two consumers (hot census + anti-join probe): materialize once
     inv = inv.localCheckpoint(eager=False)
     hot = (
