@@ -10,7 +10,8 @@
 The C4/Gopher/CCNet-style recipe, stage order: encoding hygiene
 (ftfy-lite mojibake repair + dead-bytes gate) + badword blocklist gate ->
 corpus-wide boilerplate-line strip -> PII redaction -> quality gates ->
-unigram-LM perplexity gate -> exact-dedup keeper selection ->
+unigram-LM perplexity gate -> readability floor (opt-in) ->
+exact-dedup keeper selection ->
 deterministic hash sample -> optional sequence packing.
 
 Scale discipline: every per-document stage is computed as a FLAG or
@@ -49,6 +50,14 @@ def main() -> None:
         default=None,
         help="unigram-LM perplexity gate in 1/16-bit mean-surprisal units "
         "(default: textops.PPX_GATE_Q4); 0 disables the stage",
+    )
+    ap.add_argument(
+        "--read-floor",
+        type=int,
+        default=0,
+        help="readability floor in Flesch milli-units: docs with "
+        "flesch_milli below this are flagged (e.g. -100000 drops only "
+        "gibberish-grade extremes); 0 disables the stage (default)",
     )
     args = ap.parse_args()
 
@@ -161,6 +170,29 @@ def main() -> None:
     else:
         df = df.withColumn("ppx_flag", F.lit(False))
 
+    # -- stage 3c: readability floor (opt-in; Flesch milli-units, the same
+    # integer kernel as the text_readability query). Pure Column algebra on
+    # the post-strip text — a flag in the SAME projection, zero shuffle. ----
+    if args.read_floor != 0:
+        rw, rs, ry = textops.readability_counts(F.col("text"))
+        df = (
+            df.withColumn("_rw", rw.cast("long"))
+            .withColumn("_rs", rs.cast("long"))
+            .withColumn("_ry", ry.cast("long"))
+            .withColumn(
+                "read_flag",
+                (
+                    F.lit(206_835)
+                    - F.expr("1015 * _rw div _rs")
+                    - F.expr("84600 * _ry div _rw")
+                )
+                < args.read_floor,
+            )
+            .drop("_rw", "_rs", "_ry")
+        )
+    else:
+        df = df.withColumn("read_flag", F.lit(False))
+
     # -- stage 4: exact-dedup keeper (one shuffle on the content hash) ------
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     df = df.withColumn("is_keeper", F.row_number().over(w) == 1)
@@ -175,6 +207,7 @@ def main() -> None:
         & ~F.col("has_badword")
         & F.col("ok_quality")
         & ~F.col("ppx_flag")
+        & ~F.col("read_flag")
         & F.col("is_keeper")
         & F.col("sampled"),
     )
@@ -188,6 +221,7 @@ def main() -> None:
         F.sum(F.when(F.col("has_badword"), 1).otherwise(0)).alias("dropped_badword"),
         F.sum(F.when(~F.col("ok_quality"), 1).otherwise(0)).alias("dropped_quality"),
         F.sum(F.when(F.col("ppx_flag"), 1).otherwise(0)).alias("dropped_perplexity"),
+        F.sum(F.when(F.col("read_flag"), 1).otherwise(0)).alias("dropped_readability"),
         F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0)).alias("dropped_dups"),
         F.sum(F.when(~F.col("sampled"), 1).otherwise(0)).alias("dropped_sample"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("docs_out"),
@@ -218,7 +252,9 @@ def main() -> None:
         "dropped_badword": int(m.dropped_badword or 0),
         "dropped_quality": int(m.dropped_quality or 0),
         "dropped_perplexity": int(m.dropped_perplexity or 0),
+        "dropped_readability": int(m.dropped_readability or 0),
         "ppx_gate": ppx_gate,
+        "read_floor": args.read_floor,
         "dropped_dups": int(m.dropped_dups or 0),
         "dropped_sample": int(m.dropped_sample or 0),
         "packed": bool(args.pack_budget > 0),

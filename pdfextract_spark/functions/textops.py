@@ -13,7 +13,9 @@ section comment at the bottom of the file).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from typing import Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .hashing import P31
 
@@ -1336,6 +1338,23 @@ READ_EASY_MILLI = 60_000    # >= 60.0 -> 'easy' (plain English)
 READ_MEDIUM_MILLI = 30_000  # >= 30.0 -> 'medium', below -> 'hard'
 
 
+def readability_counts(text: Column) -> Tuple[Column, Column, Column]:
+    """(n_words, n_sentences, n_syllables) Columns for a text Column — the
+    shared kernel for the readability query and the hygiene-job gate."""
+    words = F.greatest(F.lit(1), F.size(F.split(text, " ")))
+    # sentences = terminal-punctuation count, floored at 1
+    sentences = F.greatest(
+        F.lit(1),
+        F.length(text) - F.length(F.regexp_replace(text, r"[.!?]", "")),
+    )
+    # syllable proxy: vowel-group count, floored at 1
+    syllables = F.greatest(
+        F.lit(1),
+        F.size(F.split(F.lower(text), "[aeiou]+")) - 1,
+    )
+    return words, sentences, syllables
+
+
 def readability(documents: DataFrame) -> DataFrame:
     """(doc_id, n_words, n_sentences, n_syllables, flesch_milli, band) —
     integer fixed-point Flesch reading ease per document.
@@ -1343,18 +1362,7 @@ def readability(documents: DataFrame) -> DataFrame:
     100 TB shape: ONE narrow Project, zero shuffle, zero Python — counts
     come from split/regexp Column algebra, the score from integer div.
     """
-    words = F.greatest(F.lit(1), F.size(F.split(F.col("text"), " ")))
-    # sentences = terminal-punctuation count, floored at 1
-    sentences = F.greatest(
-        F.lit(1),
-        F.length(F.col("text"))
-        - F.length(F.regexp_replace(F.col("text"), r"[.!?]", "")),
-    )
-    # syllable proxy: vowel-group count, floored at 1
-    syllables = F.greatest(
-        F.lit(1),
-        F.size(F.split(F.lower(F.col("text")), "[aeiou]+")) - 1,
-    )
+    words, sentences, syllables = readability_counts(F.col("text"))
     flesch = (
         F.lit(206_835)
         - F.expr("1015 * n_words div n_sentences")

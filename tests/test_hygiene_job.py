@@ -157,3 +157,42 @@ def test_hygiene_job_encoding_and_badword_gates(tmp_path):
     )
     assert "2" not in kept and "3" not in kept
     assert kept["1"].endswith("it’s the café")  # mojibake repaired in output
+
+
+def test_hygiene_job_readability_floor(tmp_path):
+    """With --read-floor set, a syllable-dense run-on doc (40 words of
+    alternating vowel-consonant pairs, no sentence break: the words/sentence
+    and syllables/word terms both explode, driving Flesch far below any
+    real prose) is flagged and counted; the default floor of 0 keeps the
+    stage off."""
+    src = str(tmp_path / "in.parquet")
+    con = duckdb.connect()
+    # normal short-sentence docs score well above zero; the consonant wall
+    # has ~1 syllable group per 40-char word -> huge words/sentence term
+    con.sql(
+        "COPY (SELECT i AS doc_id, "
+        "  'the cat sat on the mat. a dog ran by. all is well v' || i AS text "
+        "FROM range(50) t(i) "
+        "UNION ALL SELECT 999, 'the ' || list_aggr(list_transform(range(40), "
+        "  j -> repeat('ab', 10) || j), 'string_agg', ' ')"
+        f") TO '{src}' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "hyg")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "hygiene_job.py"),
+            "--input", src, "--output", out,
+            "--read-floor", "-100000", "--ppx-gate", "0",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    assert metrics["read_floor"] == -100000
+    assert metrics["dropped_readability"] == 1
+    kept = {
+        r[0]
+        for r in con.sql(f"SELECT doc_id FROM '{out}/clean/*.parquet'").fetchall()
+    }
+    assert "999" not in kept and "0" in kept
