@@ -170,3 +170,65 @@ LEFT JOIN indeg i ON h.host = i.dst
 JOIN r{PR_ITERS} r ON h.host = r.host
 ORDER BY h.host
 """
+
+
+# ------------------------------------------------- rank-weighted sampling
+# The reason a crawl pipeline ranks hosts: downstream sampling weights.
+# Every document keeps with probability proportional to its host's
+# PageRank share (Common Crawl-style authority-weighted subsetting), via
+# the repo's standard deterministic md5 coin — reproducible, nested
+# subsets under threshold changes, no rand().
+
+RANK_COIN_MOD = 1000  # per-mille coin resolution
+
+
+def rank_weighted_sample(documents: DataFrame) -> DataFrame:
+    """(doc_id, host, keep_permille, sampled) — deterministic sampling
+    weighted by the document host's PageRank: keep_permille =
+    (1000 * score) div max_score, coin = md5('rs|'doc_id) per-mille.
+
+    100 TB shape: host_rank's output is host-cardinality (tiny vs docs);
+    joining it onto the corpus is ONE shuffle join keyed on host (no
+    broadcast hint — host universes grow; AQE broadcasts when it fits).
+    The max-score normalizer is a 1-row aggregate cross-joined in. The
+    coin is pure Column algebra — no rand(), rerun-stable."""
+    doc = F.col("doc_id").cast("string")
+    docs = documents.select(doc.alias("doc_id"), _host_of(doc).alias("host"))
+    ranks = host_rank(documents).select("host", "score")
+    max_score = ranks.agg(F.max("score").alias("max_score"))
+    coin = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("rs|"), F.col("doc_id"))), 1, 4), 16, 10)
+        .cast("long")
+        % RANK_COIN_MOD
+    )
+    out = (
+        docs.join(ranks, "host", "left")
+        .crossJoin(max_score)
+        .select(
+            "doc_id",
+            "host",
+            F.expr(f"({RANK_COIN_MOD} * coalesce(score, 0)) div max_score")
+            .cast("int")
+            .alias("keep_permille"),
+        )
+    )
+    return out.select("*", (coin < F.col("keep_permille")).alias("sampled"))
+
+
+def sql_rank_weighted_sample(table: str = "documents") -> str:
+    """DuckDB mirror: the host_rank mirror joined back onto the corpus with
+    the same integer per-mille threshold and md5 coin."""
+    host_src = f"'h' || CAST((('0x' || substr(md5('hs|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % {HOSTS}) AS VARCHAR)"
+    return f"""
+WITH ranks AS ({sql_host_rank(table)}),
+mx AS (SELECT MAX(score) AS max_score FROM ranks),
+docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {host_src} AS host FROM {table}
+)
+SELECT d.doc_id, d.host,
+       CAST(({RANK_COIN_MOD} * COALESCE(r.score, 0)) // mx.max_score AS INT)
+         AS keep_permille,
+       ((('0x' || substr(md5('rs|' || d.doc_id), 1, 4))::BIGINT % {RANK_COIN_MOD})
+        < ({RANK_COIN_MOD} * COALESCE(r.score, 0)) // mx.max_score) AS sampled
+FROM docs d LEFT JOIN ranks r ON d.host = r.host, mx
+"""

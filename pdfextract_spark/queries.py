@@ -1181,6 +1181,15 @@ def q_embed_hard_negatives(spark, sf_dir):
 
 
 
+def q_corpus_rank_sample(spark, sf_dir):
+    """Authority-weighted corpus sampling: every document keeps with
+    probability proportional to its host's PageRank share (keep_permille =
+    1000*score div max_score, deterministic md5 coin) — the composition
+    that makes graph_host_rank feed curation, one shuffle join on host."""
+    return graphops.rank_weighted_sample(_t(spark, sf_dir, "documents"))
+
+
+
 def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
@@ -1214,6 +1223,7 @@ def queries() -> Dict[str, Callable]:
         "web_url_dedup": q_web_url_dedup,
         "web_url_dedup_params": q_web_url_dedup_params,
         "graph_host_rank": q_graph_host_rank,
+        "corpus_rank_sample": q_corpus_rank_sample,
         "multimodal_image_filters": q_multimodal_image_filters,
         "multimodal_phash_neardup": q_multimodal_phash_neardup,
         "multimodal_dedup_apply": q_multimodal_dedup_apply,
@@ -1231,7 +1241,6 @@ def queries() -> Dict[str, Callable]:
         "embed_cluster_sample": q_embed_cluster_sample,
         "embed_cluster_stats": q_embed_cluster_stats,
         "embed_hard_negatives": q_embed_hard_negatives,
-        "bpe_train_merges": q_bpe_train_merges,
         "text_bpe_encode": q_text_bpe_encode,
         "web_c4_filters": q_web_c4_filters,
         "corpus_mixture_sample": q_corpus_mixture_sample,
@@ -1254,6 +1263,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_components": q_dedup_components,
         "dedup_simhash_neardup": q_dedup_simhash_neardup,
         "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
+        "bpe_train_merges": q_bpe_train_merges,
         "web_synthesize": q_web_synthesize,
         "web_boilerplate_lines": q_web_boilerplate_lines,
         "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
@@ -1348,6 +1358,7 @@ def oracle_sql() -> Dict[str, str]:
         "multimodal_dedup_apply": multimodal.sql_media_dedup_apply(),
         "multimodal_caption_pairs": multimodal.sql_caption_pairs(),
         "graph_host_rank": graphops.sql_host_rank(),
+        "corpus_rank_sample": graphops.sql_rank_weighted_sample(),
         "text_readability": textops.sql_readability(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
         "corpus_epoch_shuffle": webclean.sql_epoch_shuffle(epoch=1),

@@ -67,3 +67,27 @@ def test_iteration_count_is_static_plan(spark):
     plan = host_rank(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 3 * PR_ITERS + 4
     assert PR_SCALE % 2 == 0
+
+
+def test_rank_weighted_sample(spark):
+    from pyspark.sql import functions as F
+
+    from pdfextract_spark.functions.graphops import rank_weighted_sample
+
+    docs = spark.range(400).select(F.col("id").alias("doc_id"))
+    rows = rank_weighted_sample(docs).collect()
+    assert len(rows) == 400
+    by_host = {}
+    for r in rows:
+        assert 0 <= r["keep_permille"] <= 1000
+        by_host.setdefault(r["host"], []).append(r)
+    # the max-score host has keep_permille == 1000 -> every doc kept
+    top = max(rows, key=lambda r: r["keep_permille"])
+    assert top["keep_permille"] == 1000
+    assert all(r["sampled"] for r in by_host[top["host"]])
+    # weighting is real: the kept fraction tracks keep_permille per host
+    kept = sum(1 for r in rows if r["sampled"])
+    assert 0 < kept < 400
+    # deterministic rerun
+    again = rank_weighted_sample(docs).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
