@@ -939,7 +939,7 @@ FROM survivors
 MIN_CAPTION_WORDS = 3
 
 
-def caption_pairs(interleaved: DataFrame) -> DataFrame:
+def caption_pairs(interleaved: DataFrame, ordered: bool = True) -> DataFrame:
     """(doc_id, media_ref, media_offset, caption_side, caption_dist,
     caption, pair_ok) — one row per media span in the interleaved corpus,
     paired with its nearest text span.
@@ -990,8 +990,10 @@ def caption_pairs(interleaved: DataFrame) -> DataFrame:
 
     out = interleaved.select(
         "doc_id", F.explode(F.transform(media, pair)).alias("p")
-    )
-    return out.select("doc_id", "p.*").orderBy("doc_id", "media_offset")
+    ).select("doc_id", "p.*")
+    # ordered=False for the streaming surface (sorts are unsupported in
+    # append streams; the batch oracle contract wants the stable order)
+    return out.orderBy("doc_id", "media_offset") if ordered else out
 
 
 def sql_caption_pairs(table: str = "documents", w: int = 8) -> str:

@@ -116,3 +116,43 @@ def start_chunk_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def caption_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming caption-pair mining over arriving interleaved docs.
+
+    functions/multimodal.caption_pairs is per-document Column algebra (the
+    nearest-text lookup never leaves the row's spans array), so the
+    streaming plan IS the batch plan minus the batch contract's ordering
+    sort (unsupported in append streams; pair content is identical)."""
+    from ..functions.multimodal import caption_pairs
+
+    reader = spark.readStream.format("parquet").schema(SPAN_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return caption_pairs(reader.load(input_dir), ordered=False)
+
+
+def start_caption_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Start (or drain, with available_now) the caption-pair stream into a
+    parquet sink."""
+    writer = (
+        caption_stream(spark, input_dir)
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -83,3 +83,37 @@ def test_chunk_stream_matches_batch(spark, spans_dir, tmp_path):
     q2 = start_chunk_stream(spark, spans_dir, out, ckpt)
     q2.awaitTermination(60)
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_caption_stream_matches_batch(spark, spans_dir, tmp_path):
+    from pdfextract_spark.functions.multimodal import caption_pairs
+    from pdfextract_spark.streaming.interleave_stream import start_caption_stream
+
+    out = str(tmp_path / "capout")
+    ckpt = str(tmp_path / "capckpt")
+    q = start_caption_stream(spark, spans_dir, out, ckpt)
+    q.awaitTermination(120)
+
+    key = lambda r: (r.doc_id, r.media_ref)
+    got = {key(r): r for r in spark.read.parquet(out).collect()}
+    want = {
+        key(r): r
+        for r in caption_pairs(spark.read.parquet(spans_dir)).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k in want:
+        g, w = got[k], want[k]
+        assert (
+            g.media_offset, g.caption_side, g.caption_dist, g.caption, g.pair_ok
+        ) == (
+            w.media_offset, w.caption_side, w.caption_dist, w.caption, w.pair_ok
+        )
+    # both caption sides occur in-stream under the rich schedule
+    sides = {r.caption_side for r in got.values()}
+    assert "prev" in sides and "next" in sides
+
+    # exactly-once: draining again with the same checkpoint adds nothing
+    n = spark.read.parquet(out).count()
+    q2 = start_caption_stream(spark, spans_dir, out, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == n
