@@ -1152,3 +1152,128 @@ SELECT b.doc_id, b.fingerprint,
             ELSE 'dup_in_batch' END AS status
 FROM bat b LEFT JOIN hist_fps h USING (fingerprint)
 """
+
+
+# ------------------------------------------- content-defined chunk dedup
+# Storage-style dedup for crawl snapshots: boundaries are placed where a
+# per-token hash hits 0 mod CDC_DIVISOR, so an insertion shifts only the
+# chunk it lands in — unlike fixed-width windows, identical passages hash
+# to identical chunks at ANY offset (the FastCDC/LBFS property, applied to
+# token streams). The census then measures how much of the corpus is
+# redundant at chunk grain and picks a keeper per chunk.
+
+CDC_DIVISOR = 8    # expected chunk length ~CDC_DIVISOR tokens
+CDC_MIN_OCC = 2    # the report lists chunks seen at least twice
+
+
+def cdc_chunk_dedup(documents: DataFrame, divisor: int = CDC_DIVISOR) -> DataFrame:
+    """(chunk_hash, n_occurrences, n_docs, chunk_chars, keeper_doc) — the
+    content-defined chunk census over the corpus, duplicated chunks only.
+
+    100 TB shape: boundary detection and chunk assembly are in-row Column
+    algebra over materialized token/hash attributes (no filter ever touches
+    a derived array — the generator plan traps in PLANS.md); the census is
+    ONE groupBy on the fixed-width chunk hash with map-side combine;
+    keeper = min(doc_id), no window sort."""
+    # cheap pre-filter: at least one token (row gates must not mention
+    # derived arrays)
+    docs = documents.filter(F.length("text") > 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+
+    # 60-bit md5 prefix mod P31, applied PER ELEMENT inside the boundary
+    # filter. A materialized hash-array attribute would be single-use, so
+    # CollapseProject inlines it into the filter lambda, where interpreted
+    # HOF evaluation recomputes the WHOLE array once per element — the
+    # O(n^2) trap from PLANS.md. Hashing element_at(toks, i) directly keeps
+    # the filter O(n): one md5 per position.
+    def _tok_hash(x):
+        return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long") % P31
+
+    n = F.size(F.col("toks"))
+    # chunk ENDS: every position whose token hash = 0 mod divisor, plus n
+    ends = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (_tok_hash(F.element_at(F.col("toks"), i)) % divisor == 0)
+        | (i == n),
+    )
+    b = docs.select("doc_id", "toks", ends.alias("ends"))
+
+    # previous chunk end for the 0-based transform index j: ends[j-1]
+    # (1-based element_at(ends, j)), 0 before the first boundary. CaseWhen
+    # evaluates lazily, so element_at never sees index 0.
+    def _prev(j):
+        return F.when(j > F.lit(0), F.element_at(F.col("ends"), j)).otherwise(
+            F.lit(0)
+        )
+
+    # chunk TEXTS materialized once (md5 + length both read the exploded
+    # scalar, not a re-sliced array — the double-evaluation plan trap)
+    texts = F.transform(
+        F.col("ends"),
+        lambda e, j: F.array_join(
+            F.slice(F.col("toks"), _prev(j) + 1, e - _prev(j)), " "
+        ),
+    )
+    c = b.select("doc_id", texts.alias("chunk_texts"))
+    # explode a cheap struct-wrapper EXPRESSION over the materialized
+    # attribute (bare explode(attribute) makes InferFiltersFromGenerate
+    # push the whole slice/join tree into a scan-level Filter — PLANS.md)
+    ca = F.col("chunk_texts")
+    occ = c.select(
+        "doc_id",
+        F.explode(F.transform(ca, lambda x: F.struct(x.alias("ct")))).alias("s"),
+    ).select(
+        "doc_id",
+        F.md5(F.col("s.ct")).alias("chunk_hash"),
+        F.length(F.col("s.ct")).alias("chunk_chars"),
+    )
+    return (
+        occ.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("chunk_chars").cast("long").alias("chunk_chars"),
+            F.min(F.col("doc_id").cast("long")).cast("long").alias("keeper_doc"),
+        )
+        .filter(F.col("n_occurrences") >= CDC_MIN_OCC)
+        .orderBy("chunk_hash")
+    )
+
+
+def sql_cdc_chunk_dedup(table: str = "documents", divisor: int = CDC_DIVISOR) -> str:
+    """DuckDB mirror: same token hashes, boundary rule, and census."""
+    wh = f"(('0x' || substr(md5(x), 1, 15))::BIGINT % {P31})"
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS ws,
+         list_transform(string_split(text, ' '), x -> {wh}) AS hs
+  FROM {table} WHERE len(text) > 0
+),
+b AS (
+  SELECT doc_id, ws,
+         list_filter(range(1, len(ws) + 1),
+                     i -> (hs[i] % {divisor} = 0) OR (i = len(ws))) AS ends
+  FROM d
+),
+occ AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_slice(ws, COALESCE(ends[j - 1], 0) + 1, ends[j]), ' '))
+           AS chunk_hash,
+         len(array_to_string(
+           list_slice(ws, COALESCE(ends[j - 1], 0) + 1, ends[j]), ' '))
+           AS chunk_chars
+  FROM b, unnest(range(1, len(ends) + 1)) AS u(j)
+)
+SELECT chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(chunk_chars) AS BIGINT) AS chunk_chars,
+       CAST(MIN(CAST(doc_id AS BIGINT)) AS BIGINT) AS keeper_doc
+FROM occ
+GROUP BY chunk_hash
+HAVING COUNT(*) >= {CDC_MIN_OCC}
+ORDER BY chunk_hash
+"""

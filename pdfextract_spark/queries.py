@@ -1190,6 +1190,14 @@ def q_corpus_rank_sample(spark, sf_dir):
 
 
 
+def q_dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunk dedup census (FastCDC/LBFS boundaries applied
+    to token streams): hash-gated chunk boundaries make identical passages
+    hash to identical chunks at ANY document offset, unlike fixed windows.
+    In-row Column algebra for boundary+chunk assembly, ONE groupBy census."""
+    return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
@@ -1234,6 +1242,7 @@ def queries() -> Dict[str, Callable]:
         "web_paragraph_dedup": q_web_paragraph_dedup,
         "dedup_window_stats": q_dedup_window_stats,
         "dedup_substr_removal": q_dedup_substr_removal,
+        "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "multimodal_interleave": q_multimodal_interleave,
         "multimodal_pack": q_multimodal_pack,
         "multimodal_media_dedup": q_multimodal_media_dedup,
@@ -1323,6 +1332,7 @@ def oracle_sql() -> Dict[str, str]:
         "web_paragraph_dedup": webclean.sql_paragraph_dedup(),
         "dedup_window_stats": dedup.sql_duplicate_window_stats(),
         "dedup_substr_removal": dedup.sql_exact_substr_removal(),
+        "dedup_cdc_chunks": dedup.sql_cdc_chunk_dedup(),
         "embed_kmeans": clustering.sql_kmeans_assign(),
         "embed_cluster_sample": clustering.sql_cluster_sample(),
         "embed_cluster_stats": clustering.sql_cluster_stats(),
