@@ -33,6 +33,7 @@ from .functions import (
     htmlops,
     multimodal,
     packing,
+    retrieval,
     similarity,
     textops,
     webclean,
@@ -1190,6 +1191,14 @@ def q_corpus_rank_sample(spark, sf_dir):
 
 
 
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (corpus mining / targeted curation): queries
+    derived deterministically from the mid-frequency vocabulary head;
+    integer fixed-point scoring (milli tf-saturation, shared s16 idf);
+    salted TWO-STAGE top-k so no reducer sees a whole query's candidates."""
+    return retrieval.bm25_topk(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_cdc_chunks(spark, sf_dir):
     """Content-defined chunk dedup census (FastCDC/LBFS boundaries applied
     to token streams): hash-gated chunk boundaries make identical passages
@@ -1243,6 +1252,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_window_stats": q_dedup_window_stats,
         "dedup_substr_removal": q_dedup_substr_removal,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
+        "text_bm25_topk": q_text_bm25_topk,
         "multimodal_interleave": q_multimodal_interleave,
         "multimodal_pack": q_multimodal_pack,
         "multimodal_media_dedup": q_multimodal_media_dedup,
@@ -1333,6 +1343,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_window_stats": dedup.sql_duplicate_window_stats(),
         "dedup_substr_removal": dedup.sql_exact_substr_removal(),
         "dedup_cdc_chunks": dedup.sql_cdc_chunk_dedup(),
+        "text_bm25_topk": retrieval.sql_bm25_topk(),
         "embed_kmeans": clustering.sql_kmeans_assign(),
         "embed_cluster_sample": clustering.sql_cluster_sample(),
         "embed_cluster_stats": clustering.sql_cluster_stats(),

@@ -77,6 +77,9 @@ SINGLE_PARTITION_WINDOW_ALLOWED = {
     # mean_surprisal_q4 score domain (|distinct q4 scores| <= a few
     # thousand — bounded by the 1/16-bit log2 range, not corpus size)
     "textops.py": 2,
+    # bm25_topk: query-term ranking over the orderBy().limit(NQ*TPQ)
+    # result — a constant-size frame, not corpus-scaled
+    "retrieval.py": 1,
 }
 
 
@@ -124,6 +127,9 @@ BROADCAST_ALLOWED = {
     # DSIR hashed-bigram censuses (both <= DSIR_BUCKETS rows by
     # construction — the hash space IS the cap)
     "textops.py": 3,
+    # bm25: 1-row corpus stats (x2) + the limit(NQ*TPQ) query-term frame —
+    # all constant-size by construction
+    "retrieval.py": 3,
 }
 
 
