@@ -274,3 +274,153 @@ def sql_curation_packed(
     return packing.sql_pack_sequences(
         f"({sql_curation_kept(table, min_df, cap, sample_pct)})"
     )
+
+
+# ----------------------------------------------- leakage-safe corpus split
+# Train/val/test splitting for training corpora: a deterministic md5 coin
+# keyed on the NEAR-DUP GROUP (the connected-component representative from
+# the MinHash-LSH pair graph), not on the document — so near-duplicates can
+# never straddle a split boundary and leak training text into eval sets.
+# The audit relation proves it: cross-split near-dup pairs are 0 BY
+# CONSTRUCTION under group keying, and the naive doc-keyed counterfactual
+# count shows exactly how many leaking pairs that keying would have let
+# through on this corpus.
+
+SPLIT_TRAIN_PM = 980  # [0, 980) train
+SPLIT_VAL_PM = 990    # [980, 990) val; [990, 1000) test
+
+
+def _split_of(key_col: F.Column) -> F.Column:
+    pm = (
+        F.conv(F.substring(F.md5(key_col), 1, 15), 16, 10).cast("long") % 1000
+    )
+    return (
+        F.when(pm < SPLIT_TRAIN_PM, F.lit("train"))
+        .when(pm < SPLIT_VAL_PM, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _group_assignments(documents: DataFrame):
+    """(assign, pairs): the per-doc (doc_id, group_key, split) relation and
+    the checkpointed pair graph it derives from (shared by the audit so the
+    LSH mining plan runs once, not twice)."""
+    from . import dedup
+
+    pairs = dedup.lsh_candidate_pairs(documents).localCheckpoint(eager=False)
+    reps = dedup.connected_components(pairs)
+    docs = documents.select(F.col("doc_id").cast("string").alias("doc_id"))
+    assign = docs.join(reps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("rep"), F.col("doc_id")).alias("group_key"),
+    )
+    return assign.withColumn("split", _split_of(F.col("group_key"))), pairs
+
+
+def leakage_safe_split(documents: DataFrame) -> DataFrame:
+    """(doc_id, group_key, split) — every document assigned to
+    train/val/test by an md5 per-mille coin on its near-dup group key.
+
+    100 TB shape: the pair graph + CC keeper are the existing bounded
+    dedup kernels; the only new work is ONE left join of the component
+    reps onto the corpus and a narrow hash Project — no window, no sort."""
+    assign, _ = _group_assignments(documents)
+    return assign
+
+
+def split_leakage_audit(documents: DataFrame) -> DataFrame:
+    """(metric, value): per-split doc counts, near-dup group count,
+    cross-split near-dup pairs under group keying (0 by construction —
+    both pair endpoints share a component, hence a group, hence a split),
+    and the doc-keyed counterfactual (the leakage a naive per-doc coin
+    would have caused). The counterfactual needs NO join: both endpoint
+    splits are in-row hashes of the pair columns."""
+    assign, pairs = _group_assignments(documents)
+    assign = assign.localCheckpoint(eager=False)  # feeds counts + two joins
+
+    by_split = assign.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("value")
+    ).select(F.concat(F.lit("docs_"), F.col("split")).alias("metric"), "value")
+
+    groups = (
+        assign.filter(F.col("group_key") != F.col("doc_id"))
+        .agg(F.countDistinct("group_key").cast("long").alias("value"))
+        .select(F.lit("near_dup_groups").alias("metric"), "value")
+    )
+
+    a = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    b = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    cross = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("split_a") != F.col("split_b"), 1)), F.lit(0)
+            ).cast("long").alias("value")
+        )
+        .select(F.lit("cross_split_pairs").alias("metric"), "value")
+    )
+
+    naive = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    _split_of(F.col("doc_a")) != _split_of(F.col("doc_b")), 1
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("value")
+    ).select(F.lit("cross_split_pairs_naive").alias("metric"), "value")
+
+    return by_split.unionByName(groups).unionByName(cross).unionByName(naive)
+
+
+def _sql_split_case(key: str) -> str:
+    pm = f"(('0x' || substr(md5({key}), 1, 15))::BIGINT % 1000)"
+    return (
+        f"CASE WHEN {pm} < {SPLIT_TRAIN_PM} THEN 'train' "
+        f"WHEN {pm} < {SPLIT_VAL_PM} THEN 'val' ELSE 'test' END"
+    )
+
+
+def _sql_assign(table: str) -> str:
+    from . import dedup
+
+    cc = dedup.sql_connected_components(dedup.sql_lsh_candidate_pairs(table))
+    return f"""
+cc AS ({cc}),
+docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM {table}),
+assign AS (
+  SELECT doc_id, group_key, {_sql_split_case('group_key')} AS split
+  FROM (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS group_key
+        FROM docs d LEFT JOIN cc c USING (doc_id))
+)"""
+
+
+def sql_leakage_safe_split(table: str = "documents") -> str:
+    return f"WITH {_sql_assign(table)} SELECT doc_id, group_key, split FROM assign"
+
+
+def sql_split_leakage_audit(table: str = "documents") -> str:
+    from . import dedup
+
+    pairs = dedup.sql_lsh_candidate_pairs(table)
+    return f"""
+WITH {_sql_assign(table)},
+pairs AS ({pairs})
+SELECT 'docs_' || split AS metric, COUNT(*)::BIGINT AS value
+FROM assign GROUP BY split
+UNION ALL
+SELECT 'near_dup_groups', COUNT(DISTINCT group_key)::BIGINT
+FROM assign WHERE group_key <> doc_id
+UNION ALL
+SELECT 'cross_split_pairs',
+       COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 END), 0)::BIGINT
+FROM pairs p JOIN assign a ON p.doc_a = a.doc_id
+             JOIN assign b ON p.doc_b = b.doc_id
+UNION ALL
+SELECT 'cross_split_pairs_naive',
+       COALESCE(SUM(CASE WHEN {_sql_split_case('p.doc_a')}
+                          <> {_sql_split_case('p.doc_b')} THEN 1 END), 0)::BIGINT
+FROM pairs p
+"""

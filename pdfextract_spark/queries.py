@@ -1199,6 +1199,21 @@ def q_text_bm25_topk(spark, sf_dir):
     return retrieval.bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_split_assign(spark, sf_dir):
+    """Leakage-safe train/val/test split: md5 per-mille coin keyed on the
+    near-dup GROUP (MinHash-LSH pairs -> CC representative), so duplicates
+    never straddle a split boundary. One left join + narrow hash Project
+    on top of the existing dedup kernels."""
+    return curation.leakage_safe_split(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_split_audit(spark, sf_dir):
+    """Split-leakage audit: cross-split near-dup pairs under group keying
+    (0 by construction) vs the naive doc-keyed counterfactual, plus
+    per-split doc counts and the near-dup group census."""
+    return curation.split_leakage_audit(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_cdc_chunks(spark, sf_dir):
     """Content-defined chunk dedup census (FastCDC/LBFS boundaries applied
     to token streams): hash-gated chunk boundaries make identical passages
@@ -1253,6 +1268,8 @@ def queries() -> Dict[str, Callable]:
         "dedup_substr_removal": q_dedup_substr_removal,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "text_bm25_topk": q_text_bm25_topk,
+        "corpus_split_assign": q_corpus_split_assign,
+        "corpus_split_audit": q_corpus_split_audit,
         "multimodal_interleave": q_multimodal_interleave,
         "multimodal_pack": q_multimodal_pack,
         "multimodal_media_dedup": q_multimodal_media_dedup,
@@ -1344,6 +1361,8 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_substr_removal": dedup.sql_exact_substr_removal(),
         "dedup_cdc_chunks": dedup.sql_cdc_chunk_dedup(),
         "text_bm25_topk": retrieval.sql_bm25_topk(),
+        "corpus_split_assign": curation.sql_leakage_safe_split(),
+        "corpus_split_audit": curation.sql_split_leakage_audit(),
         "embed_kmeans": clustering.sql_kmeans_assign(),
         "embed_cluster_sample": clustering.sql_cluster_sample(),
         "embed_cluster_stats": clustering.sql_cluster_stats(),
