@@ -142,3 +142,164 @@ SELECT s.doc_id,
 FROM split s LEFT JOIN hits h ON s.doc_id = h.doc_id
 WHERE s.role = 'train' ORDER BY s.doc_id
 """
+
+
+# ------------------------------- perturbation-robust (fuzzy) decontamination
+# The exact n-gram pass above misses contamination that was lightly edited
+# (reformatting, tokenizer drift, paraphrase tools): swap ONE token per 7
+# and every 8-gram is broken. The fuzzy pass counts shared 3-gram SHINGLES
+# against the benchmark shingle set instead — a deterministic containment
+# signal that survives sparse edits (4/7 of shingles outlive a period-7
+# perturbation). Same 100 TB shape as the exact pass: the benchmark shingle
+# set is bounded by the benchmark's nature and broadcast; the corpus is
+# never shuffled; per-doc counts aggregate on doc_id for hit docs only.
+
+FUZZY_N = 3           # shingle width (< perturbation period, so some survive)
+FUZZY_MIN_SHARED = 6  # shared-shingle floor for the contaminated flag
+PERTURB_MOD = 7       # one swapped token per 7 — every exact 8-gram broken
+P3 = " ".join([PASSAGE] * 3)
+
+
+def synthesize_perturbed_leaks(documents: DataFrame) -> DataFrame:
+    """(doc_id, role, text2) — bench docs ARE the passage (benchmark items
+    carry their own text); leaked train docs (1 in PLANT_MOD) append a
+    PERTURBED copy where token i % PERTURB_MOD == 0 is swapped for a
+    doc-unique z-token, so NO exact 8-gram survives while most 3-gram
+    shingles do. Clean train docs keep their original text (vocabulary
+    disjoint from the passage — zero fuzzy hits by construction)."""
+    doc_id = F.col("doc_id").cast("string")
+    h = F.md5(F.concat(F.lit("fuzzy|"), doc_id))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100
+    plant = F.conv(F.substring(h, 5, 4), 16, 10).cast("long") % PLANT_MOD == 0
+    is_bench = bucket < BENCH_PCT
+    perturbed = F.array_join(
+        F.transform(
+            F.split(F.lit(P3), " "),
+            lambda t, i: F.when(
+                i % PERTURB_MOD == 0,
+                F.concat(
+                    F.lit("z"),
+                    F.substring(
+                        F.md5(F.concat(doc_id, F.lit("|"), i.cast("string"))),
+                        1,
+                        3,
+                    ),
+                ),
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    text2 = (
+        F.when(is_bench, F.lit(P3))
+        .when(plant, F.concat(F.col("text"), F.lit(" "), perturbed))
+        .otherwise(F.col("text"))
+    )
+    return documents.select(
+        doc_id.alias("doc_id"),
+        F.when(is_bench, F.lit("bench")).otherwise(F.lit("train")).alias("role"),
+        text2.alias("text2"),
+    )
+
+
+def fuzzy_contamination_report(
+    split: DataFrame, n: int = FUZZY_N, min_shared: int = FUZZY_MIN_SHARED
+) -> DataFrame:
+    """(doc_id, n_shared, n_exact_hits, fuzzy_contaminated) per train doc:
+    shared FUZZY_N-gram shingles vs the benchmark shingle set, next to the
+    exact NGRAM-gram hit count on the SAME corpus — 0 for every perturbed
+    plant, which is precisely the evasion this pass exists to catch."""
+    bench_sh = (
+        split.filter(F.col("role") == "bench")
+        .select(F.explode(_grams(F.col("text2"), n)).alias("gram"))
+        .distinct()
+    )
+    bench_ex = (
+        split.filter(F.col("role") == "bench")
+        .select(F.explode(_grams(F.col("text2"), NGRAM)).alias("gram"))
+        .distinct()
+    )
+    train = split.filter(F.col("role") == "train")
+    shared = (
+        train.select("doc_id", F.explode(_grams(F.col("text2"), n)).alias("gram"))
+        .join(F.broadcast(bench_sh), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    exact = (
+        train.select(
+            "doc_id", F.explode(_grams(F.col("text2"), NGRAM)).alias("gram")
+        )
+        .join(F.broadcast(bench_ex), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_exact_hits"))
+    )
+    return (
+        train.select("doc_id")
+        # no hint on the per-doc hit relations (unbounded in corpus size)
+        .join(shared, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.coalesce("n_exact_hits", F.lit(0)).cast("long").alias("n_exact_hits"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias(
+                "fuzzy_contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_fuzzy_split(table: str) -> str:
+    h = "md5('fuzzy|' || CAST(doc_id AS VARCHAR))"
+    bucket = f"(('0x' || substr({h}, 1, 4))::BIGINT % 100)"
+    plant = f"(('0x' || substr({h}, 5, 4))::BIGINT % {PLANT_MOD}) = 0"
+    ws = f"string_split('{P3}', ' ')"
+    perturbed = (
+        f"array_to_string(list_transform(range(1, len({ws}) + 1), "
+        f"i -> CASE WHEN (i - 1) % {PERTURB_MOD} = 0 "
+        f"THEN 'z' || substr(md5(CAST(doc_id AS VARCHAR) || '|' "
+        f"|| CAST(i - 1 AS VARCHAR)), 1, 3) "
+        f"ELSE {ws}[i] END), ' ')"
+    )
+    return f"""
+split AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN {bucket} < {BENCH_PCT} THEN 'bench' ELSE 'train' END AS role,
+         CASE WHEN {bucket} < {BENCH_PCT} THEN '{P3}'
+              WHEN {plant} THEN text || ' ' || {perturbed}
+              ELSE text END AS text2
+  FROM {table})"""
+
+
+def sql_fuzzy_contamination_report(
+    table: str = "documents", n: int = FUZZY_N, min_shared: int = FUZZY_MIN_SHARED
+) -> str:
+    return f"""
+WITH {_sql_fuzzy_split(table)},
+bsh AS (
+  SELECT DISTINCT unnest({_sql_grams('text2', n)}) AS gram
+  FROM split WHERE role = 'bench'),
+bex AS (
+  SELECT DISTINCT unnest({_sql_grams('text2', NGRAM)}) AS gram
+  FROM split WHERE role = 'bench'),
+tsh AS (
+  SELECT doc_id, unnest({_sql_grams('text2', n)}) AS gram
+  FROM split WHERE role = 'train'),
+tex AS (
+  SELECT doc_id, unnest({_sql_grams('text2', NGRAM)}) AS gram
+  FROM split WHERE role = 'train'),
+hs AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM tsh JOIN bsh USING (gram) GROUP BY doc_id),
+he AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact_hits
+  FROM tex JOIN bex USING (gram) GROUP BY doc_id)
+SELECT s.doc_id,
+       COALESCE(hs.n_shared, 0) AS n_shared,
+       COALESCE(he.n_exact_hits, 0) AS n_exact_hits,
+       COALESCE(hs.n_shared, 0) >= {min_shared} AS fuzzy_contaminated
+FROM split s LEFT JOIN hs ON s.doc_id = hs.doc_id
+             LEFT JOIN he ON s.doc_id = he.doc_id
+WHERE s.role = 'train' ORDER BY s.doc_id
+"""

@@ -1214,6 +1214,16 @@ def q_corpus_split_audit(spark, sf_dir):
     return curation.split_leakage_audit(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_decontam_fuzzy(spark, sf_dir):
+    """Perturbation-robust benchmark decontamination: shared 3-gram
+    shingles vs the broadcast benchmark shingle set, reported next to the
+    exact 8-gram hit count on the same corpus — the synthesis plants a
+    period-7 perturbed passage that the exact pass provably misses."""
+    return decontam.fuzzy_contamination_report(
+        decontam.synthesize_perturbed_leaks(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_dedup_cdc_chunks(spark, sf_dir):
     """Content-defined chunk dedup census (FastCDC/LBFS boundaries applied
     to token streams): hash-gated chunk boundaries make identical passages
@@ -1270,6 +1280,7 @@ def queries() -> Dict[str, Callable]:
         "text_bm25_topk": q_text_bm25_topk,
         "corpus_split_assign": q_corpus_split_assign,
         "corpus_split_audit": q_corpus_split_audit,
+        "corpus_decontam_fuzzy": q_corpus_decontam_fuzzy,
         "multimodal_interleave": q_multimodal_interleave,
         "multimodal_pack": q_multimodal_pack,
         "multimodal_media_dedup": q_multimodal_media_dedup,
@@ -1363,6 +1374,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_bm25_topk": retrieval.sql_bm25_topk(),
         "corpus_split_assign": curation.sql_leakage_safe_split(),
         "corpus_split_audit": curation.sql_split_leakage_audit(),
+        "corpus_decontam_fuzzy": decontam.sql_fuzzy_contamination_report(),
         "embed_kmeans": clustering.sql_kmeans_assign(),
         "embed_cluster_sample": clustering.sql_cluster_sample(),
         "embed_cluster_stats": clustering.sql_cluster_stats(),

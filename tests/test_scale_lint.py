@@ -118,9 +118,10 @@ BROADCAST_ALLOWED = {
     # boilerplate set hard-capped at CAP=256 (overflow reported via
     # boilerplate_overflow)
     "webclean.py": 3,
-    # benchmark gram set — benchmarks are small by nature (eval suites),
-    # not corpus-sized
-    "decontam.py": 1,
+    # benchmark gram/shingle sets (exact + the fuzzy pass's 3-gram and
+    # 8-gram sets) — benchmarks are small by nature (eval suites), not
+    # corpus-sized
+    "decontam.py": 3,
     # nation dimension (25 rows) in the TPC-H-ish join query
     "queries.py": 1,
     # top-VOCAB_CAP unigram LM (hard cap, deterministic order) + the two
