@@ -1235,17 +1235,14 @@ def q_dedup_cdc_chunks(spark, sf_dir):
 def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
-    # task 1): every entry with NO prior driver-green round sits inside the
-    # first 50 (script-verified against CORRECTNESS_r01–r03); the entries
-    # parked past position 50 are veterans green in >=1 prior round (most
-    # in 2–3) and stay pytest- and check_oracle-gated every round.
+    # task 1). r4.4 rotation: the never-driver-green set is EXACTLY 50
+    # entries (script-verified against CORRECTNESS_r01-r03), so the window
+    # is precisely that set — after this round's driver run every query in
+    # the repo has >=1 driver-green round. The 54 entries past position 50
+    # are veterans green in >=1 prior round (the flagship extract_pipeline
+    # in 2) and stay pytest- and check_oracle-gated every round.
     return {
-        "extract_pipeline": q_extract_pipeline,
         "extract_paged": q_extract_paged,
-        "extract_dehyphenated": q_extract_dehyphenated,
-        "dehyphenate_op": q_dehyphenate_op,
-        "serialize_pxml": q_serialize_pxml,
-        "serialize_tei": q_serialize_tei,
         "serialize_pxml_nested": q_serialize_pxml_nested,
         "serialize_pxml_words": q_serialize_pxml_words,
         "dedup_semantic": q_dedup_semantic,
@@ -1295,6 +1292,11 @@ def queries() -> Dict[str, Callable]:
         "corpus_domain_cap": q_corpus_domain_cap,
         "corpus_curation_flags": q_corpus_curation_flags,
         "corpus_curation_packed": q_corpus_curation_packed,
+        "extract_pipeline": q_extract_pipeline,
+        "extract_dehyphenated": q_extract_dehyphenated,
+        "dehyphenate_op": q_dehyphenate_op,
+        "serialize_pxml": q_serialize_pxml,
+        "serialize_tei": q_serialize_tei,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_pack_stats": q_corpus_pack_stats,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -1302,9 +1304,6 @@ def queries() -> Dict[str, Callable]:
         "html_main_content": q_html_main_content,
         "html_block_stats": q_html_block_stats,
         "multimodal_decode_meta": q_multimodal_decode_meta,
-        # --- position >50: driver's correctness window ends above; all the
-        # entries below have green driver rows in r03 (most in
-        # r01+r02+r03) and stay pytest- and check_oracle-gated every round
         "text_vocabulary": q_text_vocabulary,
         "text_length_quantiles": q_text_length_quantiles,
         "dedup_components": q_dedup_components,
