@@ -175,20 +175,8 @@ def main() -> None:
     # the post-strip text — a flag in the SAME projection, zero shuffle. ----
     if args.read_floor != 0:
         rw, rs, ry = textops.readability_counts(F.col("text"))
-        df = (
-            df.withColumn("_rw", rw.cast("long"))
-            .withColumn("_rs", rs.cast("long"))
-            .withColumn("_ry", ry.cast("long"))
-            .withColumn(
-                "read_flag",
-                (
-                    F.lit(206_835)
-                    - F.expr("1015 * _rw div _rs")
-                    - F.expr("84600 * _ry div _rw")
-                )
-                < args.read_floor,
-            )
-            .drop("_rw", "_rs", "_ry")
+        df = df.withColumn(
+            "read_flag", textops.flesch_milli(rw, rs, ry) < args.read_floor
         )
     else:
         df = df.withColumn("read_flag", F.lit(False))

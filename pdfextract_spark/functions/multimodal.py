@@ -33,6 +33,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..sources.adapters import CHUNK_WORDS
+
 META_SCHEMA = "doc_id string, media_ref string, width int, height int, fmt string"
 
 # dimension domain for the header bands: 16 + md5-derived % 2048 (distinct
@@ -434,7 +436,7 @@ def interleave_stats(interleaved: DataFrame) -> DataFrame:
     )
 
 
-def sql_interleave_stats(table: str = "documents", w: int = 8) -> str:
+def sql_interleave_stats(table: str = "documents", w: int = CHUNK_WORDS) -> str:
     """DuckDB mirror: re-derives the rich-interleave schedule
     (sources/adapters.documents_to_interleaved_rich) per chunk — r =
     hex2(md5('mm|doc|i')) % 8; r==0 -> 'mmm', r<=2 -> 'm' — then computes
@@ -522,7 +524,7 @@ def media_asset_dedup(interleaved: DataFrame) -> DataFrame:
     )
 
 
-def sql_media_asset_dedup(table: str = "documents", w: int = 8) -> str:
+def sql_media_asset_dedup(table: str = "documents", w: int = CHUNK_WORDS) -> str:
     """Mirror over the rich-interleave schedule: re-derives each doc's media
     refs (img://doc/m{i}_{j} for j < span count at chunk i) and applies the
     same asset bucketing + census."""
@@ -737,7 +739,7 @@ def media_phash_neardup(interleaved: DataFrame) -> DataFrame:
     )
 
 
-def _sql_phash_assets(table: str, w: int = 8) -> str:
+def _sql_phash_assets(table: str, w: int = CHUNK_WORDS) -> str:
     """assets CTE: distinct asset nums + phash over the rich-interleave
     media-ref schedule (same derivation as sql_media_asset_dedup)."""
     r = (
@@ -771,7 +773,7 @@ assets AS (
 )"""
 
 
-def sql_media_phash_neardup(table: str = "documents", w: int = 8) -> str:
+def sql_media_phash_neardup(table: str = "documents", w: int = CHUNK_WORDS) -> str:
     mask = (1 << PHASH_BAND_BITS) - 1
     return f"""
 WITH {_sql_phash_assets(table, w)},
@@ -862,7 +864,7 @@ def media_dedup_apply(interleaved: DataFrame) -> DataFrame:
     )
 
 
-def sql_media_dedup_apply(table: str = "documents", w: int = 8) -> str:
+def sql_media_dedup_apply(table: str = "documents", w: int = CHUNK_WORDS) -> str:
     """Mirror over the rich-interleave schedule: span offsets replayed via
     a per-doc cumulative count of spans per chunk (1 text + m_i media),
     keeper/first-occurrence rules as window minima."""
@@ -949,8 +951,21 @@ def caption_pairs(interleaved: DataFrame, ordered: bool = True) -> DataFrame:
     row's own spans array (text spans never leave the row), and only the
     small per-media result structs are exploded, so the text payload is
     not duplicated per media span.
+
+    The spans array is NOT assumed offset-ordered (the streaming surface
+    reads arbitrary parquet): text spans are re-projected to (offset, text)
+    structs and array_sort'ed — offset is the leading struct field, so the
+    default lexicographic struct order IS offset order, no comparator HOF
+    needed — before the positional first/last nearest-neighbour picks.
     """
-    texts = F.filter("spans", lambda s: s["kind"] == "text")
+    texts = F.array_sort(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == "text"),
+            lambda t: F.struct(
+                t["offset"].alias("offset"), t["text"].alias("text")
+            ),
+        )
+    )
     media = F.filter("spans", lambda s: s["kind"] == "media")
 
     def pair(m):
@@ -996,7 +1011,7 @@ def caption_pairs(interleaved: DataFrame, ordered: bool = True) -> DataFrame:
     return out.orderBy("doc_id", "media_offset") if ordered else out
 
 
-def sql_caption_pairs(table: str = "documents", w: int = 8) -> str:
+def sql_caption_pairs(table: str = "documents", w: int = CHUNK_WORDS) -> str:
     """DuckDB mirror over the rich-interleave schedule
     (sources/adapters.documents_to_interleaved_rich): spans for chunk i are
     [text_i, media x L_i] with L_i in {0,1,3}, so for media j of chunk i the

@@ -1355,6 +1355,26 @@ def readability_counts(text: Column) -> Tuple[Column, Column, Column]:
     return words, sentences, syllables
 
 
+def flesch_milli(words: Column, sentences: Column, syllables: Column) -> Column:
+    """Integer fixed-point Flesch reading ease in milli-units:
+    206835 - (1015*words div sentences) - (84600*syllables div words).
+
+    The ONE shared definition for the text_readability query and the
+    hygiene-job read-floor gate (jobs/hygiene_job.py), so the two cannot
+    drift. Integer division is expressed Column-natively as (a - a%b)/b —
+    exact for the non-negative count domain and identical to SQL `div`."""
+
+    def idiv(a: Column, b: Column) -> Column:
+        return ((a - a % b) / b).cast("long")
+
+    w = words.cast("long")
+    s = sentences.cast("long")
+    y = syllables.cast("long")
+    return (
+        F.lit(206_835) - idiv(F.lit(1015) * w, s) - idiv(F.lit(84_600) * y, w)
+    ).cast("long")
+
+
 def readability(documents: DataFrame) -> DataFrame:
     """(doc_id, n_words, n_sentences, n_syllables, flesch_milli, band) —
     integer fixed-point Flesch reading ease per document.
@@ -1363,17 +1383,17 @@ def readability(documents: DataFrame) -> DataFrame:
     come from split/regexp Column algebra, the score from integer div.
     """
     words, sentences, syllables = readability_counts(F.col("text"))
-    flesch = (
-        F.lit(206_835)
-        - F.expr("1015 * n_words div n_sentences")
-        - F.expr("84600 * n_syllables div n_words")
-    )
     out = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         words.cast("long").alias("n_words"),
         sentences.cast("long").alias("n_sentences"),
         syllables.cast("long").alias("n_syllables"),
-    ).select("*", flesch.cast("long").alias("flesch_milli"))
+    ).select(
+        "*",
+        flesch_milli(
+            F.col("n_words"), F.col("n_sentences"), F.col("n_syllables")
+        ).alias("flesch_milli"),
+    )
     return out.select(
         "*",
         F.when(F.col("flesch_milli") >= READ_EASY_MILLI, "easy")

@@ -45,18 +45,34 @@ def _make_first_seen(ttl_ms: int, key_col: str = "fingerprint"):
             if ttl_ms:
                 state.setTimeoutDuration(ttl_ms)
             return
-        best = None
+        # Keeper within the first micro-batch matches the batch keeper rule
+        # (min(cast(doc_id as long)), e.g. webclean.url_dedup_params): compare
+        # numerically when every id parses as an integer, else fall back to
+        # lexicographic string order. '2' vs '10' therefore keeps '2', same
+        # as the batch window-min, not the string-min '10'.
+        best = None  # (numeric_or_none, string) comparison key
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            cand = pdf["doc_id"].astype(str).min()
-            best = cand if best is None else min(best, cand)
+            ids = pdf["doc_id"].astype(str)
+            nums = pd.to_numeric(ids, errors="coerce")
+            if nums.notna().all():
+                i = int(nums.idxmin())
+                cand = (int(nums.loc[i]), ids.loc[i])
+            else:
+                cand = (None, ids.min())
+            if best is None:
+                best = cand
+            elif cand[0] is not None and best[0] is not None:
+                best = min(best, cand)
+            else:
+                best = min(best, cand, key=lambda c: c[1])
         if best is None:
             return
         state.update((True,))
         if ttl_ms:
             state.setTimeoutDuration(ttl_ms)
-        yield pd.DataFrame({key_col: [key[0]], "keeper_doc_id": [best]})
+        yield pd.DataFrame({key_col: [key[0]], "keeper_doc_id": [best[1]]})
 
     return _first_seen
 

@@ -15,7 +15,10 @@ recrawl window.
 Keeper rule difference vs batch, stated explicitly (same contract as
 streaming_dedup): batch picks the global min doc_id per canonical; the stream
 picks the min doc_id of the FIRST micro-batch that carried the canonical,
-then drops all later arrivals. On a single batch the two agree; across
+then drops all later arrivals. The per-batch min uses the SAME ordering as
+the batch keeper — numeric when every doc_id parses as an integer (so '2'
+beats '10', matching webclean.url_dedup_params' min(cast(doc_id as long))),
+lexicographic otherwise — so on a single batch the two agree exactly; across
 batches the stream is first-seen-wins by arrival order."""
 
 from __future__ import annotations

@@ -15,10 +15,11 @@ from pdfextract_spark.streaming.url_stream import streaming_url_dedup
 def url_batches(tmp_path):
     d = str(tmp_path / "urls_in")
     os.makedirs(d, exist_ok=True)
-    # batch 1: 1 and 2 are the same page (param order shuffled); 3 unique
+    # batch 1: 2 and 10 are the same page (param order shuffled; multi-width
+    # ids so numeric-min keeper '2' differs from string-min '10'); 3 unique
     b1 = pd.DataFrame(
         {
-            "doc_id": ["1", "2", "3"],
+            "doc_id": ["10", "2", "3"],
             "url": [
                 "https://shop.example/item?a=1&b=2",
                 "https://shop.example/item?b=2&a=1",
@@ -69,7 +70,8 @@ def test_streaming_url_dedup_cross_batch(spark, url_batches, tmp_path):
         for r in url_dedup_params(spark.createDataFrame(b1)).collect()
     }
     assert got1 == batch
-    assert len(got1) == 2 and got1["shop.example/item?a=1&b=2"] == "1"
+    # numeric keeper: '2' wins over '10' (string min would wrongly keep '10')
+    assert len(got1) == 2 and got1["shop.example/item?a=1&b=2"] == "2"
 
     spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(in_dir)
     _drain(spark, in_dir, out, ckpt)
@@ -77,4 +79,4 @@ def test_streaming_url_dedup_cross_batch(spark, url_batches, tmp_path):
     # doc 4's tracking-tagged recrawl canonicalizes to the seen key -> dropped
     assert len(rows) == 3
     keepers = {r["keeper_doc_id"] for r in rows}
-    assert keepers == {"1", "3", "5"}
+    assert keepers == {"2", "3", "5"}
