@@ -437,8 +437,19 @@ def q_dedup_semdedup(spark, sf_dir):
     embedding space, exact within-cluster cosine near-dup pairs, then
     connected-components keeper — the quadratic pair search confined to one
     cluster at a time (the paper's scale trick), vs dedup_semantic's
-    hyperplane-LSH candidate generator over the same planted corpus."""
+    hyperplane-LSH candidate generator over the same planted corpus.
+    Cluster width is bounded: over-cap clusters get a hyperplane
+    sub-refinement and still-over-cap buckets are dropped + reported via
+    dedup_semdedup_hot (the SEM_MAX_CLUSTER contract)."""
     return similarity.semdedup_kmeans(_t(spark, sf_dir, "embeddings"))
+
+
+def q_dedup_semdedup_hot(spark, sf_dir):
+    """No-silent-caps surface for semdedup_kmeans: (cluster, sub) buckets
+    still wider than SEM_MAX_CLUSTER after hyperplane refinement, whose
+    pairs the join skipped (usually 0 rows at fixture scale; a
+    template-duplication-degenerate corpus populates it)."""
+    return similarity.semdedup_oversized_buckets(_t(spark, sf_dir, "embeddings"))
 
 
 def q_embed_label_centroids(spark, sf_dir):
@@ -1247,6 +1258,7 @@ def queries() -> Dict[str, Callable]:
         "serialize_pxml_words": q_serialize_pxml_words,
         "dedup_semantic": q_dedup_semantic,
         "dedup_semdedup": q_dedup_semdedup,
+        "dedup_semdedup_hot": q_dedup_semdedup_hot,
         "text_perplexity": q_text_perplexity,
         "text_ppl_buckets": q_text_ppl_buckets,
         "text_dsir": q_text_dsir,
@@ -1392,6 +1404,7 @@ def oracle_sql() -> Dict[str, str]:
         "sim_ivf_topk": similarity.sql_ivf_topk(),
         "dedup_semantic": similarity.sql_semantic_dedup(),
         "dedup_semdedup": similarity.sql_semdedup_kmeans(),
+        "dedup_semdedup_hot": similarity.sql_semdedup_oversized(),
         "embed_label_centroids": similarity.sql_label_centroids_agg(),
         "text_lang_id": textops.sql_language_id(),
         "text_weighted_sample": textops.sql_quality_weighted_sample(),

@@ -96,15 +96,20 @@ def test_semdedup_kmeans_matches_duckdb_oracle(spark):
 
 def test_block_decomposition_matches_naive_cluster_join(spark):
     """The triangle-block split of the within-cluster self-join must emit
-    exactly the naive cluster-keyed join's pair set (every unordered
-    within-cluster pair once, a < b) before the cosine filter even — here
-    pinned after the filter on the full planted corpus."""
-    from pyspark.sql import functions as F
+    exactly the naive (cluster, sub)-keyed join's pair set (every unordered
+    co-bucketed pair once, a < b) — here pinned after the cosine filter on
+    the full planted corpus. The naive side applies the same SEM_MAX_CLUSTER
+    width census / hyperplane sub-refinement / over-cap drop as production
+    but with a PLAIN self-join, so what this test isolates is the
+    triangle-block machinery and the anti-join wiring."""
+    from pyspark.sql import Window, functions as F
 
     from pdfextract_spark.functions.similarity import (
         SEM_COS_MIN,
+        SEM_MAX_CLUSTER,
         _cos,
         _idot,
+        _sub_bucket,
         _with_quant,
         synthesize_semantic_corpus,
     )
@@ -116,6 +121,17 @@ def test_block_decomposition_matches_naive_cluster_join(spark):
         "vec_id", "cluster"
     )
     quant = _with_quant(corpus).join(assign, "vec_id")
+    # same cap semantics as production, naive formulation (window census)
+    quant = quant.withColumn(
+        "width", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+    ).withColumn(
+        "sub",
+        F.when(F.col("width") <= SEM_MAX_CLUSTER, F.lit(0))
+        .otherwise(_sub_bucket(F.col("q")))
+        .cast("int"),
+    ).withColumn(
+        "sw", F.count(F.lit(1)).over(Window.partitionBy("cluster", "sub"))
+    ).filter(F.col("sw") <= SEM_MAX_CLUSTER)
     a, b = quant.alias("a"), quant.alias("b")
     cos = _cos(_idot(F.col("a.q"), F.col("b.q")), F.col("a.n2"), F.col("b.n2"))
     naive = {
@@ -123,6 +139,7 @@ def test_block_decomposition_matches_naive_cluster_join(spark):
         for r in a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
