@@ -126,6 +126,67 @@ def pack_interleaved(
     return _pack_costed(costed, budget)
 
 
+# ------------------------------------------------------ split-aware packing
+# The last mile before a training run: leakage-safe train/val/test
+# assignment (curation.leakage_safe_split — the md5 coin keyed on the
+# near-dup GROUP, so duplicates never straddle eval boundaries) feeding the
+# greedy pack fold PER SPLIT, each split with its own token budget (train
+# packs at the context length; eval splits usually pack shorter). A packed
+# sequence is keyed (split, stream, seq_id) — by construction no sequence
+# can mix splits, pinned by tests/test_pack_by_split.py.
+
+SPLIT_BUDGETS = {"train": BUDGET, "val": 64, "test": 64}
+
+_SPLIT_SCHEMA = (
+    "doc_id string, split string, stream int, seq_id int, "
+    "seq_offset int, n_tokens int"
+)
+
+
+def pack_by_split(
+    documents: DataFrame,
+    budgets: dict | None = None,
+    n_streams: int = N_STREAMS,
+) -> DataFrame:
+    """(doc_id, split, stream, seq_id, seq_offset, n_tokens) — greedy
+    packing of each (split, stream)'s documents (in doc_id order) into
+    sequences of at most budgets[split] tokens.
+
+    100 TB shape: the split assignment reuses the bounded LSH pair graph +
+    CC kernels; the pack adds ONE shuffle on (split, stream) — the same
+    n_streams parallelism dial as pack_sequences, times the 3 splits."""
+    from .curation import leakage_safe_split
+
+    budgets = dict(SPLIT_BUDGETS if budgets is None else budgets)
+    costed = _with_stream(documents, n_streams).join(
+        leakage_safe_split(documents).select("doc_id", "split"), "doc_id"
+    )
+
+    def pack(key, pdf):
+        budget = budgets[key[0]]
+        pdf = pdf.sort_values("doc_num").reset_index(drop=True)
+        seqs, offs = [], []
+        seq, fill = 0, 0
+        for n in pdf["n_tokens"].to_numpy():
+            if fill > 0 and fill + int(n) > budget:
+                seq += 1
+                fill = 0
+            seqs.append(seq)
+            offs.append(fill)
+            fill += int(n)
+        pdf["seq_id"] = pd.Series(seqs, dtype="int32")
+        pdf["seq_offset"] = pd.Series(offs, dtype="int32")
+        return pdf[
+            ["doc_id", "split", "stream", "seq_id", "seq_offset", "n_tokens"]
+        ]
+
+    return (
+        costed.groupBy("split", "stream")
+        .applyInPandas(pack, _SPLIT_SCHEMA)
+        .orderBy("split", "stream", "seq_id", "seq_offset")
+    )
+
+
 def pack_stats(
     documents: DataFrame, budget: int = BUDGET, n_streams: int = N_STREAMS
 ) -> DataFrame:
@@ -186,6 +247,46 @@ def sql_pack_sequences(
     table: str = "documents", budget: int = BUDGET, n_streams: int = N_STREAMS
 ) -> str:
     return _sql_pack(table, budget, n_streams) + " ORDER BY stream, seq_id, seq_offset"
+
+
+def sql_pack_by_split(
+    table: str = "documents",
+    budgets: dict | None = None,
+    n_streams: int = N_STREAMS,
+) -> str:
+    """Mirror of pack_by_split: the leakage-safe assign CTE joined onto the
+    costed corpus, then the recursive greedy fold partitioned on
+    (split, stream) with a per-split budget CASE."""
+    from .curation import _sql_assign
+
+    budgets = dict(SPLIT_BUDGETS if budgets is None else budgets)
+    bcase = "CASE b.split " + " ".join(
+        f"WHEN '{s}' THEN {int(v)}" for s, v in sorted(budgets.items())
+    ) + " END"
+    h = "md5('pack|' || CAST(d.doc_id AS VARCHAR))"
+    stream = f"CAST((('0x' || substr({h}, 1, 4))::BIGINT % {n_streams}) AS INT)"
+    return f"""
+WITH RECURSIVE {_sql_assign(table)},
+base AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, a.split, {stream} AS stream,
+         CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY a.split, {stream}
+                            ORDER BY CAST(d.doc_id AS BIGINT)) AS rn
+  FROM {table} d JOIN assign a ON a.doc_id = CAST(d.doc_id AS VARCHAR)),
+pack AS (
+  SELECT doc_id, split, stream, n_tokens, rn,
+         0 AS seq_id, 0 AS seq_offset, n_tokens AS fill
+  FROM base b WHERE rn = 1
+  UNION ALL
+  SELECT b.doc_id, b.split, b.stream, b.n_tokens, b.rn,
+         CASE WHEN p.fill + b.n_tokens > {bcase} THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.fill + b.n_tokens > {bcase} THEN 0 ELSE p.fill END,
+         CASE WHEN p.fill + b.n_tokens > {bcase} THEN b.n_tokens ELSE p.fill + b.n_tokens END
+  FROM pack p JOIN base b
+    ON b.split = p.split AND b.stream = p.stream AND b.rn = p.rn + 1)
+SELECT doc_id, split, stream, CAST(seq_id AS INT) AS seq_id,
+       CAST(seq_offset AS INT) AS seq_offset, n_tokens
+FROM pack ORDER BY split, stream, seq_id, seq_offset"""
 
 
 def sql_pack_interleaved(

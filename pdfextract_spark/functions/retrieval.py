@@ -43,23 +43,13 @@ BM25_SALT = 8          # stage-1 top-k fan-out (parallelism dial)
 BM25_MAXDF_MULT = 4
 
 
-def bm25_topk(
-    documents: DataFrame, topk: int = BM25_TOPK, salt: int = BM25_SALT
-) -> DataFrame:
-    """(query_id, rank, doc_id, score_milli, n_terms) — the BM25 top-`topk`
-    documents for each corpus-derived query.
-
-    score(q, d) = sum over matched terms of idf16(t) * tfpart_milli(t, d):
-      idf16   = max(0, s16(max(1, ((2N - 2df + 1) * PRESCALE) div (2df + 1))))
-                (the log2 twin of the BM25+ idf, floored at 0 like Lucene)
-      tfpart  = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
-                in milli-units with integer division throughout.
-    """
-    # retrieval terms are token BIGRAMS: the unigram vocabulary of a crawl
-    # head is dominated by stopword-frequency tokens (df ~ 0.8N here) whose
-    # BM25 idf floors at 0; bigrams carry a real mid-frequency band. The
-    # explode child is a transform over the in-row words array — O(n)
-    # element_at per row, evaluated once inside the generator.
+def _bigram_tf(documents: DataFrame) -> DataFrame:
+    """Corpus-REDUCED (doc_id, token, tf) over token BIGRAMS (docs with
+    >= 2 tokens): the unigram vocabulary of a crawl head is dominated by
+    stopword-frequency tokens (df ~ 0.8N here) whose BM25 idf floors at 0;
+    bigrams carry a real mid-frequency band. The explode child is a
+    transform over the in-row words array — O(n) element_at per row,
+    evaluated once inside the generator."""
     docs = documents.filter(F.size(F.split(F.lower("text"), " ")) >= 2).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.split(F.lower("text"), " ").alias("_ws"),
@@ -78,17 +68,36 @@ def bm25_topk(
             )
         ).alias("token"),
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # tf feeds the df census, doc lengths, AND scoring — corpus-REDUCED
-    # (distinct (doc, token) rows), the cheap side of the checkpoint rule
-    tf = tf.localCheckpoint(eager=False)
+    return tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
 
+
+def _tf_stats(tf: DataFrame):
+    """(dl, dfc, stats) censuses of a (doc_id, token, tf) relation."""
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfc = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_toks"),
     )
+    return dl, dfc, stats
+
+
+def bm25_topk(
+    documents: DataFrame, topk: int = BM25_TOPK, salt: int = BM25_SALT
+) -> DataFrame:
+    """(query_id, rank, doc_id, score_milli, n_terms) — the BM25 top-`topk`
+    documents for each corpus-derived query.
+
+    score(q, d) = sum over matched terms of idf16(t) * tfpart_milli(t, d):
+      idf16   = max(0, s16(max(1, ((2N - 2df + 1) * PRESCALE) div (2df + 1))))
+                (the log2 twin of the BM25+ idf, floored at 0 like Lucene)
+      tfpart  = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+                in milli-units with integer division throughout.
+    """
+    # tf feeds the df census, doc lengths, AND scoring — corpus-REDUCED
+    # (distinct (doc, token) rows), the cheap side of the checkpoint rule
+    tf = _bigram_tf(documents).localCheckpoint(eager=False)
+    dl, dfc, stats = _tf_stats(tf)
 
     # deterministic query terms: top NQ*TPQ mid-frequency tokens by
     # (doc_freq desc, token asc). orderBy+limit is a distributed
@@ -108,7 +117,21 @@ def bm25_topk(
         "token",
         "doc_freq",
     )
+    return _score_topk(tf, dl, stats, terms, topk, salt)
 
+
+def _score_topk(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    terms: DataFrame,
+    topk: int,
+    salt: int,
+) -> DataFrame:
+    """Shared scoring + salted two-stage exact top-k over a query-term
+    relation (query_id, token, doc_freq) — doc_freq is the CORPUS df used
+    by the idf (a bench-sourced term that never occurs in the corpus joins
+    no tf rows and scores nothing, as retrieval semantics demand)."""
     k1, b = BM25_K1_MILLI, BM25_B_MILLI
     avgdl_m = F.expr("(total_toks * 1000) div n_docs")
     norm_m = F.lit(1000 - b) + F.expr(f"({b} * dl * 1000) div _avgdl_m")
@@ -159,6 +182,79 @@ def bm25_topk(
     )
 
 
+def bm25_bench_topk(
+    documents: DataFrame, topk: int = BM25_TOPK, salt: int = BM25_SALT
+) -> DataFrame:
+    """(query_id, rank, doc_id, score_milli, n_terms) — BM25 over the TRAIN
+    side of the eval split with queries drawn from the BENCHMARK side
+    (decontam.synthesize_eval_split), not the corpus vocabulary head: the
+    corpus-mining / contamination-sweep shape, where query terms come from
+    an out-of-corpus eval suite.
+
+    Term selection: top NQ*TPQ bench bigrams by (bench df desc, token asc),
+    gated by TRAIN-side rarity (coalesce(train df, 0) * BM25_MAXDF_MULT <=
+    n_train) so stopword-grade terms are excluded by the retrieval corpus's
+    own statistics — the bench-frequency gate would wrongly drop the
+    planted passage (df_bench = n_bench by construction). A bench term
+    absent from train joins no tf rows and retrieves nothing, exactly the
+    out-of-corpus behaviour this variant exists to exercise; the planted
+    passage bigrams DO occur in the contaminated train docs, which the
+    ranking surfaces.
+
+    Scale shape identical to bm25_topk: the train corpus is reduced to the
+    checkpointed tf relation once; the bench side is benchmark-sized by
+    nature; ranking is the same salted two-stage exact top-k."""
+    tf, dl, stats, terms = _bench_query_plan(documents)
+    return _score_topk(tf, dl, stats, terms, topk, salt)
+
+
+def _bench_query_plan(documents: DataFrame):
+    """(train tf, dl, stats, terms) for the bench-query variant — shared by
+    bm25_bench_topk and the term-inspection surface bm25_bench_terms."""
+    from .decontam import synthesize_eval_split
+
+    split = synthesize_eval_split(documents)
+    train = split.filter(F.col("role") == "train").select(
+        "doc_id", F.col("text2").alias("text")
+    )
+    bench = split.filter(F.col("role") == "bench").select(
+        "doc_id", F.col("text2").alias("text")
+    )
+    tf = _bigram_tf(train).localCheckpoint(eager=False)
+    dl, dfc, stats = _tf_stats(tf)
+    bdf = (
+        _bigram_tf(bench)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("bench_df"))
+    )
+    n_terms_total = BM25_NQ * BM25_TPQ
+    cand = (
+        bdf.join(dfc, "token", "left")
+        .join(F.broadcast(stats))
+        .filter(
+            F.coalesce(F.col("doc_freq"), F.lit(0)) * BM25_MAXDF_MULT
+            <= F.col("n_docs")
+        )
+    )
+    head = cand.orderBy(
+        F.desc("bench_df"), F.asc("token")
+    ).limit(n_terms_total)
+    # bounded NQ*TPQ-row frame, same guardrail as bm25_topk
+    wq = Window.orderBy(F.desc("bench_df"), F.asc("token"))
+    terms = head.withColumn("_rk", F.row_number().over(wq)).select(
+        F.expr(f"(_rk - 1) div {BM25_TPQ}").cast("long").alias("query_id"),
+        "token",
+        F.coalesce(F.col("doc_freq"), F.lit(0)).alias("doc_freq"),
+    )
+    return tf, dl, stats, terms
+
+
+def bm25_bench_terms(documents: DataFrame) -> DataFrame:
+    """(query_id, token, doc_freq) — the bench-derived query-term relation
+    (inspection/debug surface; the same plan bm25_bench_topk scores)."""
+    return _bench_query_plan(documents)[3]
+
+
 def sql_bm25_topk(table: str = "documents", topk: int = BM25_TOPK) -> str:
     """DuckDB mirror: same query derivation and integer scoring; the
     salt-invariant final semantics need only ONE window here."""
@@ -191,6 +287,91 @@ terms AS (
            ROW_NUMBER() OVER (ORDER BY doc_freq DESC, token ASC) AS rk
     FROM dfc CROSS JOIN stats
     WHERE doc_freq * {BM25_MAXDF_MULT} <= n_docs
+  ) WHERE rk <= {n_terms_total}
+),
+scored AS (
+  SELECT t.query_id, f.doc_id, f.tf, t.doc_freq, d.dl, s.n_docs,
+         (s.total_toks * 1000) // s.n_docs AS _avgdl_m
+  FROM tf f JOIN terms t USING (token)
+            JOIN dl d USING (doc_id)
+            CROSS JOIN stats s
+),
+parts AS (
+  SELECT query_id, doc_id,
+         GREATEST(1, ((2 * n_docs - 2 * doc_freq + 1) * {LM_PRESCALE})
+                     // (2 * doc_freq + 1)) AS _idf_q,
+         (tf * {k1 + 1000} * 1000)
+           // (tf * 1000 + ({k1} * (1000 - {b}
+                + ({b} * dl * 1000) // _avgdl_m)) // 1000) AS _tfpart_m
+  FROM scored
+),
+qd AS (
+  SELECT query_id, doc_id,
+         SUM(GREATEST(0, {s16}) * _tfpart_m)::BIGINT AS score_milli,
+         COUNT(*)::BIGINT AS n_terms
+  FROM parts GROUP BY query_id, doc_id
+)
+SELECT query_id, ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY score_milli DESC, doc_id ASC
+       )::BIGINT AS rank,
+       doc_id, score_milli, n_terms
+FROM qd
+QUALIFY rank <= {topk}
+ORDER BY query_id, rank
+"""
+
+
+def sql_bm25_bench_topk(table: str = "documents", topk: int = BM25_TOPK) -> str:
+    """DuckDB mirror of bm25_bench_topk: the decontam eval-split CTE, train
+    tf/df/len censuses, bench-bigram term heads gated by train rarity, same
+    integer scoring, ONE final ranking window."""
+    from .decontam import _sql_split
+
+    bias = 16 + 16 * (LM_PRESCALE.bit_length() - 1)
+    s16 = (
+        "(16 * (length(bin(_idf_q)) - 1)"
+        f" + ((_idf_q * 16) >> (length(bin(_idf_q)) - 1)) - {bias})"
+    )
+    k1, b = BM25_K1_MILLI, BM25_B_MILLI
+    n_terms_total = BM25_NQ * BM25_TPQ
+    return f"""
+WITH {_sql_split(table)},
+d AS (
+  SELECT doc_id, string_split(lower(text2), ' ') AS ws
+  FROM split WHERE role = 'train'
+    AND len(string_split(lower(text2), ' ')) >= 2
+),
+bd AS (
+  SELECT doc_id, string_split(lower(text2), ' ') AS ws
+  FROM split WHERE role = 'bench'
+    AND len(string_split(lower(text2), ' ')) >= 2
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS token
+  FROM d
+),
+btok AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS token
+  FROM bd
+),
+tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+dfc AS (SELECT token, COUNT(*)::BIGINT AS doc_freq FROM tf GROUP BY token),
+bdf AS (
+  SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS bench_df
+  FROM btok GROUP BY token
+),
+stats AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS total_toks FROM dl),
+terms AS (
+  SELECT ((rk - 1) // {BM25_TPQ})::BIGINT AS query_id, token, doc_freq FROM (
+    SELECT b.token, COALESCE(f.doc_freq, 0) AS doc_freq,
+           ROW_NUMBER() OVER (ORDER BY b.bench_df DESC, b.token ASC) AS rk
+    FROM bdf b LEFT JOIN dfc f USING (token) CROSS JOIN stats
+    WHERE COALESCE(f.doc_freq, 0) * {BM25_MAXDF_MULT} <= n_docs
   ) WHERE rk <= {n_terms_total}
 ),
 scored AS (

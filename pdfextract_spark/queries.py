@@ -818,6 +818,15 @@ def q_corpus_curation_flags(spark, sf_dir):
     return curation.curation_flags(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_pack_by_split(spark, sf_dir):
+    """Split-aware packing — the last mile before a training run:
+    leakage-safe train/val/test assignment (md5 coin on the near-dup
+    group key) feeding the greedy pack fold PER SPLIT, each split with its
+    own token budget (train at context length, eval splits shorter). A
+    sequence is keyed (split, stream, seq_id), so no pack can mix splits."""
+    return packing.pack_by_split(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_curation_packed(spark, sf_dir):
     """The hygiene job's --pack-budget tail composed end-to-end: the
     curation keepers' redacted text greedily packed into fixed-budget
@@ -870,6 +879,16 @@ def q_html_block_stats(spark, sf_dir):
 
 def q_multimodal_decode_meta(spark, sf_dir):
     return multimodal.media_meta_query(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_payload_phash(spark, sf_dir):
+    """Per-payload perceptual hash over the media table: the true DCT pHash
+    when a codec is installed AND the payload decodes; the loud 60-bit md5
+    stub otherwise. This corpus synthesizes header-only images, so the rows
+    are identical with and without a codec — the oracle mirrors the stub."""
+    return multimodal.media_payload_phash(
+        multimodal.media_table(_t(spark, sf_dir, "documents"))
+    )
 
 
 # --------------------------------------------- extraction engine, SQL-checked
@@ -1210,6 +1229,15 @@ def q_text_bm25_topk(spark, sf_dir):
     return retrieval.bm25_topk(_t(spark, sf_dir, "documents"))
 
 
+def q_text_bm25_bench_topk(spark, sf_dir):
+    """BM25 with queries drawn from the BENCHMARK side of the eval split
+    (out-of-corpus query terms, the contamination-sweep / corpus-mining
+    shape) ranked over the train side only; term selection gated by
+    train-side rarity so the planted passage's bigrams — bench df = 100%
+    by construction — stay eligible as queries."""
+    return retrieval.bm25_bench_topk(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_split_assign(spark, sf_dir):
     """Leakage-safe train/val/test split: md5 per-mille coin keyed on the
     near-dup GROUP (MinHash-LSH pairs -> CC representative), so duplicates
@@ -1253,111 +1281,114 @@ def queries() -> Dict[str, Callable]:
     # are veterans green in >=1 prior round (the flagship extract_pipeline
     # in 2) and stay pytest- and check_oracle-gated every round.
     return {
-        "extract_paged": q_extract_paged,
-        "serialize_pxml_nested": q_serialize_pxml_nested,
-        "serialize_pxml_words": q_serialize_pxml_words,
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_semdedup": q_dedup_semdedup,
         "dedup_semdedup_hot": q_dedup_semdedup_hot,
-        "text_perplexity": q_text_perplexity,
-        "text_ppl_buckets": q_text_ppl_buckets,
-        "text_dsir": q_text_dsir,
-        "text_tfidf_topk": q_text_tfidf_topk,
-        "text_quality_classifier": q_text_quality_classifier,
-        "text_weighted_sample": q_text_weighted_sample,
-        "text_lang_fertility": q_text_lang_fertility,
-        "text_readability": q_text_readability,
-        "web_encoding_fix": q_web_encoding_fix,
-        "web_badwords": q_web_badwords,
-        "text_winnowing": q_text_winnowing,
-        "text_moss_overlap": q_text_moss_overlap,
-        "web_url_dedup": q_web_url_dedup,
-        "web_url_dedup_params": q_web_url_dedup_params,
-        "graph_host_rank": q_graph_host_rank,
-        "corpus_rank_sample": q_corpus_rank_sample,
-        "multimodal_image_filters": q_multimodal_image_filters,
-        "multimodal_phash_neardup": q_multimodal_phash_neardup,
-        "multimodal_dedup_apply": q_multimodal_dedup_apply,
-        "multimodal_caption_pairs": q_multimodal_caption_pairs,
+        "text_bm25_bench_topk": q_text_bm25_bench_topk,
+        "corpus_pack_by_split": q_corpus_pack_by_split,
+        "multimodal_payload_phash": q_multimodal_payload_phash,
+        "dedup_semdedup": q_dedup_semdedup,
+        "bpe_train_merges": q_bpe_train_merges,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
+        "corpus_pack_stats": q_corpus_pack_stats,
+        "corpus_sample_hash": q_corpus_sample_hash,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
+        "html_block_stats": q_html_block_stats,
+        "html_main_content": q_html_main_content,
+        "html_synthesize": q_html_synthesize,
+        "text_repetition": q_text_repetition,
+        "web_boilerplate_lines": q_web_boilerplate_lines,
+        "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
+        "web_boilerplate_overflow": q_web_boilerplate_overflow,
+        "web_boilerplate_strip": q_web_boilerplate_strip,
+        "web_pii_redact": q_web_pii_redact,
+        "web_synthesize": q_web_synthesize,
+        "web_url_domains": q_web_url_domains,
         "corpus_chunk_interleaved": q_corpus_chunk_interleaved,
+        "corpus_curation_flags": q_corpus_curation_flags,
+        "corpus_curation_packed": q_corpus_curation_packed,
+        "corpus_decontam_fuzzy": q_corpus_decontam_fuzzy,
+        "corpus_domain_cap": q_corpus_domain_cap,
         "corpus_epoch_shuffle": q_corpus_epoch_shuffle,
-        "dedup_incremental": q_dedup_incremental,
-        "web_paragraph_dedup": q_web_paragraph_dedup,
-        "dedup_window_stats": q_dedup_window_stats,
-        "dedup_substr_removal": q_dedup_substr_removal,
-        "dedup_cdc_chunks": q_dedup_cdc_chunks,
-        "text_bm25_topk": q_text_bm25_topk,
+        "corpus_mixture_audit": q_corpus_mixture_audit,
+        "corpus_mixture_sample": q_corpus_mixture_sample,
+        "corpus_rank_sample": q_corpus_rank_sample,
         "corpus_split_assign": q_corpus_split_assign,
         "corpus_split_audit": q_corpus_split_audit,
-        "corpus_decontam_fuzzy": q_corpus_decontam_fuzzy,
-        "multimodal_interleave": q_multimodal_interleave,
-        "multimodal_pack": q_multimodal_pack,
-        "multimodal_media_dedup": q_multimodal_media_dedup,
-        "embed_kmeans": q_embed_kmeans,
+        "dedup_cdc_chunks": q_dedup_cdc_chunks,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_substr_removal": q_dedup_substr_removal,
+        "dedup_window_stats": q_dedup_window_stats,
         "embed_cluster_sample": q_embed_cluster_sample,
         "embed_cluster_stats": q_embed_cluster_stats,
         "embed_hard_negatives": q_embed_hard_negatives,
+        "embed_kmeans": q_embed_kmeans,
+        "extract_paged": q_extract_paged,
+        "graph_host_rank": q_graph_host_rank,
+        "multimodal_caption_pairs": q_multimodal_caption_pairs,
+        "multimodal_dedup_apply": q_multimodal_dedup_apply,
+        "multimodal_image_filters": q_multimodal_image_filters,
+        "multimodal_interleave": q_multimodal_interleave,
+        "multimodal_media_dedup": q_multimodal_media_dedup,
+        "multimodal_pack": q_multimodal_pack,
+        "multimodal_phash_neardup": q_multimodal_phash_neardup,
+        "serialize_pxml_nested": q_serialize_pxml_nested,
+        "serialize_pxml_words": q_serialize_pxml_words,
+        "text_bm25_topk": q_text_bm25_topk,
         "text_bpe_encode": q_text_bpe_encode,
+        "text_dsir": q_text_dsir,
+        "text_lang_fertility": q_text_lang_fertility,
+        "text_moss_overlap": q_text_moss_overlap,
+        "text_perplexity": q_text_perplexity,
+        "text_ppl_buckets": q_text_ppl_buckets,
+        "text_quality_classifier": q_text_quality_classifier,
+        "text_readability": q_text_readability,
+        "text_tfidf_topk": q_text_tfidf_topk,
+        "text_weighted_sample": q_text_weighted_sample,
+        "text_winnowing": q_text_winnowing,
+        "web_badwords": q_web_badwords,
         "web_c4_filters": q_web_c4_filters,
-        "corpus_mixture_sample": q_corpus_mixture_sample,
-        "corpus_mixture_audit": q_corpus_mixture_audit,
-        "corpus_domain_cap": q_corpus_domain_cap,
-        "corpus_curation_flags": q_corpus_curation_flags,
-        "corpus_curation_packed": q_corpus_curation_packed,
-        "extract_pipeline": q_extract_pipeline,
-        "extract_dehyphenated": q_extract_dehyphenated,
+        "web_encoding_fix": q_web_encoding_fix,
+        "web_paragraph_dedup": q_web_paragraph_dedup,
+        "web_url_dedup": q_web_url_dedup,
+        "web_url_dedup_params": q_web_url_dedup_params,
         "dehyphenate_op": q_dehyphenate_op,
+        "extract_dehyphenated": q_extract_dehyphenated,
         "serialize_pxml": q_serialize_pxml,
         "serialize_tei": q_serialize_tei,
-        "corpus_pack_sequences": q_corpus_pack_sequences,
-        "corpus_pack_stats": q_corpus_pack_stats,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "html_synthesize": q_html_synthesize,
-        "html_main_content": q_html_main_content,
-        "html_block_stats": q_html_block_stats,
-        "multimodal_decode_meta": q_multimodal_decode_meta,
-        "text_vocabulary": q_text_vocabulary,
-        "text_length_quantiles": q_text_length_quantiles,
+        "agg_pricing_summary": q_agg_pricing_summary,
         "dedup_components": q_dedup_components,
-        "dedup_simhash_neardup": q_dedup_simhash_neardup,
-        "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
-        "bpe_train_merges": q_bpe_train_merges,
-        "web_synthesize": q_web_synthesize,
-        "web_boilerplate_lines": q_web_boilerplate_lines,
-        "web_boilerplate_lines_scaled": q_web_boilerplate_lines_scaled,
-        "web_boilerplate_strip": q_web_boilerplate_strip,
-        "web_boilerplate_overflow": q_web_boilerplate_overflow,
-        "web_pii_redact": q_web_pii_redact,
-        "web_url_domains": q_web_url_domains,
-        "corpus_sample_stratified": q_corpus_sample_stratified,
-        "extract_media_preservation": q_extract_media_preservation,
-        "extract_char_conservation": q_extract_char_conservation,
-        "text_quality_rules": q_text_quality_rules,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_hot_buckets": q_dedup_simhash_hot_buckets,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "text_lang_id": q_text_lang_id,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "sim_cosine_topk": q_sim_cosine_topk,
+        "dedup_simhash_neardup": q_dedup_simhash_neardup,
+        "distinct_event_types": q_distinct_event_types,
         "embed_label_centroids": q_embed_label_centroids,
-        "text_fingerprint": q_text_fingerprint,
-        "text_rolling_fingerprint": q_text_rolling_fingerprint,
-        "corpus_sample_hash": q_corpus_sample_hash,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "text_repetition": q_text_repetition,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frames": q_multimodal_frames,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "extract_char_conservation": q_extract_char_conservation,
+        "extract_media_preservation": q_extract_media_preservation,
+        "extract_pipeline": q_extract_pipeline,
         "filter_high_value": q_filter_high_value,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "multimodal_decode_meta": q_multimodal_decode_meta,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_resize": q_multimodal_resize,
+        "sim_ann_hot_buckets": q_sim_ann_hot_buckets,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "text_lang_id": q_text_lang_id,
+        "text_length_quantiles": q_text_length_quantiles,
+        "text_quality": q_text_quality,
+        "text_quality_rules": q_text_quality_rules,
+        "text_rolling_fingerprint": q_text_rolling_fingerprint,
+        "text_token_count": q_text_token_count,
+        "text_vocabulary": q_text_vocabulary,
         "topk_customers": q_topk_customers,
         "window_sessionize": q_window_sessionize,
-        "distinct_event_types": q_distinct_event_types,
-        "text_token_count": q_text_token_count,
-        "text_quality": q_text_quality,
     }
 
 
@@ -1383,6 +1414,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_substr_removal": dedup.sql_exact_substr_removal(),
         "dedup_cdc_chunks": dedup.sql_cdc_chunk_dedup(),
         "text_bm25_topk": retrieval.sql_bm25_topk(),
+        "text_bm25_bench_topk": retrieval.sql_bm25_bench_topk(),
         "corpus_split_assign": curation.sql_leakage_safe_split(),
         "corpus_split_audit": curation.sql_split_leakage_audit(),
         "corpus_decontam_fuzzy": decontam.sql_fuzzy_contamination_report(),
@@ -1452,6 +1484,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_domain_cap": webclean.sql_domain_cap(),
         "corpus_curation_flags": curation.sql_curation_flags(),
         "corpus_curation_packed": curation.sql_curation_packed(),
+        "corpus_pack_by_split": packing.sql_pack_by_split(),
         "corpus_pack_sequences": packing.sql_pack_sequences(),
         "corpus_pack_stats": packing.sql_pack_stats(),
         "corpus_decontaminate": decontam.sql_contamination_report(),
@@ -1462,6 +1495,7 @@ def oracle_sql() -> Dict[str, str]:
         "multimodal_pack": packing.sql_pack_interleaved(),
         "multimodal_media_dedup": multimodal.sql_media_asset_dedup(),
         "multimodal_decode_meta": multimodal.sql_media_meta(),
+        "multimodal_payload_phash": multimodal.sql_media_payload_phash(),
         "multimodal_resize": multimodal.sql_resize_media(),
         "multimodal_frames": multimodal.sql_frame_sample(),
         "extract_media_preservation": SQL_EXTRACT_MEDIA_PRESERVATION,

@@ -69,3 +69,47 @@ def test_deterministic(spark, corpus):
     a = sorted(map(tuple, bm25_topk(corpus).collect()))
     b = sorted(map(tuple, bm25_topk(corpus).collect()))
     assert a == b
+
+
+def test_bench_split_queries(spark):
+    """bm25_bench_topk draws query terms from the benchmark split and ranks
+    train docs: the planted-passage bigrams head the bench vocabulary
+    (bench df = n_bench), survive the train-rarity gate, and retrieve the
+    contaminated train docs; ranking stays salt-invariant."""
+    from pdfextract_spark.functions import decontam
+    from pdfextract_spark.functions.retrieval import bm25_bench_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = bm25_bench_topk(docs).collect()
+    assert out, "bench-derived queries retrieved nothing"
+    # retrieved docs are train-side only
+    split = {
+        r.doc_id: (r.role, " " + decontam.PASSAGE in r.text2)
+        for r in decontam.synthesize_eval_split(docs).collect()
+    }
+    for r in out:
+        assert split[r.doc_id][0] == "train", r.doc_id
+    # the passage queries surface planted (contaminated) train docs first:
+    # for every query whose terms all come from the planted passage, the
+    # full top-k is contaminated docs (later queries mix in bench-text
+    # bigrams and legitimately retrieve clean docs)
+    ws = decontam.PASSAGE.lower().split()
+    passage_bigrams = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    from pdfextract_spark.functions.retrieval import (
+        BM25_TPQ,
+        bm25_bench_terms,
+    )
+    terms = bm25_bench_terms(docs).collect()
+    by_q = {}
+    for t in terms:
+        by_q.setdefault(t.query_id, []).append(t.token)
+    pure = {q for q, toks in by_q.items() if set(toks) <= passage_bigrams}
+    assert pure, "no all-passage query — premise too weak"
+    hits = [r for r in out if r.query_id in pure]
+    assert hits
+    for r in hits:
+        assert split[r.doc_id][1], f"doc {r.doc_id} in passage query not contaminated"
+    # salt invariance (exactness of the two-stage top-k on this variant)
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple, bm25_bench_topk(docs, salt=32).collect()))
+    assert a == b

@@ -23,6 +23,9 @@ COLLECT_ALLOWED = {
     "bpe.py",
     "clustering.py",
     "decontam_stream.py",
+    # fuzzy twin of decontam_stream: the benchmark shingle + exact-gram
+    # sets, built once batch-side, both hard-capped at BENCH_GRAMS_CAP
+    "fuzzy_decontam_stream.py",
 }
 
 
@@ -77,9 +80,10 @@ SINGLE_PARTITION_WINDOW_ALLOWED = {
     # mean_surprisal_q4 score domain (|distinct q4 scores| <= a few
     # thousand — bounded by the 1/16-bit log2 range, not corpus size)
     "textops.py": 2,
-    # bm25_topk: query-term ranking over the orderBy().limit(NQ*TPQ)
-    # result — a constant-size frame, not corpus-scaled
-    "retrieval.py": 1,
+    # bm25_topk + bm25_bench_topk: query-term ranking over the
+    # orderBy().limit(NQ*TPQ) result — constant-size frames, never
+    # corpus-scaled
+    "retrieval.py": 2,
 }
 
 
@@ -128,9 +132,10 @@ BROADCAST_ALLOWED = {
     # DSIR hashed-bigram censuses (both <= DSIR_BUCKETS rows by
     # construction — the hash space IS the cap)
     "textops.py": 3,
-    # bm25: 1-row corpus stats (x2) + the limit(NQ*TPQ) query-term frame —
-    # all constant-size by construction
-    "retrieval.py": 3,
+    # bm25: 1-row corpus stats (x2: term gate + scoring) + the
+    # limit(NQ*TPQ) query-term frame + the bench variant's 1-row stats in
+    # its term gate — all constant-size by construction
+    "retrieval.py": 4,
 }
 
 
