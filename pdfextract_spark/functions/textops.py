@@ -352,6 +352,186 @@ FROM s GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Bigram LM perplexity with STUPID BACKOFF (Brants et al. 2007, "Large
+# Language Models in Machine Translation" — the web-scale n-gram scheme:
+# no discounting, a fixed backoff penalty, counts only). This is the n=2
+# member of the CCNet/KenLM quality-signal family one tier above the
+# unigram gate: P(w_i | w_{i-1}) = c(ab)/c(a) when the bigram is in the LM,
+# else alpha * P_uni(w_i). Surprisal stays in the same 1/16-bit int64
+# fixed point as unigram_perplexity, so Spark == DuckDB bit-exactly (the
+# backoff penalty -log2(alpha) is an integer constant added to the unigram
+# surprisal on the backoff path).
+#
+# Scale shape: TWO censuses (token and bigram; each ONE groupBy with
+# map-side combine over the exploded stream), both LMs HARD-capped
+# (VOCAB_CAP / BIGRAM_CAP top rows by deterministic count-desc order — the
+# broadcasts are provably bounded), the bigram LM carries its context
+# count c(a) via a census-to-census join (vocab-sized, never the corpus),
+# corpus total T rides a 1-row crossJoin, scoring is broadcast joins + one
+# groupBy(doc_id). Three corpus passes total (two censuses + scoring) —
+# the train-then-serve reality of any counting LM. int64 headroom is the
+# unigram gate's: T * PRESCALE < 2^63 (~9e15 tokens; shard past that).
+
+BIGRAM_CAP = 512         # bigram LM size — the broadcast's hard cap. The
+#                          fixture corpus has 916 bigram types, so this
+#                          sandbox value makes the backoff path real (the
+#                          tail 400 types back off); production runs
+#                          10^7-10^9 with the LM as a stored census table
+#                          (shuffle join) once it outgrows a broadcast —
+#                          same dial as the incremental-dedup history side
+BACKOFF_PENALTY16 = 21   # -log2(alpha), alpha = 0.4 (Brants' S(.)), 1/16-bit
+BIPPX_GATE_Q4 = 84       # flag when mean surprisal > 5.25 bits — the
+#                          bigram LM sits far below the unigram gate (224):
+#                          in-LM positions cost log2(c(a)/c(ab)), and the
+#                          gate splits the fixture on backoff density
+
+
+def bigram_perplexity(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, n_backoff, mean_surprisal_q4, ppx_flag) for
+    every document with >= 2 whitespace tokens. mean_surprisal_q4 averages
+    per-position surprisal of P(cur | prev) under the corpus-trained
+    stupid-backoff bigram LM in 1/16-bit units; n_backoff counts positions
+    that fell back to the unigram path (bigram outside the capped LM);
+    ppx_flag marks the high-perplexity tail, same gate constant as the
+    unigram pass (a backed-off stopword corpus scores higher there —
+    that asymmetry is the point of the stronger model)."""
+    # bigrams via zip_with over two slices of a MATERIALIZED words column
+    # (the DSIR de-quadratification: element_at inside a lambda re-evaluates
+    # the split per element)
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    docs = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), words.alias("_w")
+    ).filter(F.size("_w") >= 2)
+    pairs = F.zip_with(
+        F.slice("_w", 1, F.size("_w") - 1),
+        F.slice("_w", 2, F.size("_w") - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    pos = docs.select("doc_id", F.explode(pairs).alias("pc")).select(
+        "doc_id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur")
+    )
+
+    # token census over ALL tokens (not just bigram positions): c(a) is the
+    # classic context count, and the unigram backoff LM is the same model
+    # unigram_perplexity serves. Feeds three consumers (vocab cap, total,
+    # bigram-LM context join) -> checkpoint the REDUCED frame, per the rule.
+    tok = documents.select(
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda w: w != "")).alias(
+            "token"
+        )
+    )
+    census = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    census = census.localCheckpoint(eager=False)
+    vocab = census.orderBy(F.desc("c"), F.asc("token")).limit(VOCAB_CAP)
+    total = census.agg(F.sum("c").alias("_lm_t"))
+
+    bi_census = pos.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_ab"))
+    bi_lm = (
+        bi_census.orderBy(F.desc("c_ab"), F.asc("prev"), F.asc("cur"))
+        .limit(BIGRAM_CAP)
+        .join(census.select(F.col("token").alias("prev"),
+                            F.col("c").alias("c_prev")), "prev")
+    )
+
+    scored = (
+        pos.join(F.broadcast(bi_lm), ["prev", "cur"], "left")
+        .join(
+            F.broadcast(vocab.select(F.col("token").alias("cur"),
+                                     F.col("c").alias("c_cur"))),
+            "cur",
+            "left",
+        )
+        .crossJoin(total)  # 1-row frame; AQE broadcasts it at runtime
+        .withColumn(
+            "_lm_q",
+            F.when(
+                F.col("c_ab").isNotNull(),
+                F.expr(f"(c_prev * {LM_PRESCALE}) div c_ab"),
+            )
+            .otherwise(
+                F.expr(f"(_lm_t * {LM_PRESCALE}) div coalesce(c_cur, {OOV_COUNT})")
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "_lm_s16",
+            (
+                _surprisal16(F.col("_lm_q"))
+                + F.when(F.col("c_ab").isNull(), BACKOFF_PENALTY16).otherwise(0)
+            ).cast("long"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.col("c_ab").isNull().cast("long")).alias("n_backoff"),
+        F.sum("_lm_s16").alias("_lm_sum"),
+    )
+    mean = F.expr("_lm_sum div n_bigrams").cast("long")
+    return agg.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_backoff").cast("long").alias("n_backoff"),
+        mean.alias("mean_surprisal_q4"),
+        (mean > BIPPX_GATE_Q4).alias("ppx_flag"),
+    )
+
+
+def sql_bigram_perplexity(table: str = "documents") -> str:
+    """DuckDB mirror: parallel unnest zips the two shifted projections of
+    the words list into (prev, cur) positions; same capped LMs, same int64
+    log2, same backoff constant."""
+    bias = 16 + 16 * (LM_PRESCALE.bit_length() - 1)
+    return f"""
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+  FROM {table}
+),
+tok AS (SELECT unnest(ws) AS token FROM w),
+census AS (SELECT token, COUNT(*)::BIGINT AS c FROM tok GROUP BY token),
+vocab AS (SELECT token, c FROM census ORDER BY c DESC, token ASC LIMIT {VOCAB_CAP}),
+total AS (SELECT SUM(c)::BIGINT AS t FROM census),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS prev,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS cur
+  FROM w WHERE len(ws) >= 2
+),
+bi AS (
+  SELECT prev, cur, c_ab, census.c AS c_prev FROM (
+    SELECT prev, cur, COUNT(*)::BIGINT AS c_ab
+    FROM pos GROUP BY prev, cur
+    ORDER BY c_ab DESC, prev ASC, cur ASC LIMIT {BIGRAM_CAP}
+  ) JOIN census ON census.token = prev
+),
+scored AS (
+  SELECT pos.doc_id,
+         CASE WHEN bi.c_ab IS NOT NULL
+              THEN (bi.c_prev * {LM_PRESCALE}) // bi.c_ab
+              ELSE (total.t * {LM_PRESCALE}) // COALESCE(vocab.c, {OOV_COUNT})
+         END::BIGINT AS q,
+         (bi.c_ab IS NULL) AS backed
+  FROM pos LEFT JOIN bi ON bi.prev = pos.prev AND bi.cur = pos.cur
+           LEFT JOIN vocab ON vocab.token = pos.cur
+           CROSS JOIN total
+),
+s AS (
+  SELECT doc_id, backed,
+         (16 * (length(bin(q)) - 1)
+          + ((q * 16) >> (length(bin(q)) - 1)) - {bias}
+          + CASE WHEN backed THEN {BACKOFF_PENALTY16} ELSE 0 END)::BIGINT AS s16
+  FROM scored
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_bigrams,
+       SUM(CASE WHEN backed THEN 1 ELSE 0 END)::BIGINT AS n_backoff,
+       (SUM(s16)::BIGINT // COUNT(*)::BIGINT)::BIGINT AS mean_surprisal_q4,
+       (SUM(s16)::BIGINT // COUNT(*)::BIGINT) > {BIPPX_GATE_Q4} AS ppx_flag
+FROM s GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weights (Xie et al. 2023, "Data Selection for Language
 # Models via Importance Resampling"): per-doc log importance ratio
 # log p_target(doc) - log p_raw(doc) under two hashed-bigram LMs — the
@@ -1430,4 +1610,140 @@ SELECT *,
             WHEN flesch_milli >= {READ_MEDIUM_MILLI} THEN 'medium'
             ELSE 'hard' END AS band
 FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Script/charset detection (the writing-SYSTEM axis of language ID — what
+# fastText's langid keys on first; CCNet and mC4 both bucket crawl docs by
+# script before the lexicon stage, because a Cyrillic page can't match an
+# English lexicon no matter its quality). Pure per-char class counting via
+# length deltas — zero shuffle, zero Python; every step is codepoint
+# counting, which Spark's length() and DuckDB's length() agree on.
+#
+# The fixture corpus is all-ASCII, so the synthesizer plants the structure
+# the operator exists for: an md5 schedule rewrites ~1/5 of docs as
+# Cyrillic, ~1/5 as CJK, and mixes a Cyrillic quote into ~1/5 — the same
+# pattern as synthesize_encoding/synthesize_dsir.
+
+SCRIPT_CYR_PHRASE = "привет мир данные поток система модель"
+SCRIPT_CJK_PHRASE = "数据 处理 系统 模型 语言 训练"
+SCRIPT_MIX_QUOTE = "цитата из статьи"
+
+
+def synthesize_scripts(documents: DataFrame) -> DataFrame:
+    """(doc_id, text2) — deterministic multilingual rewrite: md5 bucket 0
+    replaces the doc with repeated Cyrillic, 1 with repeated CJK, 2 appends
+    a short Cyrillic quote to the Latin text, else the text is unchanged."""
+    did = F.col("doc_id").cast("string")
+    b = F.conv(F.substring(F.md5(F.concat(F.lit("scr|"), did)), 1, 4), 16, 10) % 5
+    text2 = (
+        F.when(b == 0, F.repeat(F.lit(SCRIPT_CYR_PHRASE + " "), 3))
+        .when(b == 1, F.repeat(F.lit(SCRIPT_CJK_PHRASE + " "), 3))
+        .when(b == 2, F.concat(F.col("text"), F.lit(" " + SCRIPT_MIX_QUOTE)))
+        .otherwise(F.col("text"))
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), text2.alias("text2")
+    )
+
+
+def script_ratios(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, latin_pm, digit_pm, cyrillic_pm, cjk_pm, other_pm,
+    script) over (doc_id, text2): per-mille of non-whitespace codepoints in
+    each class; `script` is the argmax class with a fixed priority order on
+    ties (latin, digit, cyrillic, cjk, other)."""
+    stripped = docs.select(
+        "doc_id", F.regexp_replace("text2", r"\s", "").alias("_s")
+    )
+
+    def n_cls(pat: str):
+        return F.length("_s") - F.length(F.regexp_replace("_s", pat, ""))
+
+    counted = stripped.select(
+        "doc_id",
+        F.length("_s").cast("long").alias("n_chars"),
+        n_cls("[a-zA-Z]").cast("long").alias("_lat"),
+        n_cls("[0-9]").cast("long").alias("_dig"),
+        n_cls("[Ѐ-ӿ]").cast("long").alias("_cyr"),
+        n_cls("[一-鿿]").cast("long").alias("_cjk"),
+    ).withColumn(
+        "_oth",
+        (F.col("n_chars") - F.col("_lat") - F.col("_dig") - F.col("_cyr") - F.col("_cjk")).cast("long"),
+    )
+    pm = lambda c: F.expr(f"CASE WHEN n_chars > 0 THEN (1000 * {c}) div n_chars ELSE 0 END").cast("int")  # noqa: E731
+    script = (
+        F.when(
+            (F.col("_lat") >= F.col("_dig")) & (F.col("_lat") >= F.col("_cyr"))
+            & (F.col("_lat") >= F.col("_cjk")) & (F.col("_lat") >= F.col("_oth")),
+            "latin",
+        )
+        .when(
+            (F.col("_dig") >= F.col("_cyr")) & (F.col("_dig") >= F.col("_cjk"))
+            & (F.col("_dig") >= F.col("_oth")),
+            "digit",
+        )
+        .when((F.col("_cyr") >= F.col("_cjk")) & (F.col("_cyr") >= F.col("_oth")), "cyrillic")
+        .when(F.col("_cjk") >= F.col("_oth"), "cjk")
+        .otherwise("other")
+    )
+    return counted.select(
+        "doc_id",
+        "n_chars",
+        pm("_lat").alias("latin_pm"),
+        pm("_dig").alias("digit_pm"),
+        pm("_cyr").alias("cyrillic_pm"),
+        pm("_cjk").alias("cjk_pm"),
+        pm("_oth").alias("other_pm"),
+        script.alias("script"),
+    )
+
+
+def sql_script_ratios(table: str = "documents") -> str:
+    """DuckDB mirror: identical synthesis schedule, length-delta class
+    counts (regexp_replace with the 'g' flag), same argmax priority."""
+    did = "CAST(doc_id AS VARCHAR)"
+    b = f"(('0x' || substr(md5('scr|' || {did}), 1, 4))::BIGINT % 5)"
+    text2 = (
+        f"CASE {b} WHEN 0 THEN repeat('{SCRIPT_CYR_PHRASE} ', 3) "
+        f"WHEN 1 THEN repeat('{SCRIPT_CJK_PHRASE} ', 3) "
+        f"WHEN 2 THEN text || ' {SCRIPT_MIX_QUOTE}' ELSE text END"
+    )
+
+    def n_cls(pat: str) -> str:
+        return f"(length(s) - length(regexp_replace(s, '{pat}', '', 'g')))::BIGINT"
+
+    pm = "CASE WHEN n_chars > 0 THEN (1000 * {c}) // n_chars ELSE 0 END"
+    return f"""
+WITH d AS (
+  SELECT {did} AS doc_id, {text2} AS text2 FROM {table}
+),
+st AS (
+  SELECT doc_id, regexp_replace(text2, '\\s', '', 'g') AS s FROM d
+),
+c AS (
+  SELECT doc_id, length(s)::BIGINT AS n_chars,
+         {n_cls('[a-zA-Z]')} AS lat,
+         {n_cls('[0-9]')} AS dig,
+         {n_cls('[Ѐ-ӿ]')} AS cyr,
+         {n_cls('[一-鿿]')} AS cjk
+  FROM st
+),
+c2 AS (
+  SELECT doc_id, n_chars, lat, dig, cyr, cjk,
+         (n_chars - lat - dig - cyr - cjk)::BIGINT AS oth
+  FROM c
+)
+SELECT doc_id, n_chars,
+       CAST({pm.format(c='lat')} AS INT) AS latin_pm,
+       CAST({pm.format(c='dig')} AS INT) AS digit_pm,
+       CAST({pm.format(c='cyr')} AS INT) AS cyrillic_pm,
+       CAST({pm.format(c='cjk')} AS INT) AS cjk_pm,
+       CAST({pm.format(c='oth')} AS INT) AS other_pm,
+       CASE WHEN lat >= dig AND lat >= cyr AND lat >= cjk AND lat >= oth THEN 'latin'
+            WHEN dig >= cyr AND dig >= cjk AND dig >= oth THEN 'digit'
+            WHEN cyr >= cjk AND cyr >= oth THEN 'cyrillic'
+            WHEN cjk >= oth THEN 'cjk'
+            ELSE 'other' END AS script
+FROM c2
 """

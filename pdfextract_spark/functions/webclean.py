@@ -1413,3 +1413,133 @@ SELECT doc_id, url, {canon} AS canonical,
          AS is_keeper
 FROM p
 """
+
+
+# ---------------------------------------------------------------------------
+# URL blocklist filtering (RefinedWeb, Penedo et al. 2023 §3.1.1): a HARD
+# registered-domain blocklist (theirs: the UT1 4.6M-domain list) plus a
+# SOFT URL-keyword score (weighted spam words anywhere in the URL path;
+# a doc is dropped when the summed weight crosses the gate). Both rules
+# are pure Column algebra over the frontier row — zero shuffle, the ideal
+# 100 TB shape (the gate runs inside the crawl scan).
+#
+# Production dial: the literal domain tuple below stands in for the UT1
+# list; at 4.6M entries the membership test becomes a broadcast (a few
+# hundred MB) or, past executor memory, a bucketed shuffle join on the
+# registered-domain key — the incremental-dedup history-side precedent.
+# The soft keyword list is a few hundred entries in production and stays
+# a literal expression either way.
+
+URL_BLOCKED_DOMAINS = ("tracker-farm.biz", "casino-hub.example")
+URL_SOFT_WEIGHTS = (
+    ("casino", 500),
+    ("poker", 400),
+    ("pills", 350),
+    ("replica", 250),
+)
+URL_SCORE_GATE = 500  # milli-units; drop when summed keyword weight >= gate
+
+
+def synthesize_url_frontier(documents: DataFrame) -> DataFrame:
+    """(doc_id, url) — a deterministic frontier with planted structure:
+    an md5 schedule sends ~2/10 docs to blocked domains and draws 0-2 soft
+    spam keywords into the path, so every rule fires on the fixture."""
+    did = F.col("doc_id").cast("string")
+    b = F.conv(F.substring(F.md5(F.concat(F.lit("urlf|"), did)), 1, 4), 16, 10) % 10
+    b2 = F.conv(F.substring(F.md5(F.concat(F.lit("urlf|"), did)), 5, 4), 16, 10) % 8
+    b3 = F.conv(F.substring(F.md5(F.concat(F.lit("urlf|"), did)), 9, 4), 16, 10) % 8
+    host = (
+        F.when(b == 0, F.lit("ads.tracker-farm.biz"))
+        .when(b == 1, F.lit("www.casino-hub.example"))
+        .otherwise(
+            F.concat(F.lit("site"), (F.col("doc_id").cast("long") / 7).cast("long").cast("string"), F.lit(".org"))
+        )
+    )
+    w1 = (
+        F.when(b2 == 0, F.lit("casino"))
+        .when(b2 == 1, F.lit("poker"))
+        .when(b2 == 2, F.lit("pills"))
+        .when(b2 == 3, F.lit("replica"))
+        .otherwise(F.lit("article"))
+    )
+    w2 = F.when(b3 == 0, F.lit("poker")).otherwise(F.lit("page"))
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), w1, F.lit("-"), w2,
+        F.lit("/"), did,
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), url.alias("url")
+    )
+
+
+def url_blocklist_filter(urls: DataFrame) -> DataFrame:
+    """(doc_id, url, host, domain_blocked, url_score_milli, kept) over a
+    (doc_id, url) frontier: hard registered-domain block (exact or
+    dot-suffix match after www-stripping) + soft keyword score over the
+    lowercased path; kept = neither rule fires."""
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    base = urls.select(
+        "doc_id",
+        "url",
+        F.regexp_replace(host, r"^www\.", "").alias("host"),
+        F.lower(F.regexp_extract("url", r"^https?://[^/]+(/.*)?$", 1)).alias("_path"),
+    )
+    blocked = F.lit(False)
+    for d in URL_BLOCKED_DOMAINS:
+        blocked = blocked | (F.col("host") == d) | F.col("host").endswith("." + d)
+    score = sum(
+        (F.when(F.expr(f"contains(_path, '{kw}')"), w).otherwise(0))
+        for kw, w in URL_SOFT_WEIGHTS
+    )
+    return base.select(
+        "doc_id",
+        "url",
+        "host",
+        blocked.alias("domain_blocked"),
+        score.cast("int").alias("url_score_milli"),
+        (~blocked & (score < URL_SCORE_GATE)).alias("kept"),
+    )
+
+
+def sql_url_blocklist(table: str = "documents") -> str:
+    """DuckDB mirror: identical md5 frontier synthesis + rule constants."""
+    did = "CAST(doc_id AS VARCHAR)"
+    b = f"(('0x' || substr(md5('urlf|' || {did}), 1, 4))::BIGINT % 10)"
+    b2 = f"(('0x' || substr(md5('urlf|' || {did}), 5, 4))::BIGINT % 8)"
+    b3 = f"(('0x' || substr(md5('urlf|' || {did}), 9, 4))::BIGINT % 8)"
+    host = (
+        f"CASE {b} WHEN 0 THEN 'ads.tracker-farm.biz' "
+        f"WHEN 1 THEN 'www.casino-hub.example' "
+        f"ELSE 'site' || CAST(CAST(doc_id AS BIGINT) // 7 AS VARCHAR) || '.org' END"
+    )
+    w1 = (
+        f"CASE {b2} WHEN 0 THEN 'casino' WHEN 1 THEN 'poker' "
+        f"WHEN 2 THEN 'pills' WHEN 3 THEN 'replica' ELSE 'article' END"
+    )
+    w2 = f"CASE {b3} WHEN 0 THEN 'poker' ELSE 'page' END"
+    blocked = " OR ".join(
+        f"(host = '{d}' OR host LIKE '%.{d}')" for d in URL_BLOCKED_DOMAINS
+    )
+    score = " + ".join(
+        f"CASE WHEN contains(p, '{kw}') THEN {w} ELSE 0 END"
+        for kw, w in URL_SOFT_WEIGHTS
+    )
+    return f"""
+WITH u AS (
+  SELECT {did} AS doc_id,
+         'https://' || {host} || '/p/' || {w1} || '-' || {w2} || '/' || {did} AS url
+  FROM {table}
+),
+h AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_extract(url, '^https?://([^/]+)', 1),
+                        '^www\\.', '') AS host,
+         lower(regexp_extract(url, '^https?://[^/]+(/.*)$', 1)) AS p
+  FROM u
+)
+SELECT doc_id, url, host,
+       ({blocked}) AS domain_blocked,
+       CAST({score} AS INT) AS url_score_milli,
+       (NOT ({blocked}) AND ({score}) < {URL_SCORE_GATE}) AS kept
+FROM h
+"""

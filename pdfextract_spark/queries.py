@@ -676,6 +676,32 @@ def q_text_perplexity(spark, sf_dir):
     return textops.unigram_perplexity(_t(spark, sf_dir, "documents"))
 
 
+def q_text_bigram_ppl(spark, sf_dir):
+    """Stupid-backoff bigram-LM perplexity (Brants et al. 2007, the
+    web-scale n-gram scheme): P(cur|prev) from a hard-capped bigram census,
+    fixed backoff penalty onto the unigram LM, 1/16-bit int64 log2
+    end-to-end (Spark == DuckDB bit-exact)."""
+    return textops.bigram_perplexity(_t(spark, sf_dir, "documents"))
+
+
+def q_text_script_ratios(spark, sf_dir):
+    """Script/charset detection (the writing-system axis of language ID):
+    per-mille codepoint-class ratios + argmax script over a deterministic
+    multilingual rewrite (Cyrillic/CJK/mixed planted by md5 schedule)."""
+    return textops.script_ratios(
+        textops.synthesize_scripts(_t(spark, sf_dir, "documents"))
+    )
+
+
+def q_web_url_blocklist(spark, sf_dir):
+    """RefinedWeb URL filtering: hard registered-domain blocklist +
+    weighted soft keyword score over the URL path, both pure Column
+    algebra over a planted crawl frontier — zero shuffle."""
+    return webclean.url_blocklist_filter(
+        webclean.synthesize_url_frontier(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_text_dsir(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): per-doc log ratio of a
     hashed-bigram target-domain LM vs the raw-corpus LM, int64 fixed-point
@@ -1285,6 +1311,9 @@ def queries() -> Dict[str, Callable]:
         "text_bm25_bench_topk": q_text_bm25_bench_topk,
         "corpus_pack_by_split": q_corpus_pack_by_split,
         "multimodal_payload_phash": q_multimodal_payload_phash,
+        "text_bigram_ppl": q_text_bigram_ppl,
+        "text_script_ratios": q_text_script_ratios,
+        "web_url_blocklist": q_web_url_blocklist,
         "dedup_semdedup": q_dedup_semdedup,
         "bpe_train_merges": q_bpe_train_merges,
         "corpus_decontaminate": q_corpus_decontaminate,
@@ -1415,6 +1444,9 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_cdc_chunks": dedup.sql_cdc_chunk_dedup(),
         "text_bm25_topk": retrieval.sql_bm25_topk(),
         "text_bm25_bench_topk": retrieval.sql_bm25_bench_topk(),
+        "text_bigram_ppl": textops.sql_bigram_perplexity(),
+        "text_script_ratios": textops.sql_script_ratios(),
+        "web_url_blocklist": webclean.sql_url_blocklist(),
         "corpus_split_assign": curation.sql_leakage_safe_split(),
         "corpus_split_audit": curation.sql_split_leakage_audit(),
         "corpus_decontam_fuzzy": decontam.sql_fuzzy_contamination_report(),

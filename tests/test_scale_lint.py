@@ -130,8 +130,11 @@ BROADCAST_ALLOWED = {
     "queries.py": 1,
     # top-VOCAB_CAP unigram LM (hard cap, deterministic order) + the two
     # DSIR hashed-bigram censuses (both <= DSIR_BUCKETS rows by
-    # construction — the hash space IS the cap)
-    "textops.py": 3,
+    # construction — the hash space IS the cap), the unigram-LM vocab
+    # (<= VOCAB_CAP), and the stupid-backoff bigram LM + its unigram
+    # backoff vocab (<= BIGRAM_CAP / VOCAB_CAP rows — deterministic
+    # top-K caps)
+    "textops.py": 4,
     # bm25: 1-row corpus stats (x2: term gate + scoring) + the
     # limit(NQ*TPQ) query-term frame + the bench variant's 1-row stats in
     # its term gate — all constant-size by construction
