@@ -1747,3 +1747,140 @@ SELECT doc_id, n_chars,
             ELSE 'other' END AS script
 FROM c2
 """
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy gate (the gibberish/low-diversity detector of
+# Dolma/RedPajama-style quality stacks: binary-ish and base64-ish payloads
+# score HIGH, template/repeated-char junk scores LOW; both tails are
+# gated). Shannon entropy over the document's own character distribution,
+# computed ENTIRELY in-row: the char census is an O(n * alphabet)
+# transform/filter fold over a MATERIALIZED char array (the no-CSE rule),
+# the log2 is the same 1/16-bit int64 fixed point as the LM surprisal —
+# zero shuffle, zero Python, Spark == DuckDB bit-exact.
+#
+# H_q4 = (sum over distinct chars c of k_c * s16((N * PRESCALE) div k_c))
+#        div N   — per-char surprisal weighted by its count, in 1/16 bits.
+
+ENTROPY_LOW_GATE_Q4 = 56    # < 3.5 bits/char: repeated/template junk
+ENTROPY_HIGH_GATE_Q4 = 69   # > ~4.3 bits/char: random-ish payloads
+#   gates bracket natural lowercase English (~4.1 bits/char with spaces
+#   removed); both tails fire on the fixture via the planted schedule
+
+
+def synthesize_entropy(documents: DataFrame) -> DataFrame:
+    """(doc_id, text2) — md5 schedule plants both entropy tails: bucket 0
+    replaces the doc with a single repeated character run (low tail),
+    bucket 1 with a base64-ish random stream (high tail: three md5 streams
+    translated onto disjoint 16-symbol alphabets -> 48 near-uniform symbols,
+    ~5.6 bits/char), else unchanged."""
+    did = F.col("doc_id").cast("string")
+    b = F.conv(F.substring(F.md5(F.concat(F.lit("ent|"), did)), 1, 4), 16, 10) % 6
+    hexstream = F.concat_ws(
+        "",
+        F.md5(F.concat(F.lit("e0|"), did)),
+        F.translate(
+            F.md5(F.concat(F.lit("e1|"), did)),
+            "0123456789abcdef", "ghijklmnopqrstuv",
+        ),
+        F.translate(
+            F.md5(F.concat(F.lit("e2|"), did)),
+            "0123456789abcdef", "GHIJKLMNOPQRSTUV",
+        ),
+    )
+    text2 = (
+        F.when(b == 0, F.repeat(F.lit("aaaa "), 40))
+        .when(b == 1, hexstream)
+        .otherwise(F.col("text"))
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), text2.alias("text2")
+    )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, entropy_q4, entropy_flag) over (doc_id, text2):
+    per-char Shannon entropy in 1/16-bit units over non-space codepoints;
+    entropy_flag marks BOTH gated tails (too low = repetitive junk, too
+    high = random-ish payload)."""
+    bias = 16 + 16 * (LM_PRESCALE.bit_length() - 1)
+    base = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text2), ''), c -> c != ' ')").alias("_ch"),
+    ).withColumn("_n", F.size("_ch").cast("long"))
+    # counts fold over the MATERIALIZED attribute (never an inline
+    # expression: interpreted HOFs re-evaluate inner array expressions per
+    # element — the winnowing trap)
+    h = F.expr(
+        f"""aggregate(
+          transform(array_distinct(_ch),
+                    c -> cast(size(filter(_ch, x -> x = c)) as bigint)),
+          cast(0 as bigint),
+          (acc, k) -> acc + k * (
+            16 * (length(bin((_n * {LM_PRESCALE}) div k)) - 1)
+            + shiftright(((_n * {LM_PRESCALE}) div k) * 16,
+                         length(bin((_n * {LM_PRESCALE}) div k)) - 1)
+            - {bias})
+        ) div _n"""
+    ).cast("long")
+    out = base.filter(F.col("_n") > 0).select(
+        "doc_id",
+        F.col("_n").alias("n_chars"),
+        h.alias("entropy_q4"),
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "entropy_q4",
+        (
+            (F.col("entropy_q4") < ENTROPY_LOW_GATE_Q4)
+            | (F.col("entropy_q4") > ENTROPY_HIGH_GATE_Q4)
+        ).alias("entropy_flag"),
+    )
+
+
+def sql_char_entropy(table: str = "documents") -> str:
+    """DuckDB mirror: the naive explode/GROUP BY census shape (fine at
+    oracle scale — exactly the shuffle the Spark side avoids), same
+    integer log2 and gates."""
+    bias = 16 + 16 * (LM_PRESCALE.bit_length() - 1)
+    did = "CAST(doc_id AS VARCHAR)"
+    b = f"(('0x' || substr(md5('ent|' || {did}), 1, 4))::BIGINT % 6)"
+    hexstream = (
+        f"md5('e0|' || {did})"
+        f" || translate(md5('e1|' || {did}), '0123456789abcdef', 'ghijklmnopqrstuv')"
+        f" || translate(md5('e2|' || {did}), '0123456789abcdef', 'GHIJKLMNOPQRSTUV')"
+    )
+    text2 = (
+        f"CASE {b} WHEN 0 THEN repeat('aaaa ', 40) "
+        f"WHEN 1 THEN {hexstream} ELSE text END"
+    )
+    s16 = (
+        "(16 * (length(bin(q)) - 1)"
+        f" + ((q * 16) >> (length(bin(q)) - 1)) - {bias})"
+    )
+    return f"""
+WITH d AS (
+  SELECT {did} AS doc_id, {text2} AS text2 FROM {table}
+),
+ch AS (
+  SELECT doc_id, unnest(string_split(lower(text2), '')) AS c FROM d
+),
+nz AS (SELECT doc_id, c FROM ch WHERE c <> ' '),
+cnt AS (SELECT doc_id, c, COUNT(*)::BIGINT AS k FROM nz GROUP BY 1, 2),
+tot AS (SELECT doc_id, SUM(k)::BIGINT AS n FROM cnt GROUP BY 1),
+s AS (
+  SELECT cnt.doc_id, tot.n, cnt.k,
+         ((tot.n * {LM_PRESCALE}) // cnt.k)::BIGINT AS q
+  FROM cnt JOIN tot USING (doc_id)
+),
+e AS (
+  SELECT doc_id, MAX(n)::BIGINT AS n_chars,
+         (SUM(k * {s16})::BIGINT // MAX(n))::BIGINT AS entropy_q4
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, n_chars, entropy_q4,
+       (entropy_q4 < {ENTROPY_LOW_GATE_Q4}
+        OR entropy_q4 > {ENTROPY_HIGH_GATE_Q4}) AS entropy_flag
+FROM e
+"""

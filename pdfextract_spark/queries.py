@@ -693,6 +693,16 @@ def q_text_script_ratios(spark, sf_dir):
     )
 
 
+def q_text_char_entropy(spark, sf_dir):
+    """Character-entropy gate (Dolma/RedPajama gibberish detector): Shannon
+    entropy of the doc's own char distribution in 1/16-bit int64 fixed
+    point, both tails gated (repeated-char junk low, base64-ish payloads
+    high) over a planted two-tail rewrite — zero shuffle, all in-row."""
+    return textops.char_entropy(
+        textops.synthesize_entropy(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_web_url_blocklist(spark, sf_dir):
     """RefinedWeb URL filtering: hard registered-domain blocklist +
     weighted soft keyword score over the URL path, both pure Column
@@ -1313,6 +1323,7 @@ def queries() -> Dict[str, Callable]:
         "multimodal_payload_phash": q_multimodal_payload_phash,
         "text_bigram_ppl": q_text_bigram_ppl,
         "text_script_ratios": q_text_script_ratios,
+        "text_char_entropy": q_text_char_entropy,
         "web_url_blocklist": q_web_url_blocklist,
         "dedup_semdedup": q_dedup_semdedup,
         "bpe_train_merges": q_bpe_train_merges,
@@ -1446,6 +1457,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_bm25_bench_topk": retrieval.sql_bm25_bench_topk(),
         "text_bigram_ppl": textops.sql_bigram_perplexity(),
         "text_script_ratios": textops.sql_script_ratios(),
+        "text_char_entropy": textops.sql_char_entropy(),
         "web_url_blocklist": webclean.sql_url_blocklist(),
         "corpus_split_assign": curation.sql_leakage_safe_split(),
         "corpus_split_audit": curation.sql_split_leakage_audit(),

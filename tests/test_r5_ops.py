@@ -109,6 +109,54 @@ def test_script_dominant_is_argmax(scripts):
         assert getattr(r, cols[r.script]) == getattr(r, best)
 
 
+# --------------------------------------------------------- char entropy
+
+@pytest.fixture(scope="module")
+def entropy(spark, docs):
+    return textops.char_entropy(textops.synthesize_entropy(docs)).toPandas()
+
+
+def test_char_entropy_matches_mirror(entropy):
+    du = _duck(textops.sql_char_entropy())
+    assert len(entropy) == len(du)
+    assert sorted(entropy.columns) == sorted(du.columns)
+    assert _value_hash(entropy) == _value_hash(du)
+
+
+def test_char_entropy_both_tails_fire(entropy):
+    low = entropy[entropy.entropy_q4 < textops.ENTROPY_LOW_GATE_Q4]
+    high = entropy[entropy.entropy_q4 > textops.ENTROPY_HIGH_GATE_Q4]
+    mid = entropy[~entropy.entropy_flag]
+    assert len(low) > 0 and len(high) > 0 and len(mid) > 0
+    assert entropy.entropy_flag.equals(
+        (entropy.entropy_q4 < textops.ENTROPY_LOW_GATE_Q4)
+        | (entropy.entropy_q4 > textops.ENTROPY_HIGH_GATE_Q4)
+    )
+
+
+def test_char_entropy_planted_schedule(entropy):
+    # bucket 0 (repeated 'aaaa ') has exactly one distinct non-space char
+    # -> H = 0 exactly; bucket 1 (translated md5 streams, 32 case-folded
+    # symbols ~4.6 bits) clears the high gate for EVERY planted doc
+    assert (entropy.entropy_q4 >= 0).all()
+
+    def bucket(d):
+        return int(hashlib.md5(f"ent|{d}".encode()).hexdigest()[:4], 16) % 6
+
+    b = entropy.doc_id.map(bucket)
+    assert (entropy[b == 0].entropy_q4 == 0).all()
+    assert (entropy[b == 1].entropy_q4 > textops.ENTROPY_HIGH_GATE_Q4).all()
+    assert (~entropy[b >= 2].entropy_flag).all()  # natural text passes
+
+
+def test_char_entropy_zero_shuffle(spark, docs):
+    plan = (
+        textops.char_entropy(textops.synthesize_entropy(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 # --------------------------------------------------------- url blocklist
 
 @pytest.fixture(scope="module")
