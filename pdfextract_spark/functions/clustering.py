@@ -251,3 +251,198 @@ SELECT cluster, COUNT(*)::BIGINT AS n_vecs, SUM(dist)::BIGINT AS inertia,
 FROM ({sql_kmeans_assign(table)})
 GROUP BY cluster
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011, the IVF-PQ storage path): split
+# the vector into M orthogonal subspaces, learn a small codebook per
+# subspace with the SAME fixed-point Lloyd kernel, and store each vector as
+# M sub-codes. At 10^12 vectors a 64-dim float32 corpus is ~256 TB of raw
+# embeddings; M=8 x 8-bit PQ codes store the same corpus in ~8 TB with
+# asymmetric-distance search quality — compression IS the embedding-scale
+# strategy, not a nicety.
+#
+# Sandbox dials (production values documented): M=4 subspaces x 16 dims,
+# K=8 codewords, 1 Lloyd round. Production: M=8/16, K=256, ~10 rounds —
+# same plan shape, only literal sizes change (past K~10^3 the codebook
+# rides as a broadcast table instead of a plan literal, the kmeans_assign
+# dial).
+#
+# Scale shape per Lloyd round: ONE shuffle for ALL subspaces — the
+# per-subspace argmin assignments are map-side Projects against codebook
+# literals, the update explodes each vector into M (subspace, code, subvec)
+# rows and runs a single groupBy(m, code) with map-side partial sums whose
+# output is M*K rows (32). Driver traffic: K seed rows + M*K rows/round.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4        # subspaces (production: 8-16)
+PQ_SUBDIM = DIM // PQ_M
+PQ_CODES = 8    # codewords per subspace (production: 256)
+PQ_ITERS = 1    # Lloyd rounds (production: ~10)
+
+
+def _pq_best(codebook_m: dict, sub: "F.Column") -> "F.Column":
+    """struct(dist, k) argmin of one subspace's codebook over a sub-vector
+    column — the _assign_cols pattern on a slice: codewords ride as one
+    nested-array literal, ties break to the smaller code in both engines."""
+    arr = F.lit([[int(v) for v in codebook_m[k]] for k in sorted(codebook_m)])
+    pairs = F.transform(
+        arr,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            i.cast("int").alias("k"),
+        ),
+    )
+    return F.array_min(pairs)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+) -> DataFrame:
+    """(vec_id, pq_code, recon_err) — the PQ encoding of every vector after
+    `iters` codebook-training rounds from the md5('pq|')-seeded start.
+    pq_code is the M sub-codes joined 'c0-c1-...-cM' (the stored
+    representation); recon_err is the exact int64 squared quantization
+    error summed over subspaces (the PQ distortion diagnostic — rank
+    corpora / pick M,K by its distribution)."""
+    subdim = dim // m
+    base = _quantized(embeddings)
+    qp = base.select(
+        "vec_id",
+        "q",
+        F.md5(F.concat(F.lit("pq|"), F.col("vec_id").cast("string"))).alias("hp"),
+    )
+    # bounded driver traffic: K seed rows shared by every subspace, then
+    # M*K rows per round (the clustering.py .collect() allowlist argument)
+    seed_rows = qp.orderBy("hp", "vec_id").limit(codes).collect()
+    cb = {
+        mm: {
+            k: list(r["q"])[mm * subdim : (mm + 1) * subdim]
+            for k, r in enumerate(seed_rows)
+        }
+        for mm in range(m)
+    }
+    for _ in range(iters):
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(mm).cast("int").alias("m"),
+                    _pq_best(cb[mm], F.slice("q", mm * subdim + 1, subdim))[
+                        "k"
+                    ].alias("code"),
+                    F.slice("q", mm * subdim + 1, subdim).alias("sub"),
+                )
+                for mm in range(m)
+            ]
+        )
+        rows = qp.select(F.explode(entries).alias("e")).select(
+            "e.m", "e.code", "e.sub"
+        )
+        sums = rows.groupBy("m", "code").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[
+                F.sum(F.element_at("sub", i + 1)).alias(f"s{i}")
+                for i in range(subdim)
+            ],
+        )
+        new = sums.select(
+            "m",
+            "code",
+            *[F.expr(f"s{i} div cnt").alias(f"m{i}") for i in range(subdim)],
+        ).collect()
+        # empty codes keep their previous codeword (standard Lloyd)
+        for r in new:
+            cb[r["m"]][r["code"]] = [r[f"m{i}"] for i in range(subdim)]
+    bests = [
+        _pq_best(cb[mm], F.slice("q", mm * subdim + 1, subdim)) for mm in range(m)
+    ]
+    err = bests[0]["dist"]
+    for b in bests[1:]:
+        err = err + b["dist"]
+    return qp.select(
+        "vec_id",
+        F.concat_ws("-", *[b["k"].cast("string") for b in bests]).alias("pq_code"),
+        err.cast("long").alias("recon_err"),
+    )
+
+
+def sql_pq_encode(
+    table: str = "embeddings",
+    m: int = PQ_M,
+    codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+) -> str:
+    """DuckDB mirror: same quantization/seeding, `iters` unrolled training
+    rounds as chained CTEs over an exploded (vec_id, m) relation — per-
+    subspace assignment via a K-row cross join + (dist, k) ROW_NUMBER,
+    codebook update via SUBDIM integer sums and floor division, final
+    encode re-pivoted per vec_id with an ordered string_agg."""
+    subdim = dim // m
+    qexpr = (
+        "list_transform(embedding, "
+        f"e -> CAST(floor((CAST(e AS DOUBLE) + 1.0) * {FIXED_SCALE}) AS BIGINT))"
+    )
+    dist = (
+        f"list_sum(list_transform(range(1, {subdim + 1}), "
+        "i -> (sub[i] - c[i]) * (sub[i] - c[i])))"
+    )
+    mean_list = ", ".join(f"SUM(sub[{i + 1}]) // COUNT(*)" for i in range(subdim))
+    parts = [
+        f"""q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {qexpr} AS q,
+         md5('pq|' || CAST(vec_id AS VARCHAR)) AS hp
+  FROM {table}
+),
+ms AS (SELECT CAST(unnest(range({m})) AS INT) AS m),
+sv AS (
+  SELECT vec_id, m, list_slice(q, m * {subdim} + 1, (m + 1) * {subdim}) AS sub
+  FROM q CROSS JOIN ms
+),
+seed AS (
+  SELECT q, CAST(ROW_NUMBER() OVER (ORDER BY hp, vec_id) - 1 AS INT) AS k
+  FROM (SELECT vec_id, q, hp FROM q ORDER BY hp, vec_id LIMIT {codes})
+),
+cb0 AS (
+  SELECT ms.m, seed.k,
+         list_slice(seed.q, ms.m * {subdim} + 1, (ms.m + 1) * {subdim}) AS c
+  FROM seed CROSS JOIN ms
+)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (
+  SELECT sv.vec_id, sv.m, sv.sub, cb.k AS code, {dist} AS dist
+  FROM sv JOIN cb{it - 1} cb ON sv.m = cb.m
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.m
+                             ORDER BY {dist}, cb.k) = 1
+),
+u{it} AS (
+  SELECT m, code AS k, [{mean_list}] AS c FROM a{it} GROUP BY m, code
+),
+cb{it} AS (
+  SELECT s.m, s.k, COALESCE(u.c, s.c) AS c
+  FROM cb{it - 1} s LEFT JOIN u{it} u ON s.m = u.m AND s.k = u.k
+)"""
+        )
+    return f"""
+WITH {', '.join(parts)},
+fin AS (
+  SELECT sv.vec_id, sv.m, cb.k AS code, {dist} AS dist
+  FROM sv JOIN cb{iters} cb ON sv.m = cb.m
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.m
+                             ORDER BY {dist}, cb.k) = 1
+)
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS pq_code,
+       SUM(dist)::BIGINT AS recon_err
+FROM fin GROUP BY vec_id
+"""

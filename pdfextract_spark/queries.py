@@ -478,6 +478,16 @@ def q_embed_cluster_stats(spark, sf_dir):
     return clustering.cluster_stats(_t(spark, sf_dir, "embeddings"))
 
 
+def q_embed_pq_encode(spark, sf_dir):
+    """Product quantization (Jegou et al. 2011, the IVF-PQ storage path):
+    per-subspace codebooks trained with the shared fixed-point Lloyd kernel
+    — ONE shuffle per round covers ALL subspaces — then every vector stored
+    as M sub-codes + exact int64 reconstruction error. The compression leg
+    of embedding-scale search: 64-dim float32 at 10^12 vectors is ~256 TB;
+    PQ codes are ~2 orders smaller."""
+    return clustering.pq_encode(_t(spark, sf_dir, "embeddings"))
+
+
 def q_web_paragraph_dedup(spark, sf_dir):
     """CCNet's core dedup: paragraph-level exact dedup corpus-wide (first
     occurrence by (doc_id, pos) survives, docs re-assembled in order)."""
@@ -1324,6 +1334,7 @@ def queries() -> Dict[str, Callable]:
         "text_bigram_ppl": q_text_bigram_ppl,
         "text_script_ratios": q_text_script_ratios,
         "text_char_entropy": q_text_char_entropy,
+        "embed_pq_encode": q_embed_pq_encode,
         "web_url_blocklist": q_web_url_blocklist,
         "dedup_semdedup": q_dedup_semdedup,
         "bpe_train_merges": q_bpe_train_merges,
@@ -1458,6 +1469,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_bigram_ppl": textops.sql_bigram_perplexity(),
         "text_script_ratios": textops.sql_script_ratios(),
         "text_char_entropy": textops.sql_char_entropy(),
+        "embed_pq_encode": clustering.sql_pq_encode(),
         "web_url_blocklist": webclean.sql_url_blocklist(),
         "corpus_split_assign": curation.sql_leakage_safe_split(),
         "corpus_split_audit": curation.sql_split_leakage_audit(),
