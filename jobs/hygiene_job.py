@@ -59,6 +59,14 @@ def main() -> None:
         "flesch_milli below this are flagged (e.g. -100000 drops only "
         "gibberish-grade extremes); 0 disables the stage (default)",
     )
+    ap.add_argument(
+        "--entropy-gate",
+        action="store_true",
+        help="enable the two-tail character-entropy gate (repeated-char "
+        "junk below ENTROPY_LOW_GATE_Q4, random-ish payloads above "
+        "ENTROPY_HIGH_GATE_Q4 — the same kernel as text_char_entropy); "
+        "disabled by default",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("pdfextract-spark-hygiene").getOrCreate()
@@ -181,6 +189,29 @@ def main() -> None:
     else:
         df = df.withColumn("read_flag", F.lit(False))
 
+    # -- stage 3d: character-entropy gate (opt-in; BOTH tails, the same
+    # kernel as the text_char_entropy query). The census array and fold run
+    # in-row on the post-strip text — zero shuffle; the array attributes
+    # drop out of the projection immediately. ------------------------------
+    if args.entropy_gate:
+        ent = (
+            df.withColumn("_ch", textops.entropy_char_array(F.col("text")))
+            .withColumn("_n", F.size("_ch").cast("long"))
+            .withColumn(
+                "_h",
+                F.when(F.col("_n") > 0, textops.entropy_q4_expr()).otherwise(
+                    F.lit(0)
+                ),
+            )
+        )
+        df = ent.withColumn(
+            "ent_flag",
+            (F.col("_h") < textops.ENTROPY_LOW_GATE_Q4)
+            | (F.col("_h") > textops.ENTROPY_HIGH_GATE_Q4),
+        ).drop("_ch", "_n", "_h")
+    else:
+        df = df.withColumn("ent_flag", F.lit(False))
+
     # -- stage 4: exact-dedup keeper (one shuffle on the content hash) ------
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     df = df.withColumn("is_keeper", F.row_number().over(w) == 1)
@@ -196,6 +227,7 @@ def main() -> None:
         & F.col("ok_quality")
         & ~F.col("ppx_flag")
         & ~F.col("read_flag")
+        & ~F.col("ent_flag")
         & F.col("is_keeper")
         & F.col("sampled"),
     )
@@ -210,6 +242,7 @@ def main() -> None:
         F.sum(F.when(~F.col("ok_quality"), 1).otherwise(0)).alias("dropped_quality"),
         F.sum(F.when(F.col("ppx_flag"), 1).otherwise(0)).alias("dropped_perplexity"),
         F.sum(F.when(F.col("read_flag"), 1).otherwise(0)).alias("dropped_readability"),
+        F.sum(F.when(F.col("ent_flag"), 1).otherwise(0)).alias("dropped_entropy"),
         F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0)).alias("dropped_dups"),
         F.sum(F.when(~F.col("sampled"), 1).otherwise(0)).alias("dropped_sample"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("docs_out"),
@@ -243,6 +276,8 @@ def main() -> None:
         "dropped_readability": int(m.dropped_readability or 0),
         "ppx_gate": ppx_gate,
         "read_floor": args.read_floor,
+        "dropped_entropy": int(m.dropped_entropy or 0),
+        "entropy_gate": bool(args.entropy_gate),
         "dropped_dups": int(m.dropped_dups or 0),
         "dropped_sample": int(m.dropped_sample or 0),
         "packed": bool(args.pack_budget > 0),

@@ -1798,20 +1798,22 @@ def synthesize_entropy(documents: DataFrame) -> DataFrame:
     )
 
 
-def char_entropy(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_chars, entropy_q4, entropy_flag) over (doc_id, text2):
-    per-char Shannon entropy in 1/16-bit units over non-space codepoints;
-    entropy_flag marks BOTH gated tails (too low = repetitive junk, too
-    high = random-ish payload)."""
+def entropy_char_array(text_col) -> "F.Column":
+    """The census domain: lowercased non-space codepoints as an array.
+    Shared by the text_char_entropy query and the hygiene job's entropy
+    gate so the two can't drift (the flesch_milli precedent)."""
+    return F.filter(
+        F.split(F.lower(text_col), ""), lambda c: c != F.lit(" ")
+    )
+
+
+def entropy_q4_expr() -> "F.Column":
+    """Entropy fold in 1/16-bit int64 units over the MATERIALIZED `_ch` /
+    `_n` attributes (never inline expressions: interpreted HOFs re-evaluate
+    inner array expressions per element — the winnowing trap). Callers
+    project `_ch` = entropy_char_array(...) and `_n` = size(_ch) first."""
     bias = 16 + 16 * (LM_PRESCALE.bit_length() - 1)
-    base = docs.select(
-        "doc_id",
-        F.expr("filter(split(lower(text2), ''), c -> c != ' ')").alias("_ch"),
-    ).withColumn("_n", F.size("_ch").cast("long"))
-    # counts fold over the MATERIALIZED attribute (never an inline
-    # expression: interpreted HOFs re-evaluate inner array expressions per
-    # element — the winnowing trap)
-    h = F.expr(
+    return F.expr(
         f"""aggregate(
           transform(array_distinct(_ch),
                     c -> cast(size(filter(_ch, x -> x = c)) as bigint)),
@@ -1823,6 +1825,17 @@ def char_entropy(docs: DataFrame) -> DataFrame:
             - {bias})
         ) div _n"""
     ).cast("long")
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, entropy_q4, entropy_flag) over (doc_id, text2):
+    per-char Shannon entropy in 1/16-bit units over non-space codepoints;
+    entropy_flag marks BOTH gated tails (too low = repetitive junk, too
+    high = random-ish payload)."""
+    base = docs.select(
+        "doc_id", entropy_char_array(F.col("text2")).alias("_ch")
+    ).withColumn("_n", F.size("_ch").cast("long"))
+    h = entropy_q4_expr()
     out = base.filter(F.col("_n") > 0).select(
         "doc_id",
         F.col("_n").alias("n_chars"),

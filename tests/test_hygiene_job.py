@@ -196,3 +196,74 @@ def test_hygiene_job_readability_floor(tmp_path):
         for r in con.sql(f"SELECT doc_id FROM '{out}/clean/*.parquet'").fetchall()
     }
     assert "999" not in kept and "0" in kept
+
+
+def test_hygiene_job_entropy_gate_two_tails(tmp_path):
+    """Opt-in entropy gate: a repeated-char doc (low tail) and an
+    alphabet-cycling doc (high tail) that each PASS the rule gates must be
+    dropped only when --entropy-gate is on, both drops counted."""
+    import itertools
+
+    src = str(tmp_path / "in.parquet")
+    con = duckdb.connect()
+    # low tail: 'the' + 40x 'oo' -> n_words 41, mean_wlen ~2.02, stopword
+    # hit, digit ratio 0 -> rules pass; char distribution ~all 'o' -> H~0
+    low = "the " + " ".join(["oo"] * 40)
+    # high tail: 'the' + 25 8-char words cycling the alphabet -> uniform
+    # 26-symbol usage, ~4.7 bits/char, rules pass
+    cyc = itertools.cycle("abcdefghijklmnopqrstuvwxyz")
+    high = "the " + " ".join(
+        "".join(next(cyc) for _ in range(8)) for _ in range(25)
+    )
+    # filler prose tuned INSIDE the (3.5, 4.3] bits/char band — ordinary
+    # English sits ~3.9 bits; fragments like 'the good word w0 here' fall
+    # below the low gate and would be (correctly) flagged too
+    body = (
+        "the committee reviewed the annual report and found the results "
+        "were consistent with earlier estimates of growth"
+    )
+    rows = ", ".join(
+        [f"(1, '{low}')", f"(2, '{high}')"]
+        + [f"({i}, '{body} v{i}')" for i in range(3, 13)]
+    )
+    con.sql(
+        f"COPY (SELECT * FROM (VALUES {rows}) t(doc_id, text)) "
+        f"TO '{src}' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "hyg")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "hygiene_job.py"),
+            "--input", src, "--output", out, "--entropy-gate",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    assert metrics["entropy_gate"] is True
+    assert metrics["dropped_entropy"] == 2
+    assert metrics["dropped_quality"] == 0  # the rules did NOT catch them
+    kept = {
+        r[0]
+        for r in con.sql(f"SELECT doc_id FROM '{out}/clean/*.parquet'").fetchall()
+    }
+    assert "1" not in kept and "2" not in kept and "3" in kept
+
+    # default run (gate off): both planted docs survive, metric reads 0
+    out2 = str(tmp_path / "hyg2")
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "hygiene_job.py"),
+            "--input", src, "--output", out2,
+        ],
+        capture_output=True, text=True, timeout=420, cwd=REPO, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m2 = json.load(open(os.path.join(out2, "metrics.json")))
+    assert m2["dropped_entropy"] == 0 and m2["entropy_gate"] is False
+    kept2 = {
+        r[0]
+        for r in con.sql(f"SELECT doc_id FROM '{out2}/clean/*.parquet'").fetchall()
+    }
+    assert {"1", "2"} <= kept2
