@@ -300,28 +300,13 @@ def _pq_best(codebook_m: dict, sub: "F.Column") -> "F.Column":
     return F.array_min(pairs)
 
 
-def pq_encode(
-    embeddings: DataFrame,
-    m: int = PQ_M,
-    codes: int = PQ_CODES,
-    iters: int = PQ_ITERS,
-    dim: int = DIM,
-) -> DataFrame:
-    """(vec_id, pq_code, recon_err) — the PQ encoding of every vector after
-    `iters` codebook-training rounds from the md5('pq|')-seeded start.
-    pq_code is the M sub-codes joined 'c0-c1-...-cM' (the stored
-    representation); recon_err is the exact int64 squared quantization
-    error summed over subspaces (the PQ distortion diagnostic — rank
-    corpora / pick M,K by its distribution)."""
-    subdim = dim // m
-    base = _quantized(embeddings)
-    qp = base.select(
-        "vec_id",
-        "q",
-        F.md5(F.concat(F.lit("pq|"), F.col("vec_id").cast("string"))).alias("hp"),
-    )
-    # bounded driver traffic: K seed rows shared by every subspace, then
-    # M*K rows per round (the clustering.py .collect() allowlist argument)
+def _pq_train(qp: DataFrame, m: int, codes: int, iters: int, subdim: int) -> dict:
+    """Train the per-subspace codebooks over a (vec_id, q, hp) frame and
+    return {m: {k: codeword}} — shared by pq_encode (storage path) and
+    pq_adc_topk (search path) so encode and search cannot drift.
+
+    Bounded driver traffic: K seed rows shared by every subspace, then
+    M*K rows per round (the clustering.py .collect() allowlist argument)."""
     seed_rows = qp.orderBy("hp", "vec_id").limit(codes).collect()
     cb = {
         mm: {
@@ -361,6 +346,30 @@ def pq_encode(
         # empty codes keep their previous codeword (standard Lloyd)
         for r in new:
             cb[r["m"]][r["code"]] = [r[f"m{i}"] for i in range(subdim)]
+    return cb
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+) -> DataFrame:
+    """(vec_id, pq_code, recon_err) — the PQ encoding of every vector after
+    `iters` codebook-training rounds from the md5('pq|')-seeded start.
+    pq_code is the M sub-codes joined 'c0-c1-...-cM' (the stored
+    representation); recon_err is the exact int64 squared quantization
+    error summed over subspaces (the PQ distortion diagnostic — rank
+    corpora / pick M,K by its distribution)."""
+    subdim = dim // m
+    base = _quantized(embeddings)
+    qp = base.select(
+        "vec_id",
+        "q",
+        F.md5(F.concat(F.lit("pq|"), F.col("vec_id").cast("string"))).alias("hp"),
+    )
+    cb = _pq_train(qp, m, codes, iters, subdim)
     bests = [
         _pq_best(cb[mm], F.slice("q", mm * subdim + 1, subdim)) for mm in range(m)
     ]
@@ -387,6 +396,30 @@ def sql_pq_encode(
     codebook update via SUBDIM integer sums and floor division, final
     encode re-pivoted per vec_id with an ordered string_agg."""
     subdim = dim // m
+    parts, dist = _sql_pq_parts(table, m, codes, iters, subdim)
+    return f"""
+WITH {', '.join(parts)},
+fin AS (
+  SELECT sv.vec_id, sv.m, cb.k AS code, {dist} AS dist
+  FROM sv JOIN cb{iters} cb ON sv.m = cb.m
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.m
+                             ORDER BY {dist}, cb.k) = 1
+)
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS pq_code,
+       SUM(dist)::BIGINT AS recon_err
+FROM fin GROUP BY vec_id
+"""
+
+
+def _sql_pq_parts(
+    table: str, m: int, codes: int, iters: int, subdim: int,
+    with_label: bool = False,
+) -> tuple[list, str]:
+    """The shared codebook-training CTE chain (q, ms, sv, seed, cb0..cbI)
+    plus the per-(sub, c) squared-distance expression — composed by
+    sql_pq_encode (storage) and sql_pq_adc_topk (search). with_label keeps
+    the coarse-cell column in the q CTE for the IVF stage."""
     qexpr = (
         "list_transform(embedding, "
         f"e -> CAST(floor((CAST(e AS DOUBLE) + 1.0) * {FIXED_SCALE}) AS BIGINT))"
@@ -396,9 +429,10 @@ def sql_pq_encode(
         "i -> (sub[i] - c[i]) * (sub[i] - c[i])))"
     )
     mean_list = ", ".join(f"SUM(sub[{i + 1}]) // COUNT(*)" for i in range(subdim))
+    label_col = "CAST(label AS INT) AS label, " if with_label else ""
     parts = [
         f"""q AS (
-  SELECT CAST(vec_id AS BIGINT) AS vec_id, {qexpr} AS q,
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {label_col}{qexpr} AS q,
          md5('pq|' || CAST(vec_id AS VARCHAR)) AS hp
   FROM {table}
 ),
@@ -433,16 +467,236 @@ cb{it} AS (
   FROM cb{it - 1} s LEFT JOIN u{it} u ON s.m = u.m AND s.k = u.k
 )"""
         )
+    return parts, dist
+
+
+# ---------------------------------------------------------------------------
+# IVFADC search (Jegou et al. 2011 §III): the database side stores ONLY a
+# coarse cell id + M PQ sub-codes per vector (the pq_encode storage path),
+# queries stay full-precision and rank candidates by ASYMMETRIC distance —
+# ||q - recon(x)||^2 = sum_m LUT_q[m][code_m(x)] where LUT_q is the query's
+# M x K table of exact int64 squared distances to every codeword. At 10^12
+# vectors this is the search layout PQ compression exists for: candidate
+# scoring touches M small ints per database vector, never the raw 64-dim
+# float array (a ~30x read reduction at the sandbox dials, ~250x at
+# production M=8/K=256 with 8-bit codes).
+#
+# Scale shape: codebook training = pq_encode's bounded-driver-traffic Lloyd
+# loop (shared _pq_train); coarse cells = per-label integer centroids (the
+# ivf_topk quantizer — ONE groupBy whose output is |labels| rows, assignment
+# a map-side argmin against the bounded centroid relation, AQE broadcasts
+# it); candidate generation joins queries to database rows ON THE CELL KEY
+# (nprobe/|cells| of the corpus per query, the recall dial); the per-query
+# LUT is computed map-side once per probe row (M*K literal expressions) and
+# the ADC sum is M element_at lookups per candidate. Top-k is a per-query
+# window over the bounded candidate set.
+#
+# Determinism: everything through the ADC sum is exact int64 (the module
+# contract); argmin/rank ties break (dist, label) / (dist, neighbor_id)
+# ascending in both engines.
+# ---------------------------------------------------------------------------
+
+PQ_NPROBE = 2     # coarse cells probed per query (recall dial; 1 = classic)
+PQ_N_QUERY = 50   # query set = vec_id < 50 (the bounded top-k surface)
+PQ_TOPK = 3
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    nprobe: int = PQ_NPROBE,
+    n_query: int = PQ_N_QUERY,
+    topk: int = PQ_TOPK,
+) -> DataFrame:
+    """(vec_id, neighbor_id, adc_dist, rank) — IVFADC top-k: for each query
+    (vec_id < n_query), the `topk` nearest database vectors among its
+    `nprobe` probed coarse cells, ranked by exact int64 asymmetric PQ
+    distance (ascending, ties to the smaller neighbor_id). The database
+    side of the join carries ONLY (vec_id, cell, M sub-codes).
+
+    Invariant (tests/test_pq.py): ADC(q, x) >= recon_err(q) for every x,
+    with equality iff x's codes equal q's own — so a planted exact copy of
+    a query is guaranteed rank 1 with adc_dist == pq_encode's recon_err."""
+    from pyspark.sql import Window
+
+    subdim = dim // m
+    base = (
+        _quantized(embeddings)
+        .drop("h")
+        .withColumn(
+            "hp",
+            F.md5(F.concat(F.lit("pq|"), F.col("vec_id").cast("string"))),
+        )
+        .join(
+            embeddings.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("label").cast("int").alias("label"),
+            ),
+            "vec_id",
+        )
+    )
+    # three consumers (codebook training, centroid sums, cell ranking):
+    # materialize the quantization once
+    base = base.localCheckpoint(eager=False)
+    cb = _pq_train(base, m, codes, iters, subdim)
+
+    # coarse centroids: per-label exact signed half-away integer mean
+    # (the ivf_topk quantizer) — output is |labels| rows
+    sums = (
+        base.select("label", F.posexplode("q").alias("pos", "qv"))
+        .groupBy("label", "pos")
+        .agg(F.sum("qv").alias("n"), F.count(F.lit(1)).alias("d"))
+    )
+    v4 = F.expr("(2 * abs(n) + d) div (2 * d)")
+    signed = F.when(F.col("n") < 0, -v4).otherwise(v4)
+    cents = (
+        sums.select("label", "pos", signed.alias("cq"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+                lambda s: s["cq"],
+            ).alias("cvec"),
+        )
+        .select(F.col("label").alias("cell"), "cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with("q", "cvec", lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, vv: acc + vv,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    # no broadcast hint: cents is |labels| rows, AQE broadcasts at runtime
+    ranked = (
+        base.drop("label")
+        .crossJoin(cents)
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .select("vec_id", "q", "cell", "rn")
+        # two consumers (db side rn=1, query side rn<=nprobe): compute once
+        .localCheckpoint(eager=False)
+    )
+
+    # database side: cell + M sub-codes ONLY (the compressed layout)
+    db = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("nid"),
+        "cell",
+        *[
+            _pq_best(cb[mm], F.slice("q", mm * subdim + 1, subdim))["k"].alias(
+                f"c{mm}"
+            )
+            for mm in range(m)
+        ],
+    )
+
+    # query side: per-probe-row LUT — K exact distances per subspace,
+    # codewords ride as literals (M*K bounded expressions)
+    def lut(mm: int):
+        sub = F.slice("q", mm * subdim + 1, subdim)
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.lit([int(vv) for vv in cb[mm][k]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for k in sorted(cb[mm])
+            ]
+        ).alias(f"l{mm}")
+
+    qs = ranked.filter(
+        (F.col("vec_id") < n_query) & (F.col("rn") <= nprobe)
+    ).select(F.col("vec_id").alias("qid"), "cell", *[lut(mm) for mm in range(m)])
+
+    # each database vector lives in exactly one cell, so (qid, nid) pairs
+    # are unique across the nprobe probe rows — no dedup needed
+    pairs = qs.join(db, "cell").filter(F.col("qid") != F.col("nid"))
+    adc = F.element_at(F.col("l0"), F.col("c0") + 1)
+    for mm in range(1, m):
+        adc = adc + F.element_at(F.col(f"l{mm}"), F.col(f"c{mm}") + 1)
+    scored = pairs.select("qid", "nid", adc.cast("long").alias("adc_dist"))
+    wr = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("nid").alias("neighbor_id"),
+            "adc_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def sql_pq_adc_topk(
+    table: str = "embeddings",
+    m: int = PQ_M,
+    codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    nprobe: int = PQ_NPROBE,
+    n_query: int = PQ_N_QUERY,
+    topk: int = PQ_TOPK,
+) -> str:
+    """DuckDB mirror: the shared codebook CTEs (+label), per-vector codes
+    (fin), per-label integer centroids, coarse cell ranking, then the ADC
+    sum as a relational group-sum — query subvectors joined to database
+    codes on the subspace index and to the trained codebook on (m, code),
+    no LUT materialization needed in SQL."""
+    subdim = dim // m
+    parts, dist = _sql_pq_parts(table, m, codes, iters, subdim, with_label=True)
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (q.q[i] - c.cvec[i]) * (q.q[i] - c.cvec[i])))"
+    )
     return f"""
 WITH {', '.join(parts)},
 fin AS (
-  SELECT sv.vec_id, sv.m, cb.k AS code, {dist} AS dist
+  SELECT sv.vec_id, sv.m, cb.k AS code
   FROM sv JOIN cb{iters} cb ON sv.m = cb.m
   QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.m
                              ORDER BY {dist}, cb.k) = 1
+),
+csums AS (
+  SELECT label, CAST(generate_subscripts(q, 1) AS INT) AS pos, unnest(q) AS qv
+  FROM q
+),
+cint AS (
+  SELECT label, pos,
+         (CASE WHEN n < 0 THEN -((2 * abs(n) + d) // (2 * d))
+               ELSE ((2 * abs(n) + d) // (2 * d)) END) AS cq
+  FROM (SELECT label, pos, SUM(qv) AS n, COUNT(*) AS d FROM csums GROUP BY 1, 2)
+),
+cents AS (
+  SELECT label AS cell, list(cq ORDER BY pos) AS cvec FROM cint GROUP BY label
+),
+ranked AS (
+  SELECT q.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {d2} ASC, c.cell ASC) AS rn
+  FROM q CROSS JOIN cents c
+),
+adc AS (
+  SELECT qs.vec_id AS qid, db.vec_id AS nid, SUM({dist})::BIGINT AS adc_dist
+  FROM (SELECT * FROM ranked WHERE rn <= {nprobe} AND vec_id < {n_query}) qs
+  JOIN (SELECT * FROM ranked WHERE rn = 1) db
+    ON qs.cell = db.cell AND qs.vec_id <> db.vec_id
+  JOIN fin f ON f.vec_id = db.vec_id
+  JOIN sv ON sv.vec_id = qs.vec_id AND sv.m = f.m
+  JOIN cb{iters} cb ON cb.m = f.m AND cb.k = f.code
+  GROUP BY 1, 2
 )
-SELECT vec_id,
-       string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS pq_code,
-       SUM(dist)::BIGINT AS recon_err
-FROM fin GROUP BY vec_id
+SELECT vec_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank FROM (
+  SELECT qid AS vec_id, nid AS neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY adc_dist ASC, nid ASC) AS rank
+  FROM adc
+) WHERE rank <= {topk}
 """

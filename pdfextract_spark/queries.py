@@ -488,6 +488,16 @@ def q_embed_pq_encode(spark, sf_dir):
     return clustering.pq_encode(_t(spark, sf_dir, "embeddings"))
 
 
+def q_sim_pq_adc_topk(spark, sf_dir):
+    """IVFADC search (Jegou et al. 2011 §III) — the search leg the PQ
+    storage path exists for: database vectors carry only a coarse cell id +
+    M sub-codes, queries rank candidates from their nprobe probed cells by
+    exact int64 asymmetric distance via a per-query M x K lookup table.
+    Candidate scoring never touches the raw vector — M small-int lookups
+    per database row."""
+    return clustering.pq_adc_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_web_paragraph_dedup(spark, sf_dir):
     """CCNet's core dedup: paragraph-level exact dedup corpus-wide (first
     occurrence by (doc_id, pos) survives, docs re-assembled in order)."""
@@ -1335,6 +1345,7 @@ def queries() -> Dict[str, Callable]:
         "text_script_ratios": q_text_script_ratios,
         "text_char_entropy": q_text_char_entropy,
         "embed_pq_encode": q_embed_pq_encode,
+        "sim_pq_adc_topk": q_sim_pq_adc_topk,
         "web_url_blocklist": q_web_url_blocklist,
         "dedup_semdedup": q_dedup_semdedup,
         "bpe_train_merges": q_bpe_train_merges,
@@ -1470,6 +1481,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_script_ratios": textops.sql_script_ratios(),
         "text_char_entropy": textops.sql_char_entropy(),
         "embed_pq_encode": clustering.sql_pq_encode(),
+        "sim_pq_adc_topk": clustering.sql_pq_adc_topk(),
         "web_url_blocklist": webclean.sql_url_blocklist(),
         "corpus_split_assign": curation.sql_leakage_safe_split(),
         "corpus_split_audit": curation.sql_split_leakage_audit(),

@@ -83,3 +83,54 @@ def test_pq_encode_zero_shuffle(emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------- IVFADC search
+
+
+@pytest.fixture(scope="module")
+def adc(emb):
+    return clustering.pq_adc_topk(emb).toPandas()
+
+
+def test_pq_adc_matches_mirror(adc):
+    du = _duck(clustering.sql_pq_adc_topk())
+    assert len(adc) == len(du)
+    assert sorted(adc.columns) == sorted(du.columns)
+    assert _value_hash(adc) == _value_hash(du)
+
+
+def test_pq_adc_shape(adc):
+    # every query gets exactly topk ranked rows, ranks 1..topk, and the
+    # query set is the bounded vec_id < PQ_N_QUERY surface
+    g = adc.groupby("vec_id")["rank"].agg(["count", "min", "max"])
+    assert (g["count"] == clustering.PQ_TOPK).all()
+    assert (g["min"] == 1).all() and (g["max"] == clustering.PQ_TOPK).all()
+    assert (adc.vec_id < clustering.PQ_N_QUERY).all()
+    assert (adc.vec_id != adc.neighbor_id).all()
+
+
+def test_pq_adc_lower_bound(adc, pq):
+    # ADC(q, x) = sum_m LUT_q[m][code_m(x)] >= sum_m min_k LUT_q[m][k]
+    # = recon_err(q): no candidate can score below the query's own
+    # reconstruction error (the asymmetric-distance floor)
+    err = pq.set_index("vec_id").recon_err
+    assert (adc.adc_dist.values >= err.loc[adc.vec_id].values).all()
+
+
+def test_pq_adc_planted_copy_rank1(spark, emb):
+    # an exact copy of a query vector (same embedding, same label => same
+    # cell, same codes) achieves the ADC floor, so it MUST rank first with
+    # adc_dist == the query's recon_err from the storage path
+    qid, copy_id = 7, 100_000
+    copy = (
+        emb.filter("vec_id = %d" % qid)
+        .selectExpr("%d AS vec_id" % copy_id, "embedding", "label")
+    )
+    planted = emb.select("vec_id", "embedding", "label").unionByName(copy)
+    out = clustering.pq_adc_topk(planted).toPandas()
+    enc = clustering.pq_encode(planted).toPandas().set_index("vec_id")
+    top1 = out[(out.vec_id == qid) & (out["rank"] == 1)].iloc[0]
+    assert top1.adc_dist == enc.loc[qid].recon_err
+    # the rank-1 neighbor carries the query's own code word sequence
+    assert enc.loc[top1.neighbor_id].pq_code == enc.loc[qid].pq_code
