@@ -1277,3 +1277,113 @@ GROUP BY chunk_hash
 HAVING COUNT(*) >= {CDC_MIN_OCC}
 ORDER BY chunk_hash
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicate-aware weighted sampling ("soft dedup")
+# ---------------------------------------------------------------------------
+# Hard exact-dedup throws away the duplication signal; several curation
+# recipes instead keep ONE copy per exact cluster and upweight its sampling
+# probability by the cluster size, so naturally-replicated content (popular
+# pages, boilerplate-free mirrors) keeps influence proportional-ish to its
+# web frequency without token-level repetition. One keyed shuffle (the
+# census); the keep/drop coin is a pure function of the CONTENT hash, so
+# the whole cluster resolves in one draw, deterministically across runs,
+# retries, and engines (the hash_sample contract).
+
+DWS_RATE_MILLI = 250          # base keep rate for weight-1 (unique) docs
+DWS_PLANT_MOD = 4             # ~1/4 of docs get a planted extra copy
+DWS_PLANT_MOD4 = 16           # ~1/16 get three extra copies (weight 4)
+DWS_COPY_OFFSET = 4_000_000_000
+
+
+def synthesize_dup_corpus(documents: DataFrame) -> DataFrame:
+    """documents ∪ planted exact copies: the fixture's texts are all unique
+    (no exact-duplicate structure to weight), so — same pattern as the
+    incremental/web/semantic synthesizers — an md5-selected ~1/DWS_PLANT_MOD
+    of docs reappear once under doc_id + DWS_COPY_OFFSET, and ~1/DWS_PLANT_MOD4
+    reappear twice more (weight-4 clusters), rebuilt identically by the
+    DuckDB oracle."""
+    doc_id = F.col("doc_id").cast("long")
+    base = documents.select(doc_id.alias("doc_id"), "text")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dws|"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    copies = [base.filter(h % DWS_PLANT_MOD == 0).select(
+        (F.col("doc_id") + DWS_COPY_OFFSET).alias("doc_id"), "text"
+    )]
+    for c in (2, 3):
+        copies.append(
+            base.filter(h % DWS_PLANT_MOD4 == 0).select(
+                (F.col("doc_id") + c * DWS_COPY_OFFSET).alias("doc_id"), "text"
+            )
+        )
+    out = base
+    for c in copies:
+        out = out.unionByName(c)
+    return out
+
+
+def dup_weighted_sample(
+    documents: DataFrame, rate_milli: int = DWS_RATE_MILLI
+) -> DataFrame:
+    """(keeper_doc_id, weight, p_milli, sampled) — one row per exact-content
+    cluster: the keeper (min doc_id), the cluster size as its repetition
+    weight, the upweighted keep probability min(1000, rate_milli * weight)
+    in milli-units, and the deterministic content-hash coin's verdict."""
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    census = (
+        documents.select(F.col("doc_id").cast("long").alias("doc_id"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("weight"),
+        )
+    )
+    p = F.least(F.lit(1000), F.lit(rate_milli) * F.col("weight")).cast("int")
+    coin = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dwsc|"), F.col("fp"))), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return census.select(
+        "keeper_doc_id",
+        "weight",
+        p.alias("p_milli"),
+        (coin < p).alias("sampled"),
+    )
+
+
+def sql_dup_weighted_sample(
+    table: str = "documents", rate_milli: int = DWS_RATE_MILLI
+) -> str:
+    h = "('0x' || substr(md5('dws|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT"
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM {table}
+  UNION ALL
+  SELECT doc_id + {DWS_COPY_OFFSET}, text FROM {table}
+  WHERE {h} % {DWS_PLANT_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {2 * DWS_COPY_OFFSET}, text FROM {table}
+  WHERE {h} % {DWS_PLANT_MOD4} = 0
+  UNION ALL
+  SELECT doc_id + {3 * DWS_COPY_OFFSET}, text FROM {table}
+  WHERE {h} % {DWS_PLANT_MOD4} = 0
+),
+census AS (
+  SELECT md5(lower(trim(text))) AS fp,
+         MIN(doc_id) AS keeper_doc_id,
+         COUNT(*) AS weight
+  FROM corpus GROUP BY 1
+)
+SELECT keeper_doc_id, weight,
+       CAST(least(1000, {rate_milli} * weight) AS INT) AS p_milli,
+       (('0x' || substr(md5('dwsc|' || fp), 1, 8))::BIGINT % 1000
+        < least(1000, {rate_milli} * weight)) AS sampled
+FROM census
+"""

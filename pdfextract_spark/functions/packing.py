@@ -458,3 +458,109 @@ SELECT doc_id, CAST(span_offset AS INT) AS span_offset, kind,
          AS INT) AS chunk_id
 FROM u
 """
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batch assignment (padding-efficient batching)
+# ---------------------------------------------------------------------------
+# The complement of packing for variable-length training/inference: when
+# sequences are NOT concatenated (SFT, eval, embedding inference), every
+# sequence in a batch pads to the batch max, so uniform random batching
+# wastes tokens proportional to length variance. Bucketing by
+# floor(log2(n_tokens)) bounds within-batch length spread to < 2x, which
+# bounds per-token padding waste below 50% by construction (and in
+# practice near zero) — the bucketed-batching layout of fairseq /
+# tensor2tensor and every serving stack's length-aware scheduler.
+#
+# Scale shape: token count and bucket id are map-side; batch assignment is
+# a row_number inside (bucket, stream) — ONE shuffle, parallelism =
+# buckets x streams (the same dial as pack_sequences; a single bucket is
+# never one reducer's problem). Batch max / padding ride the same window
+# partition, no second shuffle. Determinism: the in-bucket order is an
+# md5 of the doc id (retry-stable shuffle, same contract as epoch_shuffle).
+
+BATCH_SIZE = 8  # sequences per batch (sandbox dial; production = per-rank batch)
+
+
+def length_bucket_batches(
+    documents: DataFrame,
+    batch_size: int = BATCH_SIZE,
+    n_streams: int = N_STREAMS,
+) -> DataFrame:
+    """(doc_id, n_tokens, bucket, stream, batch_id, batch_max, pad_tokens)
+    — every document assigned to a length bucket (floor(log2(n_tokens)))
+    and, inside its (bucket, stream), to a fixed-size batch in md5 order;
+    batch_max is the batch's padded width and pad_tokens the per-document
+    waste (batch_max - n_tokens)."""
+    from pyspark.sql import Window
+
+    doc_id = F.col("doc_id").cast("string")
+    base = documents.select(
+        doc_id.alias("doc_id"),
+        F.col("doc_id").cast("long").alias("doc_num"),
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+        F.md5(F.concat(F.lit("lb|"), doc_id)).alias("h"),
+    ).withColumn(
+        # floor(log2(n)) = digits in binary - 1; bin() agrees across engines
+        "bucket",
+        (F.length(F.bin("n_tokens")) - 1).cast("int"),
+    )
+    stream = (
+        F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % n_streams
+    ).cast("int")
+    base = base.withColumn("stream", stream)
+    w = Window.partitionBy("bucket", "stream").orderBy("h", "doc_num")
+    wb = Window.partitionBy("bucket", "stream", "batch_id")
+    return (
+        base.withColumn(
+            "batch_id",
+            ((F.row_number().over(w) - 1) / batch_size).cast("int"),
+        )
+        .withColumn("batch_max", F.max("n_tokens").over(wb))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bucket",
+            "stream",
+            "batch_id",
+            "batch_max",
+            (F.col("batch_max") - F.col("n_tokens")).alias("pad_tokens"),
+        )
+    )
+
+
+def sql_length_bucket_batches(
+    table: str = "documents",
+    batch_size: int = BATCH_SIZE,
+    n_streams: int = N_STREAMS,
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(doc_id AS BIGINT) AS doc_num,
+         CAST(length(string_split(text, ' ')) AS INT) AS n_tokens,
+         md5('lb|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM {table}
+),
+bucketed AS (
+  SELECT *,
+         CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket,
+         CAST((('0x' || substr(h, 1, 4))::BIGINT % {n_streams}) AS INT) AS stream
+  FROM base
+),
+batched AS (
+  SELECT *,
+         CAST((ROW_NUMBER() OVER (PARTITION BY bucket, stream
+                                  ORDER BY h, doc_num) - 1)
+              // {batch_size} AS INT) AS batch_id
+  FROM bucketed
+)
+SELECT doc_id, n_tokens, bucket, stream, batch_id,
+       CAST(batch_max AS INT) AS batch_max,
+       CAST(batch_max - n_tokens AS INT) AS pad_tokens
+FROM (
+  SELECT *, MAX(n_tokens) OVER (PARTITION BY bucket, stream, batch_id)
+            AS batch_max
+  FROM batched
+)
+"""

@@ -371,6 +371,19 @@ FROM documents GROUP BY 1
 
 # ------------------------------------ dedup / similarity / multimodal (§2+)
 
+def q_dedup_weighted_sample(spark, sf_dir):
+    """Duplicate-aware weighted sampling ("soft dedup"): keep ONE copy per
+    exact-content cluster and upweight its keep probability by the cluster
+    size, so naturally-replicated content keeps frequency-proportional
+    influence without token repetition. One census shuffle; the coin is a
+    pure function of the content hash (whole cluster, one draw). Duplicate
+    structure is planted (the fixture's texts are unique), rebuilt
+    identically by the oracle."""
+    return dedup.dup_weighted_sample(
+        dedup.synthesize_dup_corpus(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental (new-batch-vs-history) exact dedup — the production
     shape where history is never re-deduped: the day's crawl anti-joins its
@@ -904,6 +917,16 @@ def q_corpus_pack_stats(spark, sf_dir):
     return packing.pack_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_length_buckets(spark, sf_dir):
+    """Length-bucketed batch assignment (the padding-efficient layout for
+    non-packed batching: SFT, eval, embedding inference): documents bucket
+    by floor(log2(n_tokens)) — bounding within-batch length spread to <2x
+    — then batch in md5 order inside (bucket, stream); per-doc padding
+    waste (batch_max - n_tokens) rides the same window partition. ONE
+    shuffle; parallelism = buckets x streams."""
+    return packing.length_bucket_batches(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_decontaminate(spark, sf_dir):
     """Benchmark decontamination: per training doc, distinct word-8-grams
     shared with the (broadcast) benchmark gram set; planted positives must
@@ -1352,6 +1375,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_pack_stats": q_corpus_pack_stats,
+        "corpus_length_buckets": q_corpus_length_buckets,
         "corpus_sample_hash": q_corpus_sample_hash,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "html_block_stats": q_html_block_stats,
@@ -1378,6 +1402,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_split_audit": q_corpus_split_audit,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_weighted_sample": q_dedup_weighted_sample,
         "dedup_semantic": q_dedup_semantic,
         "dedup_substr_removal": q_dedup_substr_removal,
         "dedup_window_stats": q_dedup_window_stats,
@@ -1471,6 +1496,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_fingerprint": SQL_TEXT_FINGERPRINT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_incremental": dedup.sql_incremental_dedup(),
+        "dedup_weighted_sample": dedup.sql_dup_weighted_sample(),
         "web_paragraph_dedup": webclean.sql_paragraph_dedup(),
         "dedup_window_stats": dedup.sql_duplicate_window_stats(),
         "dedup_substr_removal": dedup.sql_exact_substr_removal(),
@@ -1555,6 +1581,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_pack_by_split": packing.sql_pack_by_split(),
         "corpus_pack_sequences": packing.sql_pack_sequences(),
         "corpus_pack_stats": packing.sql_pack_stats(),
+        "corpus_length_buckets": packing.sql_length_bucket_batches(),
         "corpus_decontaminate": decontam.sql_contamination_report(),
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),

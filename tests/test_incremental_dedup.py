@@ -137,3 +137,30 @@ def test_runtime_bloom_prefilter_needs_stored_fingerprints(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dup_weighted_sample_properties(spark):
+    from pdfextract_spark.functions import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = dedup.synthesize_dup_corpus(docs)
+    out = dedup.dup_weighted_sample(corpus).toPandas()
+    # one row per content cluster, keepers are originals (smallest id)
+    assert len(out) == docs.count()
+    assert (out.keeper_doc_id < dedup.DWS_COPY_OFFSET).all()
+    # planted weights: 1 (untouched), 2 (1-copy plant), 4 (3-copy plant);
+    # both plant classes exist at this sf
+    assert set(out.weight.unique()) <= {1, 2, 4}
+    assert (out.weight >= 2).any() and (out.weight == 4).any()
+    # upweighting: p_milli = min(1000, rate*weight); weight-4 clusters are
+    # certain keeps, so every one of them must be sampled
+    assert (out.p_milli == (out.weight * dedup.DWS_RATE_MILLI).clip(upper=1000)).all()
+    assert out[out.weight == 4].sampled.all()
+    # weight-1 keep rate is near the base rate (coin is uniform on md5)
+    w1 = out[out.weight == 1]
+    assert abs(w1.sampled.mean() - dedup.DWS_RATE_MILLI / 1000) < 0.08
+    # deterministic across runs
+    again = dedup.dup_weighted_sample(corpus).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )

@@ -53,3 +53,39 @@ def test_deterministic_across_runs_and_stream_assignment(spark):
     )
     for r in per_seq:
         assert r.toks <= packing.BUDGET or r.docs == 1
+
+
+def test_length_buckets_invariants(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = packing.length_bucket_batches(docs).toPandas()
+    assert len(out) == docs.count()
+    # bucket = floor(log2(n_tokens)): every doc sits inside its band, so
+    # within-batch spread is < 2x and per-doc padding is < its own length
+    assert ((out.n_tokens >= 2**out.bucket) & (out.n_tokens < 2**(out.bucket + 1))).all()
+    assert (out.batch_max >= out.n_tokens).all()
+    assert (out.pad_tokens < out.n_tokens).all()
+    # batches are fixed-size with one ragged tail per (bucket, stream)
+    sizes = out.groupby(["bucket", "stream", "batch_id"]).size()
+    for (b, s), grp in sizes.groupby(level=[0, 1]):
+        assert (grp.iloc[:-1] == packing.BATCH_SIZE).all()
+        assert 1 <= grp.iloc[-1] <= packing.BATCH_SIZE
+    # batch_max really is the batch max
+    bm = out.groupby(["bucket", "stream", "batch_id"]).n_tokens.max()
+    joined = out.set_index(["bucket", "stream", "batch_id"])
+    assert (joined.batch_max == bm.loc[joined.index]).all()
+
+
+def test_length_buckets_matches_mirror(spark):
+    import duckdb
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sp = packing.length_bucket_batches(docs).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    du = con.sql(packing.sql_length_bucket_batches()).df()
+    key = ["doc_id"]
+    sp = sp.sort_values(key).reset_index(drop=True)[sorted(sp.columns)]
+    du = du.sort_values(key).reset_index(drop=True)[sorted(du.columns)]
+    assert sp.astype(str).equals(du.astype(str))
