@@ -1353,12 +1353,14 @@ def q_dedup_cdc_chunks(spark, sf_dir):
 def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
-    # task 1). r4.4 rotation: the never-driver-green set is EXACTLY 50
-    # entries (script-verified against CORRECTNESS_r01-r03), so the window
-    # is precisely that set — after this round's driver run every query in
-    # the repo has >=1 driver-green round. The 54 entries past position 50
-    # are veterans green in >=1 prior round (the flagship extract_pipeline
-    # in 2) and stay pytest- and check_oracle-gated every round.
+    # task 1). r5 rotation (script-verified against CORRECTNESS_r01-r04):
+    # every zero-evidence entry — the 12 operators added this round — is
+    # inside the window, no window slot holds a >=2-evidence veteran, and
+    # the remaining slots go to 1-evidence entries oldest-evidence-first
+    # (all 17 r03-only singles, then 21 of the 50 r04-only singles).
+    # The entries past position 50 are veterans
+    # green in >=1 prior round and stay pytest- and check_oracle-gated
+    # every round.
     return {
         "dedup_semdedup_hot": q_dedup_semdedup_hot,
         "text_bm25_bench_topk": q_text_bm25_bench_topk,
