@@ -564,3 +564,113 @@ FROM (
   FROM batched
 )
 """
+
+
+def padding_report(
+    documents: DataFrame,
+    batch_size: int = BATCH_SIZE,
+    n_streams: int = N_STREAMS,
+) -> DataFrame:
+    """(stream, n_docs, real_tokens, pad_bucketed, pad_naive,
+    pad_bucketed_milli, pad_naive_milli) — the layout win, measured: total
+    padding waste per stream under length-bucketed batching vs the naive
+    counterfactual (same md5 batch order, length ignored), with per-mille
+    pad-per-real-token rates. Both layouts derive from one base pass; the
+    naive window partitions on the stream key (the packing parallelism
+    dial, same bounded-domain argument as pack_sequences)."""
+    from pyspark.sql import Window
+
+    bucketed = length_bucket_batches(documents, batch_size, n_streams).select(
+        "doc_id", "n_tokens", "stream", F.col("pad_tokens").alias("pad_b")
+    )
+    doc_id = F.col("doc_id").cast("string")
+    base = documents.select(
+        doc_id.alias("doc_id"),
+        F.col("doc_id").cast("long").alias("doc_num"),
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+        F.md5(F.concat(F.lit("lb|"), doc_id)).alias("h"),
+    )
+    stream = (
+        F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % n_streams
+    ).cast("int")
+    base = base.withColumn("stream", stream)
+    wn = Window.partitionBy("stream").orderBy("h", "doc_num")
+    wb = Window.partitionBy("stream", "batch_id")
+    naive = (
+        base.withColumn(
+            "batch_id",
+            ((F.row_number().over(wn) - 1) / batch_size).cast("int"),
+        )
+        .withColumn("batch_max", F.max("n_tokens").over(wb))
+        .select(
+            "doc_id",
+            (F.col("batch_max") - F.col("n_tokens")).alias("pad_n"),
+        )
+    )
+    joined = bucketed.join(naive, "doc_id")
+    return (
+        joined.groupBy("stream")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("real_tokens"),
+            F.sum("pad_b").alias("pad_bucketed"),
+            F.sum("pad_n").alias("pad_naive"),
+        )
+        .select(
+            "stream",
+            "n_docs",
+            "real_tokens",
+            "pad_bucketed",
+            "pad_naive",
+            F.expr("1000 * pad_bucketed div real_tokens").alias(
+                "pad_bucketed_milli"
+            ),
+            F.expr("1000 * pad_naive div real_tokens").alias("pad_naive_milli"),
+        )
+        .orderBy("stream")
+    )
+
+
+def sql_padding_report(
+    table: str = "documents",
+    batch_size: int = BATCH_SIZE,
+    n_streams: int = N_STREAMS,
+) -> str:
+    return f"""
+WITH bucketed AS (
+  SELECT doc_id, n_tokens, stream, pad_tokens AS pad_b
+  FROM ({sql_length_bucket_batches(table, batch_size, n_streams)})
+),
+nbase AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(doc_id AS BIGINT) AS doc_num,
+         CAST(length(string_split(text, ' ')) AS INT) AS n_tokens,
+         md5('lb|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM {table}
+),
+nstream AS (
+  SELECT *,
+         CAST((('0x' || substr(h, 1, 4))::BIGINT % {n_streams}) AS INT) AS stream
+  FROM nbase
+),
+nbatch AS (
+  SELECT *,
+         CAST((ROW_NUMBER() OVER (PARTITION BY stream ORDER BY h, doc_num) - 1)
+              // {batch_size} AS INT) AS batch_id
+  FROM nstream
+),
+naive AS (
+  SELECT doc_id,
+         MAX(n_tokens) OVER (PARTITION BY stream, batch_id) - n_tokens AS pad_n
+  FROM nbatch
+)
+SELECT b.stream,
+       COUNT(*) AS n_docs,
+       SUM(b.n_tokens)::BIGINT AS real_tokens,
+       SUM(b.pad_b)::BIGINT AS pad_bucketed,
+       SUM(n.pad_n)::BIGINT AS pad_naive,
+       (1000 * SUM(b.pad_b) // SUM(b.n_tokens))::BIGINT AS pad_bucketed_milli,
+       (1000 * SUM(n.pad_n) // SUM(b.n_tokens))::BIGINT AS pad_naive_milli
+FROM bucketed b JOIN naive n USING (doc_id)
+GROUP BY b.stream ORDER BY b.stream
+"""

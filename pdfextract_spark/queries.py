@@ -917,6 +917,14 @@ def q_corpus_pack_stats(spark, sf_dir):
     return packing.pack_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_padding_report(spark, sf_dir):
+    """The layout win, measured: per-stream padding waste under
+    length-bucketed batching vs the naive md5-order counterfactual (same
+    batch size, length ignored), with per-mille pad-per-real-token rates —
+    the report that justifies corpus_length_buckets' extra shuffle key."""
+    return packing.padding_report(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_length_buckets(spark, sf_dir):
     """Length-bucketed batch assignment (the padding-efficient layout for
     non-packed batching: SFT, eval, embedding inference): documents bucket
@@ -1378,6 +1386,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_pack_stats": q_corpus_pack_stats,
         "corpus_length_buckets": q_corpus_length_buckets,
+        "corpus_padding_report": q_corpus_padding_report,
         "corpus_sample_hash": q_corpus_sample_hash,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "html_block_stats": q_html_block_stats,
@@ -1584,6 +1593,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_pack_sequences": packing.sql_pack_sequences(),
         "corpus_pack_stats": packing.sql_pack_stats(),
         "corpus_length_buckets": packing.sql_length_bucket_batches(),
+        "corpus_padding_report": packing.sql_padding_report(),
         "corpus_decontaminate": decontam.sql_contamination_report(),
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),
