@@ -424,3 +424,194 @@ SELECT 'cross_split_pairs_naive',
                           <> {_sql_split_case('p.doc_b')} THEN 1 END), 0)::BIGINT
 FROM pairs p
 """
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi: Optimizing Data
+# Mixtures Speeds Up Language Model Pretraining"). DoReMi proper learns
+# domain weights by exponentiated-gradient updates on a proxy model's
+# EXCESS LOSS per domain; this engine runs the one-step counting analog:
+# the corpus-trained unigram LM (textops.unigram_perplexity — the engine's
+# loss proxy) scores every document, domains aggregate to a token-weighted
+# mean surprisal, and each domain's mixture weight is its baseline token
+# share multiplied by its excess surprisal over the easiest domain —
+# hardness-proportional reweighting, the direction of DoReMi's first
+# multiplicative update, with the mixture_sample machinery turning the
+# learned weights into per-domain keep rates against a global token budget.
+#
+# All integer fixed-point (the unigram gate's 1/16-bit surprisal), so
+# Spark == DuckDB bit-exactly. int64 headroom: score = toks_src * excess_q4
+# and weight_milli multiplies it by 1000, so the dial is
+# T * 2^12 * 1000 < 2^63 (T < ~2 * 10^12 corpus tokens); past that compute
+# the score over token-kilounits (toks_src div 2^10) — same weights to
+# milli precision, 2^10 more headroom.
+#
+# Scale shape: unigram_perplexity's cost (one token census + scoring pass)
+# + ONE doc_id join of the per-doc scores against the (doc_id, source) map
+# + one groupBy over the DOMAIN space (tiny). The domain relation feeds the
+# min / total crossJoins and the final select, so it is localCheckpoint'ed
+# (reduced multi-consumer frame — the cheap side of the dedup-module rule).
+
+DRM_BUDGET_PCT = 50        # global budget: half the corpus tokens
+DRM_EXCESS_FLOOR_Q4 = 16   # +1 bit on every excess so no domain zeroes out
+
+
+def doremi_weights(
+    documents: DataFrame, budget_pct: int = DRM_BUDGET_PCT
+) -> DataFrame:
+    """(source, n_docs, toks_src, mean_surprisal_q4, excess_q4,
+    weight_milli, target_tokens, rate_pm) — one row per domain: the
+    token-weighted mean surprisal under the corpus unigram LM, its excess
+    over the easiest domain (+1 bit floor), the hardness-x-share mixture
+    weight in per-mille, and the keep rate that spends a budget_pct token
+    budget by those weights (capped at 1000 — a domain under its target
+    keeps everything)."""
+    ppl = textops.unigram_perplexity(documents)
+    dom = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("source").cast("string").alias("source"),
+    )
+    per_src = (
+        ppl.join(dom, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("toks_src"),
+            F.sum(F.col("n_tokens") * F.col("mean_surprisal_q4")).alias("_ws"),
+        )
+        .withColumn("mean_q4", F.expr("_ws div toks_src").cast("long"))
+    )
+    # domain-space-sized; feeds the min crossJoin, the total crossJoin and
+    # the final select — checkpoint the reduced frame, not the corpus.
+    per_src = per_src.localCheckpoint(eager=False)
+    mn = per_src.agg(F.min("mean_q4").alias("_mn"))
+    sc = per_src.crossJoin(mn).withColumn(
+        "excess_q4",
+        (F.col("mean_q4") - F.col("_mn") + DRM_EXCESS_FLOOR_Q4).cast("long"),
+    ).withColumn("_score", F.expr("toks_src * excess_q4").cast("long"))
+    tot = sc.agg(
+        F.sum("_score").alias("_ts"), F.sum("toks_src").alias("_tt")
+    )
+    return (
+        sc.crossJoin(tot)
+        .withColumn(
+            "weight_milli", F.expr("(_score * 1000) div _ts").cast("long")
+        )
+        .withColumn(
+            "target_tokens",
+            F.expr(
+                f"(((_tt * {int(budget_pct)}) div 100) * weight_milli) div 1000"
+            ).cast("long"),
+        )
+        .withColumn(
+            "rate_pm",
+            F.least(
+                F.lit(1000).cast("long"),
+                F.expr("(target_tokens * 1000) div toks_src"),
+            ).cast("int"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("toks_src").cast("long").alias("toks_src"),
+            F.col("mean_q4").alias("mean_surprisal_q4"),
+            "excess_q4",
+            "weight_milli",
+            "target_tokens",
+            "rate_pm",
+        )
+    )
+
+
+def doremi_sample(
+    documents: DataFrame, budget_pct: int = DRM_BUDGET_PCT
+) -> DataFrame:
+    """(doc_id, source, n_tokens, rate_pm) — the composition: documents cut
+    by the LEARNED domain rates (doremi_weights) with the same nested md5
+    per-mille bucket as mixture_sample (deterministic, retry-stable,
+    raising the budget yields a superset).
+
+    100 TB shape: doremi_weights' cost + a narrow join of the corpus
+    against the domain-space-sized rate table (AQE broadcasts it at
+    runtime — no hard hint) and a stateless filter."""
+    rates = doremi_weights(documents, budget_pct).select("source", "rate_pm")
+    doc_id = F.col("doc_id").cast("string")
+    bucket = (
+        webclean._hx(F.md5(F.concat(F.lit("drm|"), doc_id)), 1, 5) % 1000
+    ).cast("int")
+    toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long")
+    return (
+        documents.select(
+            doc_id.alias("doc_id"),
+            F.col("source").cast("string").alias("source"),
+            toks.alias("n_tokens"),
+            bucket.alias("bucket_pm"),
+        )
+        .join(rates, "source")
+        .filter(F.col("bucket_pm") < F.col("rate_pm"))
+        .select("doc_id", "source", "n_tokens", "rate_pm")
+    )
+
+
+def _sql_doremi_weights_body(table: str, budget_pct: int) -> str:
+    return f"""
+ppl AS ({textops.sql_unigram_perplexity(table)}),
+dom AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(source AS VARCHAR) AS source
+  FROM {table}
+),
+per_src AS (
+  SELECT source,
+         COUNT(*)::BIGINT AS n_docs,
+         SUM(n_tokens)::BIGINT AS toks_src,
+         ((SUM(n_tokens * mean_surprisal_q4)::BIGINT)
+          // SUM(n_tokens)::BIGINT)::BIGINT AS mean_q4
+  FROM ppl JOIN dom USING (doc_id) GROUP BY source
+),
+mn AS (SELECT MIN(mean_q4) AS mnv FROM per_src),
+sc AS (
+  SELECT per_src.*,
+         (mean_q4 - mn.mnv + {DRM_EXCESS_FLOOR_Q4})::BIGINT AS excess_q4,
+         (toks_src * (mean_q4 - mn.mnv + {DRM_EXCESS_FLOOR_Q4}))::BIGINT AS score
+  FROM per_src CROSS JOIN mn
+),
+tot AS (SELECT SUM(score)::BIGINT AS ts, SUM(toks_src)::BIGINT AS tt FROM sc),
+wts AS (
+  SELECT source, n_docs, toks_src, mean_q4 AS mean_surprisal_q4, excess_q4,
+         ((score * 1000) // ts)::BIGINT AS weight_milli,
+         ((((tt * {int(budget_pct)}) // 100) * ((score * 1000) // ts))
+          // 1000)::BIGINT AS target_tokens,
+         CAST(least(1000,
+              (((((tt * {int(budget_pct)}) // 100) * ((score * 1000) // ts))
+                // 1000) * 1000) // toks_src) AS INT) AS rate_pm
+  FROM sc CROSS JOIN tot
+)"""
+
+
+def sql_doremi_weights(
+    table: str = "documents", budget_pct: int = DRM_BUDGET_PCT
+) -> str:
+    return f"""
+WITH {_sql_doremi_weights_body(table, budget_pct)}
+SELECT * FROM wts
+"""
+
+
+def sql_doremi_sample(
+    table: str = "documents", budget_pct: int = DRM_BUDGET_PCT
+) -> str:
+    return f"""
+WITH {_sql_doremi_weights_body(table, budget_pct)}
+SELECT d.doc_id, d.source, d.n_tokens, wts.rate_pm
+FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(source AS VARCHAR) AS source,
+         CAST(length(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5('drm|' || CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT
+              % 1000 AS INT) AS bucket_pm
+  FROM {table}
+) d
+JOIN wts USING (source)
+WHERE d.bucket_pm < wts.rate_pm
+"""

@@ -1387,3 +1387,127 @@ SELECT keeper_doc_id, weight,
         < least(1000, {rate_milli} * weight)) AS sampled
 FROM census
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup keeper ("keep best", not "keep first"). Production
+# dedup pipelines (RefinedWeb, FineWeb) keep ONE representative per
+# exact-content cluster; picking min(doc_id) is retry-stable but blind —
+# when copies differ in presentation (a shouted mirror, a whitespace-mangled
+# scrape) the arbitrary keeper can be the worst copy. keep_best picks the
+# copy with the LOWEST shout ratio (uppercase letters per-mille over all
+# letters — the cheap deterministic quality axis the synthesizer perturbs),
+# tie-broken by min doc_id, via ONE struct-max groupBy (the
+# embed_hard_negatives pattern: no window, no sort, map-side combinable).
+#
+# The fixture's texts are lowercase and unique, so the synthesizer plants
+# the structure the operator exists for: an md5-selected ~1/KB_PLANT_MOD of
+# docs are replaced by an UPPERCASED copy at their own doc_id while the
+# clean text moves to doc_id + KB_COPY_OFFSET — the naive min-doc_id keeper
+# provably keeps the shouted copy, keep_best recovers the clean one.
+#
+# 100 TB shape: fingerprint + score are narrow Projects; the census is ONE
+# groupBy(fingerprint) whose struct-max partial-aggregates map-side; output
+# is cluster-space-sized. No join-back, no window.
+
+KB_PLANT_MOD = 4
+KB_COPY_OFFSET = 4_000_000_000
+
+
+def synthesize_quality_dup_corpus(documents: DataFrame) -> DataFrame:
+    """documents with planted quality-skewed exact duplicates: for the
+    md5-selected ~1/KB_PLANT_MOD subset, the row at doc_id carries
+    upper(text) and the clean text reappears at doc_id + KB_COPY_OFFSET;
+    everyone else passes through. Rebuilt identically by the oracle."""
+    doc_id = F.col("doc_id").cast("long")
+    base = documents.select(doc_id.alias("doc_id"), "text")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kb|"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    planted = h % KB_PLANT_MOD == 0
+    shout = base.filter(planted).select(
+        "doc_id", F.upper("text").alias("text")
+    )
+    clean_moved = base.filter(planted).select(
+        (F.col("doc_id") + KB_COPY_OFFSET).alias("doc_id"), "text"
+    )
+    return (
+        base.filter(~planted)
+        .unionByName(shout)
+        .unionByName(clean_moved)
+    )
+
+
+def keep_best_dedup(documents: DataFrame) -> DataFrame:
+    """(keeper_doc_id, keeper_shout_milli, n_copies, naive_doc_id,
+    upgraded) — one row per exact-content cluster (fingerprint =
+    md5(lower(trim(text)))): the quality keeper (min shout ratio, then min
+    doc_id), its score, the cluster size, the min-doc_id keeper a naive
+    pass would pick, and whether quality changed the choice."""
+    letters = F.regexp_replace(F.col("text"), "[^A-Za-z]", "")
+    upper = F.regexp_replace(F.col("text"), "[^A-Z]", "")
+    shout = F.expr(
+        "CASE WHEN _n_letters > 0 THEN (1000 * _n_upper) div _n_letters "
+        "ELSE 0 END"
+    ).cast("long")
+    scored = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        F.length(letters).cast("long").alias("_n_letters"),
+        F.length(upper).cast("long").alias("_n_upper"),
+    ).select("doc_id", "fp", shout.alias("shout_milli"))
+    best = F.min(F.struct(F.col("shout_milli"), F.col("doc_id"))).alias("_b")
+    census = scored.groupBy("fp").agg(
+        best,
+        F.min("doc_id").alias("naive_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return census.select(
+        F.col("_b.doc_id").alias("keeper_doc_id"),
+        F.col("_b.shout_milli").alias("keeper_shout_milli"),
+        "n_copies",
+        "naive_doc_id",
+        (F.col("_b.doc_id") != F.col("naive_doc_id")).alias("upgraded"),
+    )
+
+
+def sql_keep_best_dedup(table: str = "documents") -> str:
+    h = "('0x' || substr(md5('kb|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT"
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM {table}
+  WHERE {h} % {KB_PLANT_MOD} <> 0
+  UNION ALL
+  SELECT doc_id, upper(text) FROM {table} WHERE {h} % {KB_PLANT_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {KB_COPY_OFFSET}, text FROM {table}
+  WHERE {h} % {KB_PLANT_MOD} = 0
+),
+scored AS (
+  SELECT doc_id,
+         md5(lower(trim(text))) AS fp,
+         CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0
+              THEN (1000 * length(regexp_replace(text, '[^A-Z]', '', 'g')))
+                   // length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              ELSE 0 END::BIGINT AS shout_milli
+  FROM corpus
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY fp
+                            ORDER BY shout_milli ASC, doc_id ASC) AS rn,
+         MIN(doc_id) OVER (PARTITION BY fp) AS naive_doc_id,
+         COUNT(*) OVER (PARTITION BY fp) AS n_copies
+  FROM scored
+)
+SELECT doc_id AS keeper_doc_id,
+       shout_milli AS keeper_shout_milli,
+       n_copies,
+       naive_doc_id,
+       (doc_id <> naive_doc_id) AS upgraded
+FROM ranked WHERE rn = 1
+"""

@@ -917,6 +917,35 @@ def q_corpus_pack_stats(spark, sf_dir):
     return packing.pack_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup keeper: one row per exact-content cluster with
+    the min-shout-ratio keeper (tie: min doc_id) next to the naive
+    min-doc_id keeper — ONE struct-min groupBy, no window/sort/join-back.
+    Planted structure: shouted copies sit at the original doc_id so the
+    naive keeper provably picks the worst copy and keep_best recovers the
+    clean one."""
+    return dedup.keep_best_dedup(
+        dedup.synthesize_quality_dup_corpus(_t(spark, sf_dir, "documents"))
+    )
+
+
+def q_corpus_doremi_weights(spark, sf_dir):
+    """DoReMi-lite domain reweighting (Xie et al. 2023 direction): domains
+    aggregate token-weighted mean surprisal under the corpus unigram LM;
+    weight = baseline token share x excess surprisal over the easiest
+    domain, then a budget-pct token budget turns weights into keep rates.
+    All int64 fixed-point; one doc_id join + one domain-space groupBy on
+    top of the LM pass."""
+    return curation.doremi_weights(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_doremi_sample(spark, sf_dir):
+    """The composition: documents cut by the LEARNED doremi rates with the
+    same nested md5 per-mille bucket as corpus_mixture_sample
+    (deterministic, retry-stable, budget-monotone)."""
+    return curation.doremi_sample(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_padding_report(spark, sf_dir):
     """The layout win, measured: per-stream padding waste under
     length-bucketed batching vs the naive md5-order counterfactual (same
@@ -1362,14 +1391,17 @@ def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
     # task 1). r5 rotation (script-verified against CORRECTNESS_r01-r04):
-    # every zero-evidence entry — the 12 operators added this round — is
+    # every zero-evidence entry — all operators added this round — is
     # inside the window, no window slot holds a >=2-evidence veteran, and
     # the remaining slots go to 1-evidence entries oldest-evidence-first
-    # (all 17 r03-only singles, then 21 of the 50 r04-only singles).
+    # (the r03-only singles, then r04-only singles).
     # The entries past position 50 are veterans
     # green in >=1 prior round and stay pytest- and check_oracle-gated
     # every round.
     return {
+        "corpus_doremi_weights": q_corpus_doremi_weights,
+        "corpus_doremi_sample": q_corpus_doremi_sample,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_semdedup_hot": q_dedup_semdedup_hot,
         "text_bm25_bench_topk": q_text_bm25_bench_topk,
         "corpus_pack_by_split": q_corpus_pack_by_split,
@@ -1594,6 +1626,9 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_pack_stats": packing.sql_pack_stats(),
         "corpus_length_buckets": packing.sql_length_bucket_batches(),
         "corpus_padding_report": packing.sql_padding_report(),
+        "corpus_doremi_weights": curation.sql_doremi_weights(),
+        "corpus_doremi_sample": curation.sql_doremi_sample(),
+        "dedup_keep_best": dedup.sql_keep_best_dedup(),
         "corpus_decontaminate": decontam.sql_contamination_report(),
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),
