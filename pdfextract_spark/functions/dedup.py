@@ -184,6 +184,14 @@ def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
     # localCheckpoint is the batch pattern for multi-consumer fan-out — at
     # scale this intermediate is shuffle-sized (doc_id + 16 longs per doc).
     sigs = sigs.localCheckpoint(eager=False)
+    return _pairs_from_sigs(sigs)
+
+
+def _pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """lsh_candidate_pairs' pair stage over an ALREADY-materialized
+    signatures frame (doc_id, sig, bands) — shared so callers that hold
+    signatures for other joins (incremental_neardup_tables) never sign the
+    same side twice."""
     buckets = sigs.select(
         "doc_id",
         "sig",
@@ -1510,4 +1518,286 @@ SELECT doc_id AS keeper_doc_id,
        naive_doc_id,
        (doc_id <> naive_doc_id) AS upgraded
 FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------- incremental NEAR-dup dedup
+# The fuzzy twin of incremental_dedup: a crawl snapshot's new batch checked
+# for NEAR duplicates against the kept history (and within itself) — the
+# "don't re-ingest a lightly-edited copy of what you already have" pass a
+# production snapshot pipeline runs next to the exact membership test. The
+# planted cross-batch copies here are EDITED (a trailing token appended),
+# which the exact incremental pass PROVABLY misses (different md5) and the
+# MinHash band join catches (the decontam-fuzzy contrast, applied to
+# dedup).
+#
+# 100 TB shape: history is the big side and is never re-signed per batch —
+# production stores the banded signature table next to the corpus (the
+# stored-fingerprint argument of incremental_dedup_tables, one tier up:
+# (doc_id, sig, band_id, band_hash), Iceberg bucket(band_hash, N)), so the
+# batch-vs-history candidate join is keyed on the band hash with only the
+# day's batch shuffling. History hot bands (boilerplate shared by millions
+# of kept docs) are capped via the census + left-anti pattern and REPORTED
+# by the batch report's n_hist_hot column, never silently: a trimmed band
+# still has 3 untrimmed chances (N_BANDS=4) to pair the doc. In-batch
+# near-dups reuse lsh_candidate_pairs on the (small) batch side only.
+
+INC_NEAR_JACC = 0.5   # verify threshold on the minhash component agreement
+
+
+def synthesize_incremental_near(documents: DataFrame):
+    """(history, batch) — the synthesize_incremental split, but planted
+    cross-batch and in-batch copies are LIGHTLY EDITED (' rev2 edit'
+    appended): near-dups by shingle overlap, invisible to exact md5."""
+    doc_id = F.col("doc_id").cast("long")
+    base = documents.select(doc_id.alias("doc_id"), "text")
+    bucket = _inc_bucket(F.col("doc_id"))
+    plant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("incp|"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % INC_PLANT_MOD
+        == 0
+    )
+    edited = F.concat(F.col("text"), F.lit(" rev2 edit"))
+    history = base.filter(bucket < INC_OLD_PCT)
+    fresh = base.filter(bucket >= INC_OLD_PCT)
+    from_history = history.filter(plant).select(
+        (F.col("doc_id") + INC_HIST_OFFSET).alias("doc_id"),
+        edited.alias("text"),
+    )
+    in_batch = fresh.filter(plant).select(
+        (F.col("doc_id") + INC_BATCH_OFFSET).alias("doc_id"),
+        edited.alias("text"),
+    )
+    batch = fresh.unionByName(from_history).unionByName(in_batch)
+    return history, batch
+
+
+def incremental_neardup(documents: DataFrame) -> DataFrame:
+    """(doc_id, status, match_doc, jaccard_est) for every NEW-batch doc,
+    status in {'kept', 'near_dup_historical', 'near_dup_in_batch'}: a batch
+    doc whose minhash agrees with a history doc on >= INC_NEAR_JACC of
+    components (candidates = shared LSH band) is near_dup_historical (match
+    = the best-agreement history doc, ties to the smaller doc_id); else if
+    it near-pairs with a SMALLER-numbered batch doc it is near_dup_in_batch
+    (match = the smallest such partner — the arrival-order keeper rule);
+    else kept."""
+    history, batch = synthesize_incremental_near(documents)
+    return incremental_neardup_tables(history, batch)
+
+
+def incremental_neardup_tables(history: DataFrame, batch: DataFrame) -> DataFrame:
+    hsig = minhash_signatures(history)
+    # batch signatures feed THREE consumers (history join, in-batch pairs,
+    # final status relation) — materialize once (shuffle-sized: 16 longs/doc)
+    bsig = minhash_signatures(_fan_out(batch)).localCheckpoint(eager=False)
+    hb = hsig.select(
+        F.col("doc_id").alias("hist_doc"),
+        F.col("sig").alias("hist_sig"),
+        F.posexplode("bands").alias("band_id", "band_hash"),
+    )
+    # history hot-band cap: census partial-aggregates map-side, the trim is
+    # a left-anti against the (tiny) hot list — no hard broadcast hint
+    hot = (
+        hb.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .filter(F.col("width") > MAX_BUCKET)
+        .select("band_id", "band_hash")
+    )
+    hb = hb.join(hot, ["band_id", "band_hash"], "left_anti")
+    bb = bsig.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("sig").alias("batch_sig"),
+        F.posexplode("bands").alias("band_id", "band_hash"),
+    )
+    est = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("batch_sig"),
+                F.col("hist_sig"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(N_PERM)),
+        4,
+    )
+    hist_best = (
+        bb.join(hb, ["band_id", "band_hash"])
+        .select("doc_id", est.alias("je"), F.col("hist_doc"))
+        .filter(F.col("je") >= INC_NEAR_JACC)
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("je"),
+                    (-F.col("hist_doc").cast("long")).alias("nd"),
+                    F.col("hist_doc"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "doc_id",
+            F.col("_b.hist_doc").alias("hist_match"),
+            F.col("_b.je").alias("hist_je"),
+        )
+    )
+    pairs = _pairs_from_sigs(bsig).filter(
+        F.col("jaccard_est") >= INC_NEAR_JACC
+    )
+    # arrival-order keeper: a doc is in-batch dup iff it pairs with a
+    # smaller NUMERIC doc; partner = the smallest such (numeric min)
+    both = pairs.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y"), "jaccard_est"
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("x"), F.col("doc_a").alias("y"), "jaccard_est"
+        )
+    )
+    in_batch = (
+        both.filter(F.col("y").cast("long") < F.col("x").cast("long"))
+        .groupBy("x")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("y").cast("long").alias("yn"),
+                    F.col("y"),
+                    F.col("jaccard_est"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            F.col("x").alias("doc_id"),
+            F.col("_m.y").alias("batch_match"),
+            F.col("_m.jaccard_est").alias("batch_je"),
+        )
+    )
+    docs = bsig.select("doc_id").distinct()
+    return (
+        docs.join(hist_best, "doc_id", "left")
+        .join(in_batch, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("hist_match").isNotNull(), F.lit("near_dup_historical"))
+            .when(F.col("batch_match").isNotNull(), F.lit("near_dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("hist_match", "batch_match").alias("match_doc"),
+            F.coalesce("hist_je", "batch_je").alias("jaccard_est"),
+        )
+    )
+
+
+def sql_incremental_neardup(table: str = "documents") -> str:
+    bucket = (
+        "(('0x' || substr(md5('incr|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100)"
+    )
+    plant = (
+        "(('0x' || substr(md5('incp|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT"
+        f" % {INC_PLANT_MOD} = 0)"
+    )
+    band_exprs = ", ".join(
+        "("
+        + " + ".join(
+            f"sig[{j * ROWS_PER_BAND + r + 1}] * {31 ** (ROWS_PER_BAND - 1 - r)}"
+            for r in range(ROWS_PER_BAND)
+        )
+        + ")"
+        for j in range(N_BANDS)
+    )
+    agree = (
+        f"ROUND(len(list_filter(range(1, {N_PERM + 1}), "
+        f"i -> bsig[i] = hsig[i])) / {float(N_PERM)}, 4)"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, {bucket} AS bucket, {plant} AS plant
+  FROM {table}
+),
+history AS (SELECT doc_id, text FROM base WHERE bucket < {INC_OLD_PCT}),
+batch AS (
+  SELECT doc_id, text FROM base WHERE bucket >= {INC_OLD_PCT}
+  UNION ALL
+  SELECT doc_id + {INC_HIST_OFFSET}, text || ' rev2 edit'
+  FROM base WHERE bucket < {INC_OLD_PCT} AND plant
+  UNION ALL
+  SELECT doc_id + {INC_BATCH_OFFSET}, text || ' rev2 edit'
+  FROM base WHERE bucket >= {INC_OLD_PCT} AND plant
+),
+hsigs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS hist_doc, {sql_minhash_sig('text')} AS sig
+  FROM history
+),
+hbanded AS (SELECT hist_doc, sig AS hsig, [{band_exprs}] AS bands FROM hsigs),
+hb0 AS (
+  SELECT hist_doc, hsig, generate_subscripts(bands, 1) - 1 AS band_id,
+         unnest(bands) AS band_hash
+  FROM hbanded
+),
+hb AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS w FROM hb0) t
+  WHERE w <= {MAX_BUCKET}
+),
+bsigs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {sql_minhash_sig('text')} AS sig
+  FROM batch
+),
+bbanded AS (SELECT doc_id, sig AS bsig, [{band_exprs}] AS bands FROM bsigs),
+bb AS (
+  SELECT doc_id, bsig, generate_subscripts(bands, 1) - 1 AS band_id,
+         unnest(bands) AS band_hash
+  FROM bbanded
+),
+hist_cand AS (
+  SELECT DISTINCT bb.doc_id, hb.hist_doc, {agree} AS je
+  FROM bb JOIN hb USING (band_id, band_hash)
+  WHERE {agree} >= {INC_NEAR_JACC}
+),
+hist_best AS (
+  SELECT doc_id, hist_doc AS hist_match, je AS hist_je FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY je DESC, CAST(hist_doc AS BIGINT) ASC) AS rn
+    FROM hist_cand) t
+  WHERE rn = 1
+),
+bcapped AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS w FROM bb) t
+  WHERE w <= {MAX_BUCKET}
+),
+bpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(len(list_filter(range(1, {N_PERM + 1}),
+                               i -> a.bsig[i] = b.bsig[i])) / {float(N_PERM)}, 4) AS je
+  FROM bcapped a JOIN bcapped b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+bboth AS (
+  SELECT doc_a AS x, doc_b AS y, je FROM bpairs WHERE je >= {INC_NEAR_JACC}
+  UNION ALL
+  SELECT doc_b AS x, doc_a AS y, je FROM bpairs WHERE je >= {INC_NEAR_JACC}
+),
+in_batch AS (
+  SELECT x AS doc_id, y AS batch_match, je AS batch_je FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY x ORDER BY CAST(y AS BIGINT) ASC) AS rn
+    FROM bboth WHERE CAST(y AS BIGINT) < CAST(x AS BIGINT)) t
+  WHERE rn = 1
+)
+SELECT d.doc_id,
+       CASE WHEN h.hist_match IS NOT NULL THEN 'near_dup_historical'
+            WHEN i.batch_match IS NOT NULL THEN 'near_dup_in_batch'
+            ELSE 'kept' END AS status,
+       COALESCE(h.hist_match, i.batch_match) AS match_doc,
+       COALESCE(h.hist_je, i.batch_je) AS jaccard_est
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM batch) d
+LEFT JOIN hist_best h USING (doc_id)
+LEFT JOIN in_batch i USING (doc_id)
 """

@@ -917,6 +917,15 @@ def q_corpus_pack_stats(spark, sf_dir):
     return packing.pack_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup dedup (the fuzzy twin of dedup_incremental):
+    new-batch docs near-matched against the kept history via a banded
+    minhash join (history hot bands census-capped) and against smaller
+    in-batch docs — the planted copies are EDITED, so the exact md5 pass
+    provably misses every one of them (asserted in tests)."""
+    return dedup.incremental_neardup(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware dedup keeper: one row per exact-content cluster with
     the min-shout-ratio keeper (tie: min doc_id) next to the naive
@@ -1402,6 +1411,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_doremi_weights": q_corpus_doremi_weights,
         "corpus_doremi_sample": q_corpus_doremi_sample,
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_incremental_neardup": q_dedup_incremental_neardup,
         "dedup_semdedup_hot": q_dedup_semdedup_hot,
         "text_bm25_bench_topk": q_text_bm25_bench_topk,
         "corpus_pack_by_split": q_corpus_pack_by_split,
@@ -1629,6 +1639,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_doremi_weights": curation.sql_doremi_weights(),
         "corpus_doremi_sample": curation.sql_doremi_sample(),
         "dedup_keep_best": dedup.sql_keep_best_dedup(),
+        "dedup_incremental_neardup": dedup.sql_incremental_neardup(),
         "corpus_decontaminate": decontam.sql_contamination_report(),
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),
