@@ -674,3 +674,51 @@ SELECT b.stream,
 FROM bucketed b JOIN naive n USING (doc_id)
 GROUP BY b.stream ORDER BY b.stream
 """
+
+
+# --------------------------------------------------- tokenizer-aware packing
+# Whitespace words are a proxy; the budget a training batch actually pays
+# is MODEL tokens. This variant costs every document with the
+# corpus-trained BPE tokenizer (functions/bpe.bpe_encode — train -> apply,
+# no extra shuffle: the merge table is K collected constants and the
+# encoding is a pure Column fold) and feeds the same greedy pack kernel.
+# Budget is larger in BPE units (subword counts run ~6x whitespace words
+# at the sandbox's 8-merge table; production uses its real tokenizer and
+# context length).
+
+BPE_BUDGET = 512  # context length in BPE tokens (sandbox dial)
+
+
+def pack_sequences_bpe(
+    documents: DataFrame, budget: int = BPE_BUDGET, n_streams: int = N_STREAMS
+) -> DataFrame:
+    """(doc_id, stream, seq_id, seq_offset, n_tokens) — pack_sequences with
+    the cost measured in corpus-trained BPE tokens instead of whitespace
+    words: the tokenizer-application pass feeding the batch-assembly pass,
+    the composition a real pretraining pipeline runs."""
+    from . import bpe
+
+    enc = bpe.bpe_encode(documents)
+    h = F.md5(F.concat(F.lit("pack|"), F.col("doc_id")))
+    stream = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_streams
+    ).cast("int")
+    costed = enc.select(
+        "doc_id",
+        F.col("doc_id").cast("long").alias("doc_num"),
+        stream.alias("stream"),
+        F.col("n_tokens_bpe").cast("int").alias("n_tokens"),
+    )
+    return _pack_costed(costed, budget)
+
+
+def sql_pack_sequences_bpe(
+    table: str = "documents", budget: int = BPE_BUDGET, n_streams: int = N_STREAMS
+) -> str:
+    from . import bpe
+
+    enc = bpe.sql_bpe_encode(table=table)
+    return (
+        _sql_pack(f"({enc})", budget, n_streams, cost_sql="n_tokens_bpe")
+        + " ORDER BY stream, seq_id, seq_offset"
+    )

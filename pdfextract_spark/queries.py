@@ -917,6 +917,15 @@ def q_corpus_pack_stats(spark, sf_dir):
     return packing.pack_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_pack_bpe(spark, sf_dir):
+    """Tokenizer-aware packing: the greedy pack fold costed in
+    corpus-trained BPE tokens (train -> apply -> pack, the composition a
+    real pretraining pipeline runs) instead of whitespace words; the
+    encoding adds NO shuffle (merge table = K collected constants, pure
+    Column fold)."""
+    return packing.pack_sequences_bpe(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_incremental_neardup(spark, sf_dir):
     """Incremental NEAR-dup dedup (the fuzzy twin of dedup_incremental):
     new-batch docs near-matched against the kept history via a banded
@@ -1412,6 +1421,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_doremi_sample": q_corpus_doremi_sample,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_incremental_neardup": q_dedup_incremental_neardup,
+        "corpus_pack_bpe": q_corpus_pack_bpe,
         "dedup_semdedup_hot": q_dedup_semdedup_hot,
         "text_bm25_bench_topk": q_text_bm25_bench_topk,
         "corpus_pack_by_split": q_corpus_pack_by_split,
@@ -1640,6 +1650,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_doremi_sample": curation.sql_doremi_sample(),
         "dedup_keep_best": dedup.sql_keep_best_dedup(),
         "dedup_incremental_neardup": dedup.sql_incremental_neardup(),
+        "corpus_pack_bpe": packing.sql_pack_sequences_bpe(),
         "corpus_decontaminate": decontam.sql_contamination_report(),
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),

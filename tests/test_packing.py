@@ -114,3 +114,33 @@ def test_padding_report_bucketing_wins(spark):
     sp = rep.sort_values("stream").reset_index(drop=True)[sorted(rep.columns)]
     du = du.sort_values("stream").reset_index(drop=True)[sorted(du.columns)]
     assert sp.astype(str).equals(du.astype(str))
+
+
+def test_pack_bpe_budget_and_mirror(spark):
+    import duckdb
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sp = packing.pack_sequences_bpe(docs).toPandas()
+    assert len(sp) == 500
+    # no sequence exceeds the BPE budget unless a single doc alone does
+    fills = sp.groupby(["stream", "seq_id"]).n_tokens.agg(["sum", "count"])
+    over = fills[fills["sum"] > packing.BPE_BUDGET]
+    assert (over["count"] == 1).all()
+    # packing actually happened (multi-doc sequences exist)
+    assert (fills["count"] > 1).any()
+    # offsets are the running fill
+    for (_, _), grp in sp.groupby(["stream", "seq_id"]):
+        grp = grp.sort_values("seq_offset")
+        assert (
+            grp.seq_offset.values[1:]
+            == (grp.seq_offset + grp.n_tokens).values[:-1]
+        ).all()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    du = con.sql(packing.sql_pack_sequences_bpe()).df()
+    key = sorted(sp.columns)
+    s2 = sp[key].sort_values(key).reset_index(drop=True)
+    d2 = du[key].sort_values(key).reset_index(drop=True)
+    assert s2.astype(str).equals(d2.astype(str))
