@@ -615,3 +615,103 @@ FROM (
 JOIN wts USING (source)
 WHERE d.bucket_pm < wts.rate_pm
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-annealed curriculum schedule (Bengio et al. 2009 curriculum
+# learning, CCNet's head/middle/tail as the difficulty axis): epoch 0
+# trains on the fluent head only, epoch 1 admits the middle, epoch 2 the
+# tail — easy-first annealing with the corpus's own LM-perplexity terciles
+# as the difficulty score. (The reverse "anti-curriculum" is the same
+# relation read epoch-descending; the schedule relation is direction-
+# agnostic.) Each (doc, epoch) row carries the epoch-salted shard/pos of
+# webclean.epoch_shuffle, so the output IS the training order: one sorted
+# shard file per (epoch, shard) is exactly what a loader reads.
+#
+# Scale shape: ppl_buckets' cost (LM pass + bounded histogram) + an
+# explode over <= CURR_EPOCHS epoch ids + ONE shuffle onto the
+# (epoch, shard) key for the per-shard rank — never a global sort; shard
+# sizes stay md5-uniform inside each epoch.
+
+CURR_EPOCHS = 3
+_CURR_RANK = {"head": 0, "middle": 1, "tail": 2}
+
+
+def curriculum_schedule(
+    documents: DataFrame,
+    n_epochs: int = CURR_EPOCHS,
+    n_shards: int = webclean.SHUF_SHARDS,
+) -> DataFrame:
+    """(doc_id, ppl_bucket, epoch, shard, pos) — one row per (doc, epoch)
+    the annealed schedule admits: a doc enters at the epoch matching its
+    tercile rank (head 0, middle 1, tail 2) and stays for every later
+    epoch; shard/pos are the epoch-salted md5 order within the epoch."""
+    from pyspark.sql import Window
+
+    buckets = textops.ppl_buckets(documents).select("doc_id", "ppl_bucket")
+    enter = (
+        F.when(F.col("ppl_bucket") == "head", F.lit(0))
+        .when(F.col("ppl_bucket") == "middle", F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    admitted = buckets.select(
+        "doc_id",
+        "ppl_bucket",
+        F.explode(
+            F.sequence(enter, F.lit(int(n_epochs) - 1))
+        ).alias("epoch"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("curr|"),
+            F.col("epoch").cast("string"),
+            F.lit("|"),
+            F.col("doc_id"),
+        )
+    )
+    base = admitted.select(
+        "doc_id",
+        "ppl_bucket",
+        "epoch",
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards)
+        .cast("int")
+        .alias("shard"),
+        h.alias("_h"),
+    )
+    win = Window.partitionBy("epoch", "shard").orderBy("_h", "doc_id")
+    return base.select(
+        "doc_id",
+        "ppl_bucket",
+        F.col("epoch").cast("int").alias("epoch"),
+        "shard",
+        F.row_number().over(win).cast("int").alias("pos"),
+    )
+
+
+def sql_curriculum_schedule(
+    table: str = "documents",
+    n_epochs: int = CURR_EPOCHS,
+    n_shards: int = webclean.SHUF_SHARDS,
+) -> str:
+    h = "md5('curr|' || CAST(epoch AS VARCHAR) || '|' || doc_id)"
+    return f"""
+WITH buckets AS (
+  SELECT doc_id, ppl_bucket FROM ({textops.sql_ppl_buckets(table)})
+),
+admitted AS (
+  SELECT doc_id, ppl_bucket, unnest(range(
+           CASE ppl_bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1 ELSE 2 END,
+           {int(n_epochs)})) AS epoch
+  FROM buckets
+),
+keyed AS (
+  SELECT doc_id, ppl_bucket, epoch,
+         CAST((('0x' || substr({h}, 1, 4))::BIGINT % {int(n_shards)}) AS INT) AS shard,
+         {h} AS _h
+  FROM admitted
+)
+SELECT doc_id, ppl_bucket, CAST(epoch AS INT) AS epoch, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY _h, doc_id)
+            AS INT) AS pos
+FROM keyed
+"""

@@ -917,6 +917,15 @@ def q_corpus_pack_stats(spark, sf_dir):
     return packing.pack_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_curriculum(spark, sf_dir):
+    """Quality-annealed curriculum schedule: CCNet ppl terciles as the
+    difficulty axis, head trains from epoch 0, middle from 1, tail from 2;
+    each (doc, epoch) row carries its epoch-salted shard/pos so the
+    relation IS the training order (one sorted shard file per
+    (epoch, shard))."""
+    return curation.curriculum_schedule(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_pack_bpe(spark, sf_dir):
     """Tokenizer-aware packing: the greedy pack fold costed in
     corpus-trained BPE tokens (train -> apply -> pack, the composition a
@@ -1422,6 +1431,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_incremental_neardup": q_dedup_incremental_neardup,
         "corpus_pack_bpe": q_corpus_pack_bpe,
+        "corpus_curriculum": q_corpus_curriculum,
         "dedup_semdedup_hot": q_dedup_semdedup_hot,
         "text_bm25_bench_topk": q_text_bm25_bench_topk,
         "corpus_pack_by_split": q_corpus_pack_by_split,
@@ -1651,6 +1661,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_keep_best": dedup.sql_keep_best_dedup(),
         "dedup_incremental_neardup": dedup.sql_incremental_neardup(),
         "corpus_pack_bpe": packing.sql_pack_sequences_bpe(),
+        "corpus_curriculum": curation.sql_curriculum_schedule(),
         "corpus_decontaminate": decontam.sql_contamination_report(),
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),
