@@ -1543,3 +1543,88 @@ SELECT doc_id, url, host,
        (NOT ({blocked}) AND ({score}) < {URL_SCORE_GATE}) AS kept
 FROM h
 """
+
+
+# ------------------------------------------------ intra-document line dedup
+# Dolma/RedPajama's WITHIN-document repetition removal, next to the
+# cross-document passes this module already carries: repeated lines inside
+# one document (template chrome stamped per section, scraper double-renders)
+# are dropped keeping the FIRST occurrence. Zero shuffle by construction —
+# the whole operator is in-row array algebra, so it rides the extraction
+# scan with no Exchange at any corpus size (plan-asserted).
+#
+# HOF-trap note (the winnowing lesson, PLANS.md): a
+# filter(lines, (x, i) -> array_position(lines, x) = i) formulation
+# references the derived `lines` array INSIDE the lambda — CollapseProject
+# inlines the split there and interpreted HOF evaluation re-splits the text
+# once per element. The fold below references `lines` exactly once
+# (aggregate's input); the O(L^2) member checks compare short strings, not
+# re-derive arrays.
+
+IDD_PLANT_MOD = 3
+
+
+def synthesize_intradoc(documents: DataFrame) -> DataFrame:
+    """(doc_id, web_text) — synthesize_web plus the planted structure this
+    operator exists for: ~1/IDD_PLANT_MOD of docs get their own first line
+    stamped again at the end (the fixture's lines are otherwise unique
+    within a doc)."""
+    web = synthesize_web(documents).select("doc_id", "web_text")
+    h = _hx(F.md5(F.concat(F.lit("idd|"), F.col("doc_id"))), 1, 4)
+    first = F.element_at(F.split("web_text", "\n"), 1)
+    return web.select(
+        "doc_id",
+        F.when(
+            h % IDD_PLANT_MOD == 0,
+            F.concat(F.col("web_text"), F.lit("\n"), first),
+        )
+        .otherwise(F.col("web_text"))
+        .alias("web_text"),
+    )
+
+
+def intradoc_line_dedup(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, n_dropped, clean_text) — repeated lines within a
+    document dropped, first occurrence kept, order preserved."""
+    web = synthesize_intradoc(documents)
+    lines = F.split("web_text", "\n")
+    kept = F.aggregate(
+        lines,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+    return web.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_dropped"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def sql_intradoc_line_dedup(table: str = "documents") -> str:
+    h = "('0x' || substr(md5('idd|' || doc_id), 1, 4))::BIGINT"
+    return f"""
+WITH web AS (
+  SELECT doc_id, web_text FROM ({sql_synthesize_web(table)})
+),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN {h} % {IDD_PLANT_MOD} = 0
+              THEN web_text || chr(10) || string_split(web_text, chr(10))[1]
+              ELSE web_text END AS web_text
+  FROM web
+),
+sp AS (
+  SELECT doc_id, string_split(web_text, chr(10)) AS lines FROM planted
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(lines)
+            - len(list_filter(lines, (x, i) -> list_position(lines, x) = i))
+            AS BIGINT) AS n_dropped,
+       array_to_string(list_filter(lines, (x, i) -> list_position(lines, x) = i),
+                       chr(10)) AS clean_text
+FROM sp
+"""

@@ -917,6 +917,14 @@ def q_corpus_pack_stats(spark, sf_dir):
     return packing.pack_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_web_intradoc_dedup(spark, sf_dir):
+    """Within-document line dedup (Dolma's intra-doc repetition removal,
+    next to the cross-doc passes): repeated lines dropped keeping the
+    first occurrence, order preserved — zero shuffle, pure in-row array
+    fold (the HOF-trap-safe single-reference aggregate)."""
+    return webclean.intradoc_line_dedup(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_curriculum(spark, sf_dir):
     """Quality-annealed curriculum schedule: CCNet ppl terciles as the
     difficulty axis, head trains from epoch 0, middle from 1, tail from 2;
@@ -1432,6 +1440,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_incremental_neardup": q_dedup_incremental_neardup,
         "corpus_pack_bpe": q_corpus_pack_bpe,
         "corpus_curriculum": q_corpus_curriculum,
+        "web_intradoc_dedup": q_web_intradoc_dedup,
         "dedup_semdedup_hot": q_dedup_semdedup_hot,
         "text_bm25_bench_topk": q_text_bm25_bench_topk,
         "corpus_pack_by_split": q_corpus_pack_by_split,
@@ -1662,6 +1671,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_incremental_neardup": dedup.sql_incremental_neardup(),
         "corpus_pack_bpe": packing.sql_pack_sequences_bpe(),
         "corpus_curriculum": curation.sql_curriculum_schedule(),
+        "web_intradoc_dedup": webclean.sql_intradoc_line_dedup(),
         "corpus_decontaminate": decontam.sql_contamination_report(),
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),
