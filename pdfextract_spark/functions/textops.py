@@ -1897,3 +1897,104 @@ SELECT doc_id, n_chars, entropy_q4,
         OR entropy_q4 > {ENTROPY_HIGH_GATE_Q4}) AS entropy_flag
 FROM e
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate threshold calibration. Pipelines don't pick gate thresholds
+# by feel — they pick a KEEP RATE (e.g. "drop the worst quarter") and
+# derive the threshold from the corpus's own score distribution, re-derived
+# per snapshot so the gate tracks distribution drift. Same kernel as the
+# CCNet terciles: the per-doc score quantizes to a BOUNDED domain (whole
+# Flesch points after the 0-clamp: <= ~207 distinct values at ANY corpus
+# size), one groupBy over that domain, a descending cumulative sum on the
+# few-hundred-row histogram (allowlisted single-partition window over a
+# bounded domain), and the threshold is the largest score that still keeps
+# at least the target count.
+
+CAL_TARGETS_PM = (250, 500, 750)  # keep rates to calibrate: 25% / 50% / 75%
+
+
+def quality_calibrate(
+    documents: DataFrame, targets_pm: tuple = CAL_TARGETS_PM
+) -> DataFrame:
+    """(target_pm, threshold_pt, kept_docs, achieved_pm, total_docs) — for
+    each target keep rate, the largest whole-Flesch-point threshold whose
+    `score >= threshold` gate keeps at least ceil(target * N / 1000) docs,
+    with the rate it actually achieves (score ties make achieved >= target
+    — the gate is conservative, never silently under-keeps)."""
+    from pyspark.sql import Window
+
+    w_, s_, y_ = readability_counts(F.col("text"))
+    pt = F.expr(
+        "CASE WHEN _f < 0 THEN 0 ELSE _f div 1000 END"
+    ).cast("long")
+    scored = documents.select(flesch_milli(w_, s_, y_).alias("_f")).select(
+        pt.alias("pt")
+    )
+    hist = scored.groupBy("pt").agg(F.count(F.lit(1)).alias("c"))
+    win = Window.orderBy(F.desc("pt")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "pt",
+        F.sum("c").over(win).alias("cum_ge"),
+        F.sum("c").over(wt).alias("total"),
+    )
+    targets = documents.sparkSession.createDataFrame(
+        [(int(t),) for t in sorted(targets_pm)], "target_pm int"
+    )
+    need = F.ceil(F.col("total") * F.col("target_pm") / F.lit(1000.0)).cast(
+        "long"
+    )
+    return (
+        cum.crossJoin(targets)  # histogram x |targets|: a few hundred rows
+        .filter(F.col("cum_ge") >= need)
+        .groupBy("target_pm")
+        .agg(
+            F.max(F.struct(F.col("pt"), F.col("cum_ge"))).alias("_b"),
+            F.first("total").alias("total_docs"),
+        )
+        .select(
+            "target_pm",
+            F.col("_b.pt").alias("threshold_pt"),
+            F.col("_b.cum_ge").alias("kept_docs"),
+            F.expr("1000 * _b.cum_ge div total_docs").cast("long").alias(
+                "achieved_pm"
+            ),
+            F.col("total_docs").cast("long").alias("total_docs"),
+        )
+    )
+
+
+def sql_quality_calibrate(
+    table: str = "documents", targets_pm: tuple = CAL_TARGETS_PM
+) -> str:
+    tvals = ", ".join(f"({int(t)})" for t in sorted(targets_pm))
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN f < 0 THEN 0 ELSE f // 1000 END AS pt FROM (
+    SELECT 206835
+           - (1015 * GREATEST(1, len(string_split(text, ' '))))
+             // GREATEST(1, len(text) - len(regexp_replace(text, '[.!?]', '', 'g')))
+           - (84600 * GREATEST(1, len(string_split_regex(lower(text), '[aeiou]+')) - 1))
+             // GREATEST(1, len(string_split(text, ' '))) AS f
+    FROM {table})
+),
+hist AS (SELECT pt, COUNT(*)::BIGINT AS c FROM scored GROUP BY pt),
+cum AS (
+  SELECT pt, SUM(c) OVER (ORDER BY pt DESC) AS cum_ge, SUM(c) OVER () AS total
+  FROM hist
+),
+targets(target_pm) AS (VALUES {tvals})
+SELECT target_pm,
+       MAX(pt)::BIGINT AS threshold_pt,
+       MAX_BY(cum_ge, pt)::BIGINT AS kept_docs,
+       (1000 * MAX_BY(cum_ge, pt) // ANY_VALUE(total))::BIGINT AS achieved_pm,
+       ANY_VALUE(total)::BIGINT AS total_docs
+FROM cum CROSS JOIN targets
+WHERE cum_ge >= ceil(total * target_pm / 1000.0)
+GROUP BY target_pm
+"""

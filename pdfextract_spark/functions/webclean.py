@@ -1628,3 +1628,81 @@ SELECT doc_id,
                        chr(10)) AS clean_text
 FROM sp
 """
+
+
+# ------------------------------------------------- host quality aggregation
+# Crawl-frontier prioritization: a live crawler spends its budget on hosts
+# whose PAST documents were worth keeping. One host-keyed census over the
+# corpus aggregates document count, token mass and mean readability (the
+# shared textops.flesch_milli kernel, clamped at 0 so the integer mean is
+# floor-stable across engines), and scores each host quality x log-size —
+# the cheap stand-in for the quality-weighted frontier rules crawl
+# pipelines actually run (a host with many good docs outranks both a
+# one-hit host and a content-farm with thousands of bad ones).
+#
+# 100 TB shape: ONE groupBy(host) with map-side partial sums over a narrow
+# Project (host regex + count algebra); output is host-space-sized. The
+# log2 is the engine's exact bin-length trick — no float anywhere.
+
+
+def host_quality_rank(documents: DataFrame) -> DataFrame:
+    """(host, n_docs, n_words, mean_flesch_milli, log2_docs,
+    priority_milli) — one row per URL host: mean clamped Flesch score,
+    exact floor(log2(n_docs)) + 1 via bin-length, and the crawl priority
+    mean * log-size."""
+    from .textops import flesch_milli, readability_counts
+
+    web = synthesize_web(documents).select("doc_id", "web_text")
+    host = F.regexp_extract("web_text", RE_HOST, 1)
+    w, s, y = readability_counts(F.col("web_text"))
+    scored = web.select(
+        F.when(host == "", F.lit("(none)")).otherwise(host).alias("host"),
+        w.cast("long").alias("_w"),
+        F.greatest(F.lit(0).cast("long"), flesch_milli(w, s, y)).alias("_f"),
+    )
+    agg = scored.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_f").alias("_fs"),
+    )
+    mean = F.expr("_fs div n_docs").cast("long")
+    log2 = F.length(F.bin(F.col("n_docs"))).cast("long")
+    return agg.select(
+        "host",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        mean.alias("mean_flesch_milli"),
+        log2.alias("log2_docs"),
+        (mean * log2).alias("priority_milli"),
+    )
+
+
+def sql_host_quality_rank(table: str = "documents") -> str:
+    return f"""
+WITH web AS (
+  SELECT doc_id, web_text FROM ({sql_synthesize_web(table)})
+),
+scored AS (
+  SELECT COALESCE(NULLIF(regexp_extract(web_text, '{RE_HOST}', 1), ''),
+                  '(none)') AS host,
+         CAST(GREATEST(1, len(string_split(web_text, ' '))) AS BIGINT) AS w,
+         GREATEST(0::BIGINT,
+           206835
+           - (1015 * GREATEST(1, len(string_split(web_text, ' '))))
+             // GREATEST(1, len(web_text)
+                            - len(regexp_replace(web_text, '[.!?]', '', 'g')))
+           - (84600 * GREATEST(1, len(string_split_regex(lower(web_text),
+                                                         '[aeiou]+')) - 1))
+             // GREATEST(1, len(string_split(web_text, ' ')))) AS f
+  FROM web
+),
+agg AS (
+  SELECT host, COUNT(*)::BIGINT AS n_docs, SUM(w)::BIGINT AS n_words,
+         (SUM(f)::BIGINT // COUNT(*)::BIGINT)::BIGINT AS mean_flesch_milli
+  FROM scored GROUP BY host
+)
+SELECT host, n_docs, n_words, mean_flesch_milli,
+       CAST(length(bin(n_docs)) AS BIGINT) AS log2_docs,
+       (mean_flesch_milli * length(bin(n_docs)))::BIGINT AS priority_milli
+FROM agg
+"""

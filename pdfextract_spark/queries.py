@@ -917,6 +917,21 @@ def q_corpus_pack_stats(spark, sf_dir):
     return packing.pack_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_text_quality_calibrate(spark, sf_dir):
+    """Quality-gate threshold calibration: for each target keep rate the
+    largest whole-Flesch-point threshold whose gate keeps at least the
+    target count (the snapshot-drift-tracking way real gates are set) —
+    bounded-histogram cumsum, the tercile kernel generalized."""
+    return textops.quality_calibrate(_t(spark, sf_dir, "documents"))
+
+
+def q_web_host_quality(spark, sf_dir):
+    """Crawl-frontier prioritization: per-host doc count, token mass, mean
+    clamped Flesch and the quality x log-size priority — ONE host-keyed
+    census with map-side partials, output host-space-sized."""
+    return webclean.host_quality_rank(_t(spark, sf_dir, "documents"))
+
+
 def q_web_intradoc_dedup(spark, sf_dir):
     """Within-document line dedup (Dolma's intra-doc repetition removal,
     next to the cross-doc passes): repeated lines dropped keeping the
@@ -1441,6 +1456,8 @@ def queries() -> Dict[str, Callable]:
         "corpus_pack_bpe": q_corpus_pack_bpe,
         "corpus_curriculum": q_corpus_curriculum,
         "web_intradoc_dedup": q_web_intradoc_dedup,
+        "text_quality_calibrate": q_text_quality_calibrate,
+        "web_host_quality": q_web_host_quality,
         "dedup_semdedup_hot": q_dedup_semdedup_hot,
         "text_bm25_bench_topk": q_text_bm25_bench_topk,
         "corpus_pack_by_split": q_corpus_pack_by_split,
@@ -1672,6 +1689,8 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_pack_bpe": packing.sql_pack_sequences_bpe(),
         "corpus_curriculum": curation.sql_curriculum_schedule(),
         "web_intradoc_dedup": webclean.sql_intradoc_line_dedup(),
+        "text_quality_calibrate": textops.sql_quality_calibrate(),
+        "web_host_quality": webclean.sql_host_quality_rank(),
         "corpus_decontaminate": decontam.sql_contamination_report(),
         "html_synthesize": htmlops.sql_synthesize_html(),
         "html_main_content": htmlops.sql_main_content(),
