@@ -917,6 +917,15 @@ def q_corpus_pack_stats(spark, sf_dir):
     return packing.pack_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_sim_matryoshka(spark, sf_dir):
+    """Matryoshka truncation eval (Kusupati et al. 2022): exact top-K at
+    each prefix width vs the full-dim top-K — mean overlap@K per-mille and
+    top-1 retention per width, the relation an embedding-serving rollout
+    decides on. Bounded-query broadcast crossJoin x widths via one
+    explode; candidates stream once."""
+    return similarity.matryoshka_overlap(_t(spark, sf_dir, "embeddings"))
+
+
 def q_text_quality_calibrate(spark, sf_dir):
     """Quality-gate threshold calibration: for each target keep rate the
     largest whole-Flesch-point threshold whose gate keeps at least the
@@ -1456,6 +1465,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_pack_bpe": q_corpus_pack_bpe,
         "corpus_curriculum": q_corpus_curriculum,
         "web_intradoc_dedup": q_web_intradoc_dedup,
+        "sim_matryoshka": q_sim_matryoshka,
         "text_quality_calibrate": q_text_quality_calibrate,
         "web_host_quality": q_web_host_quality,
         "dedup_semdedup_hot": q_dedup_semdedup_hot,
@@ -1689,6 +1699,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_pack_bpe": packing.sql_pack_sequences_bpe(),
         "corpus_curriculum": curation.sql_curriculum_schedule(),
         "web_intradoc_dedup": webclean.sql_intradoc_line_dedup(),
+        "sim_matryoshka": similarity.sql_matryoshka_overlap(),
         "text_quality_calibrate": textops.sql_quality_calibrate(),
         "web_host_quality": webclean.sql_host_quality_rank(),
         "corpus_decontaminate": decontam.sql_contamination_report(),
