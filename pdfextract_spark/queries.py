@@ -917,6 +917,95 @@ def q_corpus_pack_stats(spark, sf_dir):
     return packing.pack_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_window_funnel(spark, sf_dir):
+    """ClickHouse-style windowFunnel over the events stream: per user the
+    deepest view -> click -> purchase chain whose steps occur in timestamp
+    order with the WHOLE chain inside a 1h window of its first step
+    (ClickHouse windowFunnel semantics), folded with the latest-start DP
+    (one pass over the user's time-sorted events — a later first step
+    re-anchors the window); output = the depth histogram.
+
+    100 TB shape: ONE groupBy(user_id) -> sorted event array -> an in-row
+    aggregate fold (3-long accumulator), then a tiny depth groupBy. The
+    per-user array is the session-bounded width a funnel always needs;
+    production pre-buckets by (user, day) exactly like the sessionizer."""
+    ev = _t(spark, sf_dir, "events")
+    W = 3_600_000_000  # 1h in microseconds
+    S0, S1, S2 = "view", "click", "purchase"
+    e = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+            F.col("event_id").cast("long").alias("eid"),
+            F.col("event_type").alias("ty"),
+        ).alias("ev"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("ev")).alias("evs")
+    )
+    init = F.struct(
+        F.lit(-1).cast("long").alias("s1"),
+        F.lit(-1).cast("long").alias("s2"),
+        F.lit(-1).cast("long").alias("s3"),
+    )
+
+    def step(acc, x):
+        s1 = F.when(x["ty"] == S0, x["t"]).otherwise(acc["s1"])
+        s2 = F.when(
+            (x["ty"] == S1) & (acc["s1"] >= 0) & (x["t"] - acc["s1"] <= W),
+            F.greatest(acc["s2"], acc["s1"]),
+        ).otherwise(acc["s2"])
+        s3 = F.when(
+            (x["ty"] == S2) & (acc["s2"] >= 0) & (x["t"] - acc["s2"] <= W),
+            F.greatest(acc["s3"], acc["s2"]),
+        ).otherwise(acc["s3"])
+        return F.struct(s1.alias("s1"), s2.alias("s2"), s3.alias("s3"))
+
+    acc = F.aggregate(F.col("evs"), init, step)
+    depth = (
+        F.when(acc["s3"] >= 0, 3)
+        .when(acc["s2"] >= 0, 2)
+        .when(acc["s1"] >= 0, 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select(depth.cast("int").alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_WINDOW_FUNNEL = """
+WITH evs AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(
+           t := epoch_us(ts), eid := CAST(event_id AS BIGINT),
+           ty := event_type))) AS evs
+  FROM events GROUP BY user_id
+),
+folded AS (
+  SELECT user_id,
+         list_reduce(
+           list_concat([[CAST(-1 AS BIGINT), -1, -1]],
+                       list_transform(evs, x -> [x.t,
+                         CASE x.ty WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                                   WHEN 'purchase' THEN 2 ELSE 3 END, 0])),
+           (acc, x) -> [
+             CASE WHEN x[2] = 0 THEN x[1] ELSE acc[1] END,
+             CASE WHEN x[2] = 1 AND acc[1] >= 0 AND x[1] - acc[1] <= 3600000000
+                  THEN GREATEST(acc[2], acc[1]) ELSE acc[2] END,
+             CASE WHEN x[2] = 2 AND acc[2] >= 0 AND x[1] - acc[2] <= 3600000000
+                  THEN GREATEST(acc[3], acc[2]) ELSE acc[3] END
+           ]) AS s
+  FROM evs
+)
+SELECT CAST(CASE WHEN s[3] >= 0 THEN 3 WHEN s[2] >= 0 THEN 2
+                 WHEN s[1] >= 0 THEN 1 ELSE 0 END AS INT) AS depth,
+       COUNT(*)::BIGINT AS n_users
+FROM folded GROUP BY 1
+"""
+
+
 def q_sim_matryoshka(spark, sf_dir):
     """Matryoshka truncation eval (Kusupati et al. 2022): exact top-K at
     each prefix width vs the full-dim top-K — mean overlap@K per-mille and
@@ -1466,6 +1555,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_curriculum": q_corpus_curriculum,
         "web_intradoc_dedup": q_web_intradoc_dedup,
         "sim_matryoshka": q_sim_matryoshka,
+        "window_funnel": q_window_funnel,
         "text_quality_calibrate": q_text_quality_calibrate,
         "web_host_quality": q_web_host_quality,
         "dedup_semdedup_hot": q_dedup_semdedup_hot,
@@ -1700,6 +1790,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_curriculum": curation.sql_curriculum_schedule(),
         "web_intradoc_dedup": webclean.sql_intradoc_line_dedup(),
         "sim_matryoshka": similarity.sql_matryoshka_overlap(),
+        "window_funnel": SQL_WINDOW_FUNNEL,
         "text_quality_calibrate": textops.sql_quality_calibrate(),
         "web_host_quality": webclean.sql_host_quality_rank(),
         "corpus_decontaminate": decontam.sql_contamination_report(),
