@@ -78,8 +78,11 @@ SINGLE_PARTITION_WINDOW_ALLOWED = {
     "queries.py": 2,
     # ppl_buckets: the same histogram-cumsum kernel over the per-doc
     # mean_surprisal_q4 score domain (|distinct q4 scores| <= a few
-    # thousand — bounded by the 1/16-bit log2 range, not corpus size)
-    "textops.py": 2,
+    # thousand — bounded by the 1/16-bit log2 range, not corpus size);
+    # quality_calibrate: descending cumsum (x2 specs) over the
+    # whole-Flesch-point histogram (<= ~207 distinct values after the
+    # 0-clamp at ANY corpus size)
+    "textops.py": 4,
     # bm25_topk + bm25_bench_topk: query-term ranking over the
     # orderBy().limit(NQ*TPQ) result — constant-size frames, never
     # corpus-scaled
@@ -115,9 +118,10 @@ def test_single_partition_windows_are_allowlisted():
 # anti-joins now carry no hint and let AQE broadcast at runtime when small.
 # Allowlist: file -> (max occurrences, why each hinted frame is bounded).
 BROADCAST_ALLOWED = {
-    # N_QUERY=50 query vectors; per-label centroids (cells = label space,
-    # the coarse-quantizer size — a design constant, not corpus-sized)
-    "similarity.py": 2,
+    # N_QUERY=50 query vectors (x2: cosine_topk + matryoshka_overlap);
+    # per-label centroids (cells = label space, the coarse-quantizer size
+    # — a design constant, not corpus-sized)
+    "similarity.py": 3,
     # 1-row corpus totals (x2: lines + overflow frac thresholds);
     # boilerplate set hard-capped at CAP=256 (overflow reported via
     # boilerplate_overflow)
