@@ -232,3 +232,148 @@ SELECT d.doc_id, d.host,
         < ({RANK_COIN_MOD} * COALESCE(r.score, 0)) // mx.max_score) AS sampled
 FROM docs d LEFT JOIN ranks r ON d.host = r.host, mx
 """
+
+
+# ------------------------------------------------------------------- HITS
+# Hubs & authorities (Kleinberg 1999) beside PageRank: crawl pipelines use
+# the authority side to find content-bearing hosts and the hub side to find
+# link-farm/index hosts worth demoting. Same synthesized host edge census,
+# same integer fixed-point discipline (normalize by the per-round max via
+# integer division) so Spark and DuckDB agree bit-exactly.
+
+HITS_ITERS = 3       # fixed, unrolled mutual-reinforcement rounds
+HITS_SCALE = 1_000_000  # fixed-point score unit (max score per round)
+
+
+def hits_scores(edges: DataFrame) -> DataFrame:
+    """(host, hub, auth) — integer fixed-point HITS over an (src, dst)
+    edge relation, HITS_ITERS unrolled rounds.
+
+    h_0(v) = HITS_SCALE; a_{t+1}(v) = sum of h_t(u) over in-edges, then
+    rescaled to max HITS_SCALE via integer division; h_{t+1}(u) = sum of
+    a_{t+1}(v) over out-edges, rescaled the same way. Max-normalization
+    (instead of the textbook L2 norm) keeps every value integral —
+    rankings are identical, and the per-round normalizer is a 1-row
+    aggregate cross-joined in (host-space-sized input, trivial).
+
+    100 TB shape: like host_rank, each round is one join of scores onto
+    edges plus one groupBy on host ids (the HOST universe, ~10^8 at
+    production scale, far below 10^12 docs). Unlike host_rank, the
+    normalizer makes each round's score relation SELF-referential
+    (score crossJoin max(score)), which duplicates the upstream subtree
+    per reference — naively the unrolled plan grows exponentially in
+    HITS_ITERS (measured: a 472-join optimized plan at K=3). So each
+    round's raw score relation is localCheckpoint-ed — it is
+    host-cardinality, trivially materializable — and every round plans
+    from a leaf: the same signatures-compute-once lesson as the minhash
+    localCheckpoint (PLANS.md)."""
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    hubs = hosts.select("host", F.lit(HITS_SCALE).cast("long").alias("h"))
+    auth = None
+    for _ in range(HITS_ITERS):
+        araw = (
+            edges.join(hubs, edges.src == hubs.host)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ar"))
+        )
+        # host-cardinality materialization barrier: the normalizer below
+        # references this relation twice (value + 1-row max)
+        auth_raw = (
+            hosts.join(araw, hosts.host == araw.dst, "left")
+            .select(
+                "host",
+                F.coalesce(F.col("ar"), F.lit(0)).cast("long").alias("ar"),
+            )
+            .localCheckpoint()
+        )
+        amax = auth_raw.agg(F.greatest(F.max("ar"), F.lit(1)).alias("am"))
+        auth = auth_raw.crossJoin(amax).select(
+            "host",
+            F.expr(f"({HITS_SCALE} * ar) div am").cast("long").alias("a"),
+        )
+        hraw = (
+            edges.join(auth, edges.dst == auth.host)
+            .groupBy("src")
+            .agg(F.sum("a").alias("hr"))
+        )
+        hub_raw = (
+            hosts.join(hraw, hosts.host == hraw.src, "left")
+            .select(
+                "host",
+                F.coalesce(F.col("hr"), F.lit(0)).cast("long").alias("hr"),
+            )
+            .localCheckpoint()
+        )
+        hmax = hub_raw.agg(F.greatest(F.max("hr"), F.lit(1)).alias("hm"))
+        hubs = hub_raw.crossJoin(hmax).select(
+            "host",
+            F.expr(f"({HITS_SCALE} * hr) div hm").cast("long").alias("h"),
+        )
+    return (
+        hosts.join(hubs, "host")
+        .join(auth, "host")
+        .select("host", F.col("h").alias("hub"), F.col("a").alias("auth"))
+        .orderBy("host")
+    )
+
+
+def host_hits(documents: DataFrame) -> DataFrame:
+    """HITS over the synthesized host link census (same edge set as
+    host_rank, so the two rankings are directly comparable)."""
+    return hits_scores(host_edges(documents))
+
+
+def sql_host_hits(table: str = "documents") -> str:
+    """DuckDB mirror: identical edge synthesis and HITS_ITERS unrolled
+    integer hub/authority CTEs with max-normalization per round."""
+    host_src = f"'h' || CAST((('0x' || substr(md5('hs|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % {HOSTS}) AS VARCHAR)"
+    host_dst = f"'h' || CAST((('0x' || substr(md5('lk|' || CAST(doc_id AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % {HOSTS}) AS VARCHAR)"
+    iters = []
+    for t in range(1, HITS_ITERS + 1):
+        iters.append(f"""
+a{t}raw AS (
+  SELECT h.host, CAST(COALESCE(SUM(x.h), 0) AS BIGINT) AS ar
+  FROM hosts h
+  LEFT JOIN (edges e JOIN h{t - 1} x ON e.src = x.host) ON e.dst = h.host
+  GROUP BY h.host
+),
+a{t} AS (
+  SELECT host,
+         CAST(({HITS_SCALE} * ar)
+              // GREATEST((SELECT MAX(ar) FROM a{t}raw), 1) AS BIGINT) AS a
+  FROM a{t}raw
+),
+h{t}raw AS (
+  SELECT h.host, CAST(COALESCE(SUM(x.a), 0) AS BIGINT) AS hr
+  FROM hosts h
+  LEFT JOIN (edges e JOIN a{t} x ON e.dst = x.host) ON e.src = h.host
+  GROUP BY h.host
+),
+h{t} AS (
+  SELECT host,
+         CAST(({HITS_SCALE} * hr)
+              // GREATEST((SELECT MAX(hr) FROM h{t}raw), 1) AS BIGINT) AS h
+  FROM h{t}raw
+)""")
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT {host_src} AS src, {host_dst} AS dst
+  FROM {table}, unnest(range(0, {OUT_LINKS})) AS u(k)
+  WHERE {host_src} <> {host_dst}
+),
+hosts AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+),
+h0 AS (
+  SELECT host, CAST({HITS_SCALE} AS BIGINT) AS h FROM hosts
+),{",".join(iters)}
+SELECT hs.host, hb.h AS hub, au.a AS auth
+FROM hosts hs
+JOIN h{HITS_ITERS} hb ON hs.host = hb.host
+JOIN a{HITS_ITERS} au ON hs.host = au.host
+ORDER BY hs.host
+"""

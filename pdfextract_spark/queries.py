@@ -1460,6 +1460,15 @@ def q_graph_host_rank(spark, sf_dir):
     return graphops.host_rank(_t(spark, sf_dir, "documents"))
 
 
+def q_graph_host_hits(spark, sf_dir):
+    """HITS hubs & authorities beside PageRank: authority mass finds
+    content-bearing hosts, hub mass finds link-farm/index hosts worth
+    demoting — HITS_ITERS unrolled integer fixed-point rounds over the
+    same synthesized host census, max-normalized per round so Spark and
+    the DuckDB unrolled-CTE mirror agree bit-exactly."""
+    return graphops.host_hits(_t(spark, sf_dir, "documents"))
+
+
 def q_text_readability(spark, sf_dir):
     """Flesch reading-ease quality signal in integer milli-units (vowel-
     group syllable proxy), banded easy/medium/hard — ONE narrow Project,
@@ -1547,6 +1556,7 @@ def queries() -> Dict[str, Callable]:
     # green in >=1 prior round and stay pytest- and check_oracle-gated
     # every round.
     return {
+        "graph_host_hits": q_graph_host_hits,
         "corpus_doremi_weights": q_corpus_doremi_weights,
         "corpus_doremi_sample": q_corpus_doremi_sample,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1747,6 +1757,7 @@ def oracle_sql() -> Dict[str, str]:
         "multimodal_dedup_apply": multimodal.sql_media_dedup_apply(),
         "multimodal_caption_pairs": multimodal.sql_caption_pairs(),
         "graph_host_rank": graphops.sql_host_rank(),
+        "graph_host_hits": graphops.sql_host_hits(),
         "corpus_rank_sample": graphops.sql_rank_weighted_sample(),
         "text_readability": textops.sql_readability(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
