@@ -35,6 +35,7 @@ from .functions import (
     packing,
     retrieval,
     similarity,
+    sketches,
     textops,
     webclean,
 )
@@ -1460,6 +1461,16 @@ def q_graph_host_rank(spark, sf_dir):
     return graphops.host_rank(_t(spark, sf_dir, "documents"))
 
 
+def q_sketch_hll_hosts(spark, sf_dir):
+    """HyperLogLog distinct-docs-per-host sketch (the 10^12-scale distinct
+    counter: mergeable max-per-register state, ONE bounded groupBy on
+    (host, register) instead of a distinct shuffle over the corpus) with
+    Flajolet's linear-counting small-range correction via an integer ln
+    table embedded identically in both engines, next to the exact count
+    and its per-mille error as the sandbox audit columns."""
+    return sketches.hll_host_distinct(_t(spark, sf_dir, "documents"))
+
+
 def q_graph_host_hits(spark, sf_dir):
     """HITS hubs & authorities beside PageRank: authority mass finds
     content-bearing hosts, hub mass finds link-farm/index hosts worth
@@ -1557,6 +1568,7 @@ def queries() -> Dict[str, Callable]:
     # every round.
     return {
         "graph_host_hits": q_graph_host_hits,
+        "sketch_hll_hosts": q_sketch_hll_hosts,
         "corpus_doremi_weights": q_corpus_doremi_weights,
         "corpus_doremi_sample": q_corpus_doremi_sample,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1758,6 +1770,7 @@ def oracle_sql() -> Dict[str, str]:
         "multimodal_caption_pairs": multimodal.sql_caption_pairs(),
         "graph_host_rank": graphops.sql_host_rank(),
         "graph_host_hits": graphops.sql_host_hits(),
+        "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "corpus_rank_sample": graphops.sql_rank_weighted_sample(),
         "text_readability": textops.sql_readability(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
