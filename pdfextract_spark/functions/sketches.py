@@ -180,3 +180,132 @@ SELECT c.host, c.n_regs, c.zeros, c.hll_raw, c.hll_est,
 FROM corrected c JOIN exact e ON c.host = e.host
 ORDER BY c.host
 """
+
+
+# ----------------------------------------------------- count-min sketch
+# Heavy hitters with an exact-verify second pass. The naive "which tokens
+# exceed x% of the stream" census shuffles the full vocabulary (unbounded:
+# vocab grows with corpus size). The CMS two-pass bounds every state:
+#   pass 1 — a (row, bucket) census of CMS_D x CMS_W cells, map-side
+#   combinable, 2048 cells TOTAL regardless of vocabulary;
+#   pass 2 — each occurrence looks its CMS_D cells up via joins against
+#   the tiny census (AQE broadcasts the 512-row sides; no hint needed),
+#   keeps occurrences whose min-cell estimate clears the threshold, and
+#   only THOSE are exactly counted: the exact census key space is bounded
+#   by total/threshold (a CMS estimate never undercounts, so no true
+#   heavy hitter is filtered), and the post-count threshold re-check
+#   discards the sketch's false positives — output is EXACTLY the true
+#   heavy-hitter set with exact counts.
+
+CMS_D = 4        # hash rows
+CMS_W = 512      # buckets per row -> 2048 census cells total
+HH_PERMILLE = 2  # heavy hitter = token with > 0.2% of all occurrences
+
+
+def _cms_bucket(token, i: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{i}|"), token)), 1, 8), 16, 10
+        ).cast("long")
+        % CMS_W
+    )
+
+
+def heavy_hitters(documents: DataFrame) -> DataFrame:
+    """(token, cms_est, n) for every token whose exact occurrence count
+    clears HH_PERMILLE per-mille of the corpus token stream, found via a
+    count-min candidate pass and verified exactly; cms_est carries the
+    sketch's (over-)estimate next to the exact count so the estimate
+    error is visible in the relation."""
+    toks = documents.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"), _cms_bucket(F.col("token"), i).alias("b")
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.r", "cell.b")
+    cms = cells.groupBy("r", "b").agg(F.count(F.lit(1)).alias("c"))
+    # 2048-cell reduced frame with CMS_D consumers below: checkpoint per
+    # the census rule (reduced multi-consumer frames, never exploded ones)
+    cms = cms.localCheckpoint(eager=False)
+    total = toks.agg(F.sum(F.lit(1)).cast("long").alias("_t"))
+
+    probed = toks
+    for i in range(CMS_D):
+        side = cms.filter(F.col("r") == i).select(
+            F.col("b").alias(f"_b{i}"), F.col("c").alias(f"_c{i}")
+        )
+        probed = probed.withColumn(f"_b{i}", _cms_bucket(F.col("token"), i)).join(
+            side, f"_b{i}"
+        )
+    est = F.least(*[F.col(f"_c{i}") for i in range(CMS_D)])
+    survivors = (
+        probed.crossJoin(total)
+        .withColumn("_thr", F.expr(f"greatest(1, ({HH_PERMILLE} * _t) div 1000)"))
+        .filter(est >= F.col("_thr"))
+        .select("token", est.alias("cms_est"), "_thr")
+    )
+    return (
+        survivors.groupBy("token")
+        .agg(
+            F.max("cms_est").alias("cms_est"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("_thr").alias("_thr"),
+        )
+        .filter(F.col("n") >= F.col("_thr"))
+        .select("token", "cms_est", "n")
+        .orderBy(F.desc("n"), F.asc("token"))
+    )
+
+
+def sql_heavy_hitters(table: str = "documents") -> str:
+    """DuckDB mirror: identical md5 cell hashing, census, min-cell
+    estimate, threshold, and exact verify."""
+    def bucket(i: int, col: str = "token") -> str:
+        return f"(('0x' || substr(md5('cms{i}|' || {col}), 1, 8))::BIGINT % {CMS_W})"
+
+    cell_union = "\n    UNION ALL\n".join(
+        f"    SELECT {i} AS r, {bucket(i)} AS b FROM toks" for i in range(CMS_D)
+    )
+    joins = "\n".join(
+        f"JOIN cms c{i} ON c{i}.r = {i} AND c{i}.b = {bucket(i, 't.token')}"
+        for i in range(CMS_D)
+    )
+    least = "LEAST(" + ", ".join(f"c{i}.c" for i in range(CMS_D)) + ")"
+    return f"""
+WITH toks AS (
+  SELECT token FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS token FROM {table}
+  ) WHERE token <> ''
+),
+cms AS (
+  SELECT r, b, COUNT(*) AS c FROM (
+{cell_union}
+  ) GROUP BY r, b
+),
+total AS (SELECT COUNT(*) AS t FROM toks),
+survivors AS (
+  SELECT t.token,
+         {least} AS cms_est,
+         GREATEST(1, ({HH_PERMILLE} * total.t) // 1000) AS thr
+  FROM toks t
+{joins}
+  CROSS JOIN total
+  WHERE {least} >= GREATEST(1, ({HH_PERMILLE} * total.t) // 1000)
+)
+SELECT token,
+       CAST(MAX(cms_est) AS BIGINT) AS cms_est,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM survivors
+GROUP BY token
+HAVING COUNT(*) >= MAX(thr)
+ORDER BY n DESC, token ASC
+"""

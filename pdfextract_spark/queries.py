@@ -1471,6 +1471,17 @@ def q_sketch_hll_hosts(spark, sf_dir):
     return sketches.hll_host_distinct(_t(spark, sf_dir, "documents"))
 
 
+def q_sketch_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters with exact verify: the candidate
+    pass is a 2048-cell (row, bucket) census — bounded regardless of
+    vocabulary size — and only occurrences whose min-cell estimate clears
+    the per-mille threshold reach the exact census, whose key space is
+    bounded by total/threshold. CMS never undercounts, so no true heavy
+    hitter is lost; the post-count re-check drops the sketch's false
+    positives — output is exactly the true heavy-hitter set."""
+    return sketches.heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
 def q_graph_host_hits(spark, sf_dir):
     """HITS hubs & authorities beside PageRank: authority mass finds
     content-bearing hosts, hub mass finds link-farm/index hosts worth
@@ -1569,6 +1580,7 @@ def queries() -> Dict[str, Callable]:
     return {
         "graph_host_hits": q_graph_host_hits,
         "sketch_hll_hosts": q_sketch_hll_hosts,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "corpus_doremi_weights": q_corpus_doremi_weights,
         "corpus_doremi_sample": q_corpus_doremi_sample,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1771,6 +1783,7 @@ def oracle_sql() -> Dict[str, str]:
         "graph_host_rank": graphops.sql_host_rank(),
         "graph_host_hits": graphops.sql_host_hits(),
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
+        "sketch_heavy_hitters": sketches.sql_heavy_hitters(),
         "corpus_rank_sample": graphops.sql_rank_weighted_sample(),
         "text_readability": textops.sql_readability(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
