@@ -1706,3 +1706,160 @@ SELECT host, n_docs, n_words, mean_flesch_milli,
        (mean_flesch_milli * length(bin(n_docs)))::BIGINT AS priority_milli
 FROM agg
 """
+
+
+# -------------------------------------------- temperature-scaled sampling
+# Multilingual temperature sampling (mBERT / XLM-R's alpha rebalancing):
+# instead of hand-set weights (MIX_WEIGHTS), the per-language share is
+# computed FROM the data as p_l^alpha with alpha = 0.5 — low-resource
+# languages are upsampled relative to their raw share, the crawl-head
+# language is damped. p^0.5 needs a square root; to stay bit-exact across
+# engines it is an EXACT integer sqrt: floor(sqrt(double)) followed by a
+# +-1 integer correction, so any FP rounding of the double sqrt is
+# repaired by pure int64 comparisons and both engines agree exactly.
+
+TEMP_BUDGET_PCT = 50  # global budget: half the corpus tokens
+
+
+def _isqrt_expr(n: str) -> str:
+    """Exact integer sqrt of non-negative bigint expression `n` as a SQL
+    string valid in BOTH Spark SQL and DuckDB (floor-double seed, integer
+    correction for FP rounding either way)."""
+    s0 = f"cast(floor(sqrt(cast({n} as double))) as bigint)"
+    return (
+        f"(({s0}) + (case when (({s0}) + 1) * (({s0}) + 1) <= ({n}) then 1 else 0 end)"
+        f" - (case when ({s0}) * ({s0}) > ({n}) then 1 else 0 end))"
+    )
+
+
+def temperature_mixture(
+    documents: DataFrame, budget_pct: int = TEMP_BUDGET_PCT
+) -> DataFrame:
+    """(lang, n_docs, n_tokens, share_pm, temp_share_pm, rate_pm, epochs,
+    kept_docs, kept_tokens) — per-language temperature-sampling report:
+    raw token share, the alpha=0.5 rebalanced share (isqrt(n_tokens)
+    normalized over languages), the per-mille keep rate that hits the
+    rebalanced token target under the global budget (capped at 1000), the
+    number of FULL repeat epochs an upsampled language needs beyond
+    hash-sampling (target div actual), and what the md5-coin cut actually
+    kept.
+
+    100 TB shape: identical to mixture_sample — ONE language census
+    shuffle with map-side combine, two 1-row normalizer aggregates over
+    the language-space-sized census, a narrow AQE-broadcast join of the
+    rate table onto the corpus, then ONE final language groupBy of the
+    kept rows. The corpus is never regrouped; the only transcendental
+    (sqrt) is integer-corrected to exactness."""
+    doc_id = F.col("doc_id").cast("string")
+    toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long")
+    census = (
+        documents.select(
+            F.col("lang").cast("string").alias("lang"), toks.alias("t")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"), F.sum("t").alias("n_tokens"))
+    )
+    # language-space-sized, three consumers (totals, sqrt-sum, rate table)
+    census = census.localCheckpoint(eager=False)
+    census = census.withColumn("s", F.expr(_isqrt_expr("n_tokens")))
+    norms = census.agg(
+        F.sum("n_tokens").alias("_tm_total"), F.sum("s").alias("_tm_ssum")
+    )
+    rates = census.crossJoin(norms).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000 * n_tokens) div _tm_total").cast("long").alias("share_pm"),
+        F.expr("(1000 * s) div _tm_ssum").cast("long").alias("temp_share_pm"),
+        F.expr(
+            f"(((_tm_total * {int(budget_pct)}) div 100) * s) div _tm_ssum"
+        ).alias("_target"),
+    )
+    rates = rates.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "share_pm",
+        "temp_share_pm",
+        F.least(F.lit(1000).cast("long"), F.expr("(1000 * _target) div n_tokens"))
+        .cast("long")
+        .alias("rate_pm"),
+        F.expr("_target div n_tokens").cast("long").alias("epochs"),
+    )
+    coin = (_hx(F.md5(F.concat(F.lit("tmp|"), doc_id)), 1, 5) % 1000).cast("long")
+    kept = (
+        documents.select(
+            F.col("lang").cast("string").alias("lang"),
+            toks.alias("t"),
+            coin.alias("c"),
+        )
+        .join(rates.select("lang", "rate_pm"), "lang")
+        .filter(F.col("c") < F.col("rate_pm"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.sum("t").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "share_pm",
+            "temp_share_pm",
+            "rate_pm",
+            "epochs",
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sql_temperature_mixture(
+    table: str = "documents", budget_pct: int = TEMP_BUDGET_PCT
+) -> str:
+    """DuckDB mirror: identical census, exact-isqrt rebalancing, rate
+    table, md5 coin, and kept census."""
+    isq = _isqrt_expr("n_tokens")
+    return f"""
+WITH census AS (
+  SELECT CAST(lang AS VARCHAR) AS lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT)
+           AS n_tokens
+  FROM {table} GROUP BY 1
+),
+sq AS (
+  SELECT lang, n_docs, n_tokens, {isq} AS s FROM census
+),
+norms AS (SELECT SUM(n_tokens) AS total, SUM(s) AS ssum FROM sq),
+rates AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST((1000 * n_tokens) // norms.total AS BIGINT) AS share_pm,
+         CAST((1000 * s) // norms.ssum AS BIGINT) AS temp_share_pm,
+         CAST(LEAST(1000, (1000 * ((((norms.total * {int(budget_pct)}) // 100) * s)
+                                   // norms.ssum)) // n_tokens) AS BIGINT) AS rate_pm,
+         CAST(((((norms.total * {int(budget_pct)}) // 100) * s) // norms.ssum)
+              // n_tokens AS BIGINT) AS epochs
+  FROM sq, norms
+),
+kept AS (
+  SELECT CAST(d.lang AS VARCHAR) AS lang,
+         CAST(COUNT(*) AS BIGINT) AS kept_docs,
+         CAST(SUM(len(list_filter(string_split(d.text, ' '), w -> w <> ''))) AS BIGINT)
+           AS kept_tokens
+  FROM {table} d JOIN rates r ON CAST(d.lang AS VARCHAR) = r.lang
+  WHERE (('0x' || substr(md5('tmp|' || CAST(d.doc_id AS VARCHAR)), 1, 5))::BIGINT
+         % 1000) < r.rate_pm
+  GROUP BY 1
+)
+SELECT r.lang, r.n_docs, r.n_tokens, r.share_pm, r.temp_share_pm, r.rate_pm,
+       r.epochs,
+       CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+ORDER BY r.lang
+"""

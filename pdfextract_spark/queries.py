@@ -1471,6 +1471,16 @@ def q_sketch_hll_hosts(spark, sf_dir):
     return sketches.hll_host_distinct(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_temperature_sample(spark, sf_dir):
+    """Temperature-scaled multilingual sampling (mBERT/XLM-R alpha=0.5
+    rebalancing): per-language shares computed FROM the data as
+    p^0.5 via an exact integer sqrt (double seed + int64 correction, so
+    both engines agree bit-exactly), keep rates to hit the rebalanced
+    token targets under a global budget, full repeat epochs for
+    upsampled languages, and what the md5 coin actually kept."""
+    return webclean.temperature_mixture(_t(spark, sf_dir, "documents"))
+
+
 def q_sketch_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters with exact verify: the candidate
     pass is a 2048-cell (row, bucket) census — bounded regardless of
@@ -1581,6 +1591,7 @@ def queries() -> Dict[str, Callable]:
         "graph_host_hits": q_graph_host_hits,
         "sketch_hll_hosts": q_sketch_hll_hosts,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "corpus_temperature_sample": q_corpus_temperature_sample,
         "corpus_doremi_weights": q_corpus_doremi_weights,
         "corpus_doremi_sample": q_corpus_doremi_sample,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1784,6 +1795,7 @@ def oracle_sql() -> Dict[str, str]:
         "graph_host_hits": graphops.sql_host_hits(),
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),
+        "corpus_temperature_sample": webclean.sql_temperature_mixture(),
         "corpus_rank_sample": graphops.sql_rank_weighted_sample(),
         "text_readability": textops.sql_readability(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
