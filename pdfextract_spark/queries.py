@@ -1471,6 +1471,16 @@ def q_sketch_hll_hosts(spark, sf_dir):
     return sketches.hll_host_distinct(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_decontam_semantic(spark, sf_dir):
+    """Embedding-space benchmark decontamination — the pass that catches
+    PARAPHRASED leaks the n-gram sweeps miss: corpus and benchmark LSH
+    signatures meet on (table, bucket), exact fixed-point cosine re-rank,
+    corpus vectors above the semantic-duplicate threshold flagged with
+    their best-matching bench item. The bench side is bounded by nature
+    (AQE broadcasts it); the corpus is never shuffled on its own key."""
+    return similarity.semantic_decontam(_t(spark, sf_dir, "embeddings"))
+
+
 def q_corpus_temperature_sample(spark, sf_dir):
     """Temperature-scaled multilingual sampling (mBERT/XLM-R alpha=0.5
     rebalancing): per-language shares computed FROM the data as
@@ -1592,6 +1602,7 @@ def queries() -> Dict[str, Callable]:
         "sketch_hll_hosts": q_sketch_hll_hosts,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "corpus_temperature_sample": q_corpus_temperature_sample,
+        "corpus_decontam_semantic": q_corpus_decontam_semantic,
         "corpus_doremi_weights": q_corpus_doremi_weights,
         "corpus_doremi_sample": q_corpus_doremi_sample,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1796,6 +1807,7 @@ def oracle_sql() -> Dict[str, str]:
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),
         "corpus_temperature_sample": webclean.sql_temperature_mixture(),
+        "corpus_decontam_semantic": similarity.sql_semantic_decontam(),
         "corpus_rank_sample": graphops.sql_rank_weighted_sample(),
         "text_readability": textops.sql_readability(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
