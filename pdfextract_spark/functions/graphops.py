@@ -377,3 +377,120 @@ JOIN h{HITS_ITERS} hb ON hs.host = hb.host
 JOIN a{HITS_ITERS} au ON hs.host = au.host
 ORDER BY hs.host
 """
+
+
+# -------------------------------------------------------------- TrustRank
+# TrustRank (Gyongyi et al. 2004): PageRank with the teleport vector
+# restricted to a TRUSTED seed set — trust flows out of hand-verified
+# hosts along links, and hosts unreachable from any seed get zero trust.
+# The curation use is the inverse of the badness blocklist: a score to
+# UPWEIGHT crawl and sampling toward provenance-verified regions of the
+# web graph (the spam-demotion complement of host_rank's raw authority).
+# Same integer fixed-point discipline and unrolled join+agg shape as
+# host_rank; the only structural delta is the teleport term (seed-only
+# base mass instead of a uniform base).
+
+TRUST_SEED_MOD = 8  # ~1/8 of hosts are md5-chosen trusted seeds
+
+
+def _is_seed(host_col) -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ts|"), host_col)), 1, 4), 16, 10)
+        .cast("long")
+        % TRUST_SEED_MOD
+        == 0
+    )
+
+
+def trust_rank(documents: DataFrame) -> DataFrame:
+    """(host, is_seed, trust) — integer fixed-point TrustRank over the
+    synthesized host census: r_0 = PR_SCALE on seeds else 0;
+    r_{t+1}(v) = seed_base(v) + sum over in-edges of
+    (85 * (r_t(u) div outdeg(u))) div 100, where seed_base = PR_BASE on
+    seeds and 0 elsewhere. PR_ITERS unrolled rounds, no normalizer (no
+    self-reference, so no checkpoint needed — the plan is a linear chain
+    exactly like host_rank's)."""
+    edges = host_edges(documents)
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    seed_base = F.when(_is_seed(F.col("host")), F.lit(PR_BASE)).otherwise(F.lit(0))
+    seed_full = F.when(_is_seed(F.col("host")), F.lit(PR_SCALE)).otherwise(F.lit(0))
+
+    ranks = hosts.select("host", seed_full.cast("long").alias("score"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.host)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst"),
+                F.expr(
+                    f"({PR_DAMP_NUM} * (score div outdeg)) div {PR_DAMP_DEN}"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = hosts.join(contrib, hosts.host == contrib.dst, "left").select(
+            "host",
+            (seed_base.cast("long") + F.coalesce(F.col("in_mass"), F.lit(0)))
+            .cast("long")
+            .alias("score"),
+        )
+    return (
+        hosts.select("host", _is_seed(F.col("host")).alias("is_seed"))
+        .join(ranks, "host")
+        .select("host", "is_seed", F.col("score").alias("trust"))
+        .orderBy("host")
+    )
+
+
+def sql_trust_rank(table: str = "documents") -> str:
+    """DuckDB mirror: identical edge synthesis, seed coin, and unrolled
+    seeded-teleport iterations."""
+    host_src = f"'h' || CAST((('0x' || substr(md5('hs|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % {HOSTS}) AS VARCHAR)"
+    host_dst = f"'h' || CAST((('0x' || substr(md5('lk|' || CAST(doc_id AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % {HOSTS}) AS VARCHAR)"
+    seed = (
+        f"((('0x' || substr(md5('ts|' || host), 1, 4))::BIGINT % {TRUST_SEED_MOD}) = 0)"
+    )
+    iters = []
+    for t in range(PR_ITERS):
+        iters.append(f"""
+r{t + 1} AS (
+  SELECT h.host,
+         CAST((CASE WHEN {seed.replace('host', 'h.host')} THEN {PR_BASE} ELSE 0 END)
+              + COALESCE(SUM(
+                  ({PR_DAMP_NUM} * (r.score // d.outdeg)) // {PR_DAMP_DEN}
+                ), 0) AS BIGINT) AS score
+  FROM hosts h
+  LEFT JOIN (edges e JOIN r{t} r ON e.src = r.host
+             JOIN outdeg d ON e.src = d.src)
+    ON e.dst = h.host
+  GROUP BY h.host
+)""")
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT {host_src} AS src, {host_dst} AS dst
+  FROM {table}, unnest(range(0, {OUT_LINKS})) AS u(k)
+  WHERE {host_src} <> {host_dst}
+),
+hosts AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+),
+outdeg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+),
+r0 AS (
+  SELECT host,
+         CAST(CASE WHEN {seed} THEN {PR_SCALE} ELSE 0 END AS BIGINT) AS score
+  FROM hosts
+),{",".join(iters)}
+SELECT h.host, {seed.replace('host', 'h.host')} AS is_seed,
+       r.score AS trust
+FROM hosts h
+JOIN r{PR_ITERS} r ON h.host = r.host
+ORDER BY h.host
+"""

