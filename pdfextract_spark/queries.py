@@ -1471,6 +1471,77 @@ def q_sketch_hll_hosts(spark, sf_dir):
     return sketches.hll_host_distinct(_t(spark, sf_dir, "documents"))
 
 
+def q_window_transitions(spark, sf_dir):
+    """Session path mining: the Markov transition census over consecutive
+    event pairs inside a session (gap <= 30min) — which step follows
+    which, and each destination's per-mille share of its source's
+    out-transitions (the relation funnel designers and bot-detection
+    heuristics read). Zero-window design like the funnel: ONE
+    groupBy(user) -> sorted array -> in-row zip_with(evs, slice(evs, 2))
+    pair algebra, then a tiny (src, dst) census with map-side combine."""
+    ev = _t(spark, sf_dir, "events")
+    GAP_US = 1_800_000_000  # 30 min session gap in microseconds
+    e = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+            F.col("event_id").cast("long").alias("eid"),
+            F.col("event_type").alias("ty"),
+        ).alias("ev"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("ev")).alias("evs")
+    )
+    pairs = F.filter(
+        F.zip_with(
+            F.col("evs"),
+            F.slice(F.col("evs"), 2, F.size("evs")),
+            lambda a, b: F.struct(
+                a["ty"].alias("src"),
+                b["ty"].alias("dst"),
+                (b["t"] - a["t"]).alias("gap"),
+            ),
+        ),
+        lambda x: x["gap"].isNotNull() & (x["gap"] <= GAP_US),
+    )
+    census = (
+        per_user.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = census.groupBy("src").agg(F.sum("n").alias("_tot"))
+    return (
+        census.join(totals, "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.expr("(1000 * n) div _tot").cast("long").alias("share_pm"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+SQL_WINDOW_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         LEAD(event_type) OVER w AS dst,
+         epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+census AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE dst IS NOT NULL AND gap <= 1800000000
+  GROUP BY src, dst
+),
+totals AS (SELECT src, SUM(n) AS tot FROM census GROUP BY src)
+SELECT c.src, c.dst, c.n, CAST((1000 * c.n) // t.tot AS BIGINT) AS share_pm
+FROM census c JOIN totals t ON c.src = t.src
+ORDER BY c.src, c.dst
+"""
+
+
 def q_graph_trustrank(spark, sf_dir):
     """TrustRank (Gyongyi et al.): PageRank with the teleport restricted
     to an md5-chosen trusted seed set — trust flows out of verified hosts
@@ -1613,6 +1684,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_temperature_sample": q_corpus_temperature_sample,
         "corpus_decontam_semantic": q_corpus_decontam_semantic,
         "graph_trustrank": q_graph_trustrank,
+        "window_transitions": q_window_transitions,
         "corpus_doremi_weights": q_corpus_doremi_weights,
         "corpus_doremi_sample": q_corpus_doremi_sample,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1819,6 +1891,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_temperature_sample": webclean.sql_temperature_mixture(),
         "corpus_decontam_semantic": similarity.sql_semantic_decontam(),
         "graph_trustrank": graphops.sql_trust_rank(),
+        "window_transitions": SQL_WINDOW_TRANSITIONS,
         "corpus_rank_sample": graphops.sql_rank_weighted_sample(),
         "text_readability": textops.sql_readability(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
