@@ -1,13 +1,12 @@
-"""Physical-plan shape assertions for the round-5 operators: Exchange
-budgets and no-hard-hint rules, same contract as test_plan_shapes_r4."""
+"""Physical-plan shape assertions for the round-5 session's operators:
+Exchange budgets and no-hard-hint contracts from the docstrings, enforced
+so a future change cannot silently regress them."""
 
 import pytest
+from pyspark.sql import functions as F
 
-from pdfextract_spark.functions.curation import doremi_weights
-from pdfextract_spark.functions.dedup import (
-    keep_best_dedup,
-    synthesize_quality_dup_corpus,
-)
+from pdfextract_spark.functions.sketches import heavy_hitters, hll_host_distinct
+from pdfextract_spark.functions.webclean import temperature_mixture
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -21,24 +20,62 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_keep_best_single_census_shuffle(docs):
-    # fingerprint + shout score are narrow Projects; the census is ONE
-    # groupBy(fp) with map-side partial struct-min — exactly one Exchange,
-    # no window, no join-back.
-    plan = _plan(keep_best_dedup(synthesize_quality_dup_corpus(docs)))
-    assert plan.count("Exchange") == 1, plan[:1200]
-    assert "partial_min" in plan, plan[:1200]
-    assert "Window" not in plan, plan[:1200]
+def _analyzed(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
 
 
-def test_doremi_weights_no_hard_broadcast_hint(docs):
-    # the LM vocab broadcast inside unigram_perplexity is cap-bounded
-    # (VOCAB_CAP) and allowlisted; beyond it the domain relation must reach
-    # the min/total crossJoins with NO planner-forced hint on anything
-    # corpus-sized.
-    df = doremi_weights(docs)
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert "UnresolvedHint" not in analyzed
-    # domain census: the groupBy(source) partial-aggregates map-side
+def test_hll_shuffle_budget(docs):
+    # (host, reg) census Exchange -> host fold Exchange, the exact-audit
+    # census (partial count_distinct: two more), the audit join, and the
+    # final orderBy range Exchange; partial aggregation must be present
+    plan = _plan(hll_host_distinct(docs))
+    assert plan.count("Exchange") <= 6, plan[:1500]
+    assert "partial_max" in plan or "partial" in plan, plan[:1500]
+
+
+def test_hll_no_hard_hints(docs):
+    a = _analyzed(hll_host_distinct(docs))
+    assert "ResolvedHint" not in a and "UnresolvedHint" not in a
+
+
+def test_heavy_hitters_no_vocab_shuffle_before_filter(docs):
+    # the ONLY aggregations may be: the 2048-cell census (bounded), the
+    # 1-row total, and the survivor census (bounded by total/threshold);
+    # the probe joins must carry no planner-forced broadcast hints
+    df = heavy_hitters(docs)
+    a = _analyzed(df)
+    assert "ResolvedHint" not in a and "UnresolvedHint" not in a
     plan = _plan(df)
-    assert "partial_sum" in plan or "partial_count" in plan, plan[:1200]
+    # census + total + survivor census + orderBy, with AQE join exchanges
+    # for the 4 probes; bound the total so a vocab-wide regroup (which
+    # would add paired partial/final exchanges per token column) shows up
+    assert plan.count("Exchange") <= 12, plan[:2000]
+
+
+def test_temperature_corpus_never_regrouped(docs):
+    # exactly three aggregation surfaces: the language census, the 1-row
+    # normalizer, and the kept census — all keyed on lang (language-space);
+    # plus the rate join and final orderBy. No hard hints.
+    df = temperature_mixture(docs)
+    a = _analyzed(df)
+    assert "ResolvedHint" not in a and "UnresolvedHint" not in a
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 8, plan[:2000]
+
+
+def test_graph_iterations_plan_from_checkpointed_leaves(spark):
+    # HITS: the final plan extends only from the last round's checkpointed
+    # leaves (the 472-join naive plan is the regression this pins);
+    # TrustRank: linear unrolled chain, no checkpoint needed, joins bounded
+    # by 3 per iteration + assembly
+    from pdfextract_spark.functions.graphops import (
+        PR_ITERS,
+        host_hits,
+        trust_rank,
+    )
+
+    docs = spark.range(80).select(F.col("id").alias("doc_id"))
+    hits_plan = host_hits(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert hits_plan.count("Join") <= 12, hits_plan[:1200]
+    tr_plan = trust_rank(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert tr_plan.count("Join") <= 3 * PR_ITERS + 4, tr_plan[:1200]
