@@ -1685,6 +1685,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_decontam_semantic": q_corpus_decontam_semantic,
         "graph_trustrank": q_graph_trustrank,
         "window_transitions": q_window_transitions,
+        "dedup_weighted_sample": q_dedup_weighted_sample,
         "corpus_doremi_weights": q_corpus_doremi_weights,
         "corpus_doremi_sample": q_corpus_doremi_sample,
         "dedup_keep_best": q_dedup_keep_best,
@@ -1739,7 +1740,6 @@ def queries() -> Dict[str, Callable]:
         "corpus_split_audit": q_corpus_split_audit,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "dedup_incremental": q_dedup_incremental,
-        "dedup_weighted_sample": q_dedup_weighted_sample,
         "dedup_semantic": q_dedup_semantic,
         "dedup_substr_removal": q_dedup_substr_removal,
         "dedup_window_stats": q_dedup_window_stats,
