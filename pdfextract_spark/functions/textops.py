@@ -1998,3 +1998,127 @@ FROM cum CROSS JOIN targets
 WHERE cum_ge >= ceil(total * target_pm / 1000.0)
 GROUP BY target_pm
 """
+
+
+# ------------------------------------------------------- snapshot drift
+# Crawl-snapshot distribution monitoring: the retraining-trigger question
+# "did the token distribution move between snapshot A and snapshot B, and
+# where?". Exact per-token comparison is vocabulary-sized; the census here
+# is hash-bucketed into DRIFT_BUCKETS cells per language (the DSIR trick),
+# so the state is bounded at |langs| x DRIFT_BUCKETS regardless of corpus
+# or vocabulary size and the distance is computed over buckets. L1 over
+# hashed buckets lower-bounds the true token-distribution L1 (hashing can
+# only cancel mass, never create it) — a rising bucket-L1 is a certain
+# distribution shift.
+
+DRIFT_BUCKETS = 1024
+DRIFT_PPM = 1_000_000  # parts-per-million fixed point for shares
+
+
+def snapshot_drift(documents: DataFrame) -> DataFrame:
+    """(lang, tokens_a, tokens_b, l1_ppm, top_bucket, top_shift_ppm) —
+    per-language drift between two md5-split snapshot halves: bucketed
+    token shares in ppm, summed absolute share difference, and the single
+    most-shifted bucket (max by (|diff|, bucket) struct order).
+
+    100 TB shape: ONE groupBy on (lang, bucket) with both snapshots'
+    counts as conditional sums (map-side combine; key space bounded at
+    |langs| x DRIFT_BUCKETS), a language-sized totals join, then a
+    language-keyed fold. The corpus is scanned once and never regrouped
+    on an unbounded key."""
+    doc = F.col("doc_id").cast("string")
+    snap = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("snap|"), doc)), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+    )
+    tok = documents.select(
+        F.col("lang").cast("string").alias("lang"),
+        snap.alias("snap"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("drf|"), F.col("token"))), 1, 8), 16, 10)
+        .cast("long")
+        % DRIFT_BUCKETS
+    )
+    census = (
+        tok.select("lang", "snap", bucket.alias("b"))
+        .groupBy("lang", "b")
+        .agg(
+            F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+        )
+    )
+    totals = census.groupBy("lang").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    shares = census.join(totals, "lang").select(
+        "lang",
+        "b",
+        "na",
+        "nb",
+        F.expr(
+            f"abs(({DRIFT_PPM} * ca) div greatest(na, 1)"
+            f" - ({DRIFT_PPM} * cb) div greatest(nb, 1))"
+        ).alias("d"),
+    )
+    return (
+        shares.groupBy("lang")
+        .agg(
+            F.max("na").alias("tokens_a"),
+            F.max("nb").alias("tokens_b"),
+            F.sum("d").cast("long").alias("l1_ppm"),
+            F.max(F.struct(F.col("d"), F.col("b"))).alias("_m"),
+        )
+        .select(
+            "lang",
+            "tokens_a",
+            "tokens_b",
+            "l1_ppm",
+            F.col("_m.b").cast("long").alias("top_bucket"),
+            F.col("_m.d").cast("long").alias("top_shift_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sql_snapshot_drift(table: str = "documents") -> str:
+    """DuckDB mirror: identical snapshot coin, bucket hash, conditional
+    census, and integer share arithmetic."""
+    return f"""
+WITH tok AS (
+  SELECT CAST(lang AS VARCHAR) AS lang,
+         (('0x' || substr(md5('snap|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+          % 2) AS snap,
+         token
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(lower(text), ' ')) AS token
+    FROM {table}
+  ) WHERE token <> ''
+),
+census AS (
+  SELECT lang,
+         (('0x' || substr(md5('drf|' || token), 1, 8))::BIGINT % {DRIFT_BUCKETS}) AS b,
+         CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM tok GROUP BY 1, 2
+),
+totals AS (
+  SELECT lang, SUM(ca) AS na, SUM(cb) AS nb FROM census GROUP BY lang
+),
+shares AS (
+  SELECT c.lang, c.b, t.na, t.nb,
+         abs(({DRIFT_PPM} * c.ca) // GREATEST(t.na, 1)
+             - ({DRIFT_PPM} * c.cb) // GREATEST(t.nb, 1)) AS d
+  FROM census c JOIN totals t ON c.lang = t.lang
+)
+SELECT lang,
+       CAST(MAX(na) AS BIGINT) AS tokens_a,
+       CAST(MAX(nb) AS BIGINT) AS tokens_b,
+       CAST(SUM(d) AS BIGINT) AS l1_ppm,
+       CAST((MAX(struct_pack(d := d, b := b))).b AS BIGINT) AS top_bucket,
+       CAST((MAX(struct_pack(d := d, b := b))).d AS BIGINT) AS top_shift_ppm
+FROM shares GROUP BY lang ORDER BY lang
+"""

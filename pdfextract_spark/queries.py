@@ -1471,6 +1471,15 @@ def q_sketch_hll_hosts(spark, sf_dir):
     return sketches.hll_host_distinct(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_drift_report(spark, sf_dir):
+    """Crawl-snapshot drift monitor (the retraining trigger): per-language
+    bucketed token-share L1 between two md5-split snapshot halves plus the
+    most-shifted bucket. Hash-bucketed census bounds the state at
+    |langs| x 1024 regardless of vocabulary; bucket-L1 lower-bounds the
+    true token L1 (hashing cancels mass, never creates it)."""
+    return textops.snapshot_drift(_t(spark, sf_dir, "documents"))
+
+
 def q_window_transitions(spark, sf_dir):
     """Session path mining: the Markov transition census over consecutive
     event pairs inside a session (gap <= 30min) — which step follows
@@ -1685,6 +1694,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_decontam_semantic": q_corpus_decontam_semantic,
         "graph_trustrank": q_graph_trustrank,
         "window_transitions": q_window_transitions,
+        "corpus_drift_report": q_corpus_drift_report,
         "dedup_weighted_sample": q_dedup_weighted_sample,
         "corpus_doremi_weights": q_corpus_doremi_weights,
         "corpus_doremi_sample": q_corpus_doremi_sample,
@@ -1892,6 +1902,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_decontam_semantic": similarity.sql_semantic_decontam(),
         "graph_trustrank": graphops.sql_trust_rank(),
         "window_transitions": SQL_WINDOW_TRANSITIONS,
+        "corpus_drift_report": textops.sql_snapshot_drift(),
         "corpus_rank_sample": graphops.sql_rank_weighted_sample(),
         "text_readability": textops.sql_readability(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
