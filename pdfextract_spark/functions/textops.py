@@ -2122,3 +2122,101 @@ SELECT lang,
        CAST((MAX(struct_pack(d := d, b := b))).d AS BIGINT) AS top_shift_ppm
 FROM shares GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------- novelty score
+# Per-document novelty: the fraction of a document's token trigrams that
+# appear NOWHERE else in the corpus — the diversity/memorization-risk
+# signal (a doc of entirely-shared trigrams is boilerplate; a doc of
+# unique ones is fresh text). Exact trigram df is vocabulary-unbounded, so
+# trigrams hash into NOV_BUCKETS cells: a trigram is counted novel when
+# its bucket's GLOBAL occupancy equals the document's own occurrences
+# (nobody else landed there). Collisions can only steal novelty, never
+# mint it, so the score is a certified LOWER bound with error ~grams/2^16.
+
+NOV_BUCKETS = 65536
+
+
+def novelty_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, novel_pm) — per-mille of the doc's trigram
+    occurrences whose hash bucket is touched by no other document.
+
+    100 TB shape: one (doc, bucket) groupBy (doc-keyed, the size of any
+    per-doc relation), one bounded bucket census (<= NOV_BUCKETS rows,
+    map-side combine; AQE broadcasts it into the join), one doc-keyed
+    fold. The unbounded trigram vocabulary never becomes a key."""
+    doc = F.col("doc_id").cast("string")
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    # guard: Spark's sequence(1, n) DESCENDS when n < 1 (it never returns
+    # empty), so short docs need an explicit empty-array branch
+    tri = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(ws, i),
+                            F.element_at(ws, i + 1),
+                            F.element_at(ws, i + 2),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % NOV_BUCKETS,
+        ),
+    ).otherwise(F.expr("array()").cast("array<long>"))
+    grams = documents.select(doc.alias("doc_id"), F.explode(tri).alias("b"))
+    per_doc = grams.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # bounded census: <= NOV_BUCKETS keys with map-side partials; two
+    # consumers would re-aggregate, but there is exactly one join use
+    census = grams.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("g"))
+    scored = per_doc.join(census, "b").select(
+        "doc_id",
+        "c",
+        (F.col("g") == F.col("c")).cast("long").alias("nv"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.expr("cast((1000 * sum(nv * c)) div sum(c) as long)").alias("novel_pm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_novelty_scores(table: str = "documents") -> str:
+    """DuckDB mirror: identical trigram hash, per-doc and global censuses,
+    and integer per-mille fold."""
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+  FROM {table}
+),
+grams AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]),
+                          1, 8))::BIGINT % {NOV_BUCKETS}) AS b
+  FROM toks, unnest(range(1, GREATEST(len(ws) - 2, 0) + 1)) AS u(i)
+),
+per_doc AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY 1, 2
+),
+census AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS g FROM grams GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(SUM(p.c) AS BIGINT) AS n_grams,
+       CAST((1000 * SUM(CASE WHEN c.g = p.c THEN p.c ELSE 0 END)) // SUM(p.c)
+            AS BIGINT) AS novel_pm
+FROM per_doc p JOIN census c ON p.b = c.b
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""

@@ -1471,6 +1471,16 @@ def q_sketch_hll_hosts(spark, sf_dir):
     return sketches.hll_host_distinct(_t(spark, sf_dir, "documents"))
 
 
+def q_text_novelty(spark, sf_dir):
+    """Per-document novelty: per-mille of the doc's trigram occurrences
+    whose hash bucket no other document touches — the diversity /
+    memorization-risk signal, a certified LOWER bound (collisions can only
+    steal novelty). The unbounded trigram vocabulary never becomes a key:
+    one doc-keyed groupBy, one <=65536-row census AQE-broadcast into the
+    join, one doc-keyed fold."""
+    return textops.novelty_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_drift_report(spark, sf_dir):
     """Crawl-snapshot drift monitor (the retraining trigger): per-language
     bucketed token-share L1 between two md5-split snapshot halves plus the
@@ -1695,6 +1705,7 @@ def queries() -> Dict[str, Callable]:
         "graph_trustrank": q_graph_trustrank,
         "window_transitions": q_window_transitions,
         "corpus_drift_report": q_corpus_drift_report,
+        "text_novelty": q_text_novelty,
         "dedup_weighted_sample": q_dedup_weighted_sample,
         "corpus_doremi_weights": q_corpus_doremi_weights,
         "corpus_doremi_sample": q_corpus_doremi_sample,
@@ -1903,6 +1914,7 @@ def oracle_sql() -> Dict[str, str]:
         "graph_trustrank": graphops.sql_trust_rank(),
         "window_transitions": SQL_WINDOW_TRANSITIONS,
         "corpus_drift_report": textops.sql_snapshot_drift(),
+        "text_novelty": textops.sql_novelty_scores(),
         "corpus_rank_sample": graphops.sql_rank_weighted_sample(),
         "text_readability": textops.sql_readability(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
