@@ -1471,6 +1471,15 @@ def q_sketch_hll_hosts(spark, sf_dir):
     return sketches.hll_host_distinct(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_partition_audit(spark, sf_dir):
+    """Partition-skew audit for the bucket(doc_id, 256) layout every
+    doc-keyed downstream join rides on: per-bucket token loads collapsed
+    to max/mean ratio and the Gini coefficient (integer milli), ONE
+    bounded census groupBy + a single-row in-row indexed fold — the
+    relation that proves a keyed layout is balanced before committing."""
+    return packing.partition_audit(_t(spark, sf_dir, "documents"))
+
+
 def q_text_novelty(spark, sf_dir):
     """Per-document novelty: per-mille of the doc's trigram occurrences
     whose hash bucket no other document touches — the diversity /
@@ -1706,6 +1715,7 @@ def queries() -> Dict[str, Callable]:
         "window_transitions": q_window_transitions,
         "corpus_drift_report": q_corpus_drift_report,
         "text_novelty": q_text_novelty,
+        "corpus_partition_audit": q_corpus_partition_audit,
         "dedup_weighted_sample": q_dedup_weighted_sample,
         "corpus_doremi_weights": q_corpus_doremi_weights,
         "corpus_doremi_sample": q_corpus_doremi_sample,
@@ -1915,6 +1925,7 @@ def oracle_sql() -> Dict[str, str]:
         "window_transitions": SQL_WINDOW_TRANSITIONS,
         "corpus_drift_report": textops.sql_snapshot_drift(),
         "text_novelty": textops.sql_novelty_scores(),
+        "corpus_partition_audit": packing.sql_partition_audit(),
         "corpus_rank_sample": graphops.sql_rank_weighted_sample(),
         "text_readability": textops.sql_readability(),
         "corpus_chunk_interleaved": packing.sql_chunk_interleaved(),
