@@ -1801,3 +1801,214 @@ FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM batch) d
 LEFT JOIN hist_best h USING (doc_id)
 LEFT JOIN in_batch i USING (doc_id)
 """
+
+
+# ------------------------------------------------ edit-distance verification
+# LSH candidates are an ESTIMATE (band collision + minhash agreement); a
+# production near-dup pass that feeds destructive dedup verifies candidates
+# with a real string distance before dropping anything (the Gopher / CCNet
+# "verify before you delete" rule). This operator is that verify stage:
+# banded Levenshtein over a bounded head+tail key, entirely JVM-side
+# (Spark's built-in `levenshtein(l, r, threshold)` runs the O(k*n) banded
+# DP and returns -1 above the cap — no Python in the loop).
+#
+# Engine portability: DuckDB's levenshtein counts BYTES while Spark's
+# counts codepoints, so both engines first project the text to printable
+# ASCII (bytes == codepoints there) — measured drift on non-ASCII would
+# otherwise break the bit-exact mirror. The distance runs over a bounded
+# EDIT KEY (first EDIT_KEY_CHARS + last EDIT_KEY_CHARS of the projection,
+# <= 512 chars) so the per-pair DP cost is O(EDIT_CAP * 512) REGARDLESS of
+# document length — full-document Levenshtein at 100 TB would be O(len^2)
+# per pair and dominated by a handful of book-length outliers. The
+# head+tail shape (not head-only) is deliberate: a chimera document that
+# copies a prefix and rewrites the rest shares the full head, and only the
+# tail window betrays it (the planted chimera class below provably fails
+# verification while remaining an LSH candidate).
+#
+# 100 TB shape: candidates come from the capped lsh_candidate_pairs
+# machinery (bounded bucket widths, reported trims); attaching the two edit
+# keys is two keyed shuffle joins against a narrow (doc_id, <=512 chars)
+# projection; the distance itself is a map-side Column. No new unbounded
+# surface.
+
+EDIT_KEY_CHARS = 256        # head + tail window -> key <= 512 chars
+EDIT_SIM_MILLI = 800        # verified iff >= 800/1000 similarity on the key
+# constant DP band: the largest distance any key pair can need under the
+# similarity rule (maxlen <= 2*EDIT_KEY_CHARS); above it Spark returns -1
+# map-side without finishing the DP
+EDIT_CAP = (2 * EDIT_KEY_CHARS * (1000 - EDIT_SIM_MILLI)) // 1000
+
+EV_PLANT_MOD = 4
+EV_NEAR_OFFSET = 5_000_000_000
+EV_CHIM_OFFSET = 6_000_000_000
+
+
+def _edit_key(text) -> "F.Column":
+    """Bounded engine-portable edit key: printable-ASCII projection; the
+    full projection when <= 2*EDIT_KEY_CHARS chars, else first
+    EDIT_KEY_CHARS + last EDIT_KEY_CHARS chars. The tail NEVER overlaps the
+    head — an overlapping window is length-discontinuous at the boundary (a
+    254-char doc's lightly-appended copy would key to ~2x its own key and
+    spuriously fail verification; caught by the planted-separation test)."""
+    t = F.regexp_replace(text, "[^\\x20-\\x7e]", "")
+    n = F.length(t)
+    head = F.substring(t, F.lit(1), F.lit(EDIT_KEY_CHARS))
+    tail = F.when(
+        n > EDIT_KEY_CHARS,
+        F.substring(
+            t,
+            F.greatest(
+                F.lit(EDIT_KEY_CHARS + 1), n - F.lit(EDIT_KEY_CHARS - 1)
+            ),
+            F.lit(EDIT_KEY_CHARS),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(head, tail)
+
+
+def synthesize_edit_corpus(documents: DataFrame) -> DataFrame:
+    """documents plus two planted classes for the md5-selected
+    ~1/EV_PLANT_MOD subset: a LIGHTLY EDITED copy (' rev2 edit' appended,
+    doc_id + EV_NEAR_OFFSET) that verification must PASS, and a CHIMERA
+    (first half kept, second half uppercased, doc_id + EV_CHIM_OFFSET) that
+    shares enough shingles to band-collide sometimes but rewrites its tail
+    — verification must FAIL it. Rebuilt identically by the oracle."""
+    doc_id = F.col("doc_id").cast("long")
+    base = documents.select(doc_id.alias("doc_id"), "text")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ev|"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    planted = h % EV_PLANT_MOD == 0
+    near = base.filter(planted).select(
+        (F.col("doc_id") + EV_NEAR_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rev2 edit")).alias("text"),
+    )
+    chimera = base.filter(planted).select(
+        (F.col("doc_id") + EV_CHIM_OFFSET).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(length(text)/2 AS INT)) || "
+            "upper(substring(text, CAST(length(text)/2 AS INT) + 1, length(text)))"
+        ).alias("text"),
+    )
+    return base.unionByName(near).unionByName(chimera)
+
+
+def edit_verify_pairs(pairs: DataFrame, documents: DataFrame) -> DataFrame:
+    """Verify candidate near-dup pairs (doc_a, doc_b, jaccard_est) with a
+    banded Levenshtein over the bounded edit key. Output: (doc_a, doc_b,
+    jaccard_est, edit_dist, edit_sim_milli, verified) where edit_dist is -1
+    when the banded DP exceeded EDIT_CAP, edit_sim_milli is the integer
+    per-mille similarity on the key, and verified <=> edit_sim_milli >=
+    EDIT_SIM_MILLI."""
+    keys = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _edit_key(F.col("text")).alias("ekey"),
+    )
+    j = (
+        pairs.join(
+            keys.select(
+                F.col("doc_id").alias("doc_a"), F.col("ekey").alias("key_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            keys.select(
+                F.col("doc_id").alias("doc_b"), F.col("ekey").alias("key_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_est",
+            F.greatest(F.length("key_a"), F.length("key_b")).cast("long").alias(
+                "maxlen"
+            ),
+            F.expr(f"levenshtein(key_a, key_b, {EDIT_CAP})").cast("long").alias(
+                "lev"
+            ),
+        )
+    )
+    sim = (
+        F.when(F.col("lev") < 0, F.lit(0))
+        .when(F.col("maxlen") == 0, F.lit(1000))
+        .otherwise(F.expr("(1000 * (maxlen - lev)) div maxlen"))
+        .cast("long")
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "jaccard_est",
+        F.col("lev").alias("edit_dist"),
+        sim.alias("edit_sim_milli"),
+        (sim >= EDIT_SIM_MILLI).alias("verified"),
+    )
+
+
+def edit_verified_neardups(documents: DataFrame) -> DataFrame:
+    """The full verify stage over the planted corpus: LSH candidates ->
+    banded-Levenshtein verdict per pair."""
+    corpus = synthesize_edit_corpus(documents)
+    # candidate mining and key attachment both scan the corpus; the planted
+    # union is cheap but materializing once keeps the synthesis from running
+    # in two branches of the plan
+    corpus = corpus.localCheckpoint(eager=False)
+    return edit_verify_pairs(lsh_candidate_pairs(corpus), corpus)
+
+
+def _sql_edit_corpus(table: str = "documents") -> str:
+    h = "('0x' || substr(md5('ev|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT"
+    return f"""
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM {table}
+  UNION ALL
+  SELECT doc_id + {EV_NEAR_OFFSET}, text || ' rev2 edit' FROM {table}
+  WHERE {h} % {EV_PLANT_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {EV_CHIM_OFFSET},
+         substr(text, 1, length(text) // 2)
+           || upper(substr(text, length(text) // 2 + 1))
+  FROM {table} WHERE {h} % {EV_PLANT_MOD} = 0
+"""
+
+
+def sql_edit_verified_neardups(table: str = "documents") -> str:
+    key = (
+        f"substr(t, 1, {EDIT_KEY_CHARS}) || "
+        f"CASE WHEN length(t) > {EDIT_KEY_CHARS} "
+        f"THEN substr(t, greatest({EDIT_KEY_CHARS + 1}, "
+        f"length(t) - {EDIT_KEY_CHARS - 1}), {EDIT_KEY_CHARS}) "
+        f"ELSE '' END"
+    )
+    return f"""
+WITH corpus AS ({_sql_edit_corpus(table)}),
+cand AS ({sql_lsh_candidate_pairs('corpus')}),
+proj AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS t
+  FROM corpus
+),
+keys AS (SELECT doc_id, {key} AS ekey FROM proj),
+m AS (
+  SELECT c.doc_a, c.doc_b, c.jaccard_est,
+         greatest(length(a.ekey), length(b.ekey))::BIGINT AS maxlen,
+         levenshtein(a.ekey, b.ekey)::BIGINT AS lev
+  FROM cand c
+  JOIN keys a ON c.doc_a = a.doc_id
+  JOIN keys b ON c.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, jaccard_est,
+       CASE WHEN lev > {EDIT_CAP} THEN -1 ELSE lev END AS edit_dist,
+       (CASE WHEN lev > {EDIT_CAP} THEN 0
+             WHEN maxlen = 0 THEN 1000
+             ELSE (1000 * (maxlen - lev)) // maxlen END)::BIGINT
+         AS edit_sim_milli,
+       (lev <= {EDIT_CAP}
+        AND (CASE WHEN maxlen = 0 THEN 1000
+                  ELSE (1000 * (maxlen - lev)) // maxlen END)
+            >= {EDIT_SIM_MILLI}) AS verified
+FROM m
+"""

@@ -1694,6 +1694,17 @@ def q_dedup_cdc_chunks(spark, sf_dir):
     return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_edit_verify(spark, sf_dir):
+    """Edit-distance verification of LSH near-dup candidates: every
+    candidate pair gets a banded-Levenshtein verdict over a bounded
+    head+tail key (Spark's built-in `levenshtein(l, r, threshold)`, -1
+    above the DP band — zero Python). Planted structure: lightly-edited
+    copies (must verify) AND chimera docs sharing a prefix with a rewritten
+    tail (band-collide as candidates but provably FAIL verification — the
+    class a jaccard-estimate-only dedup would wrongly delete)."""
+    return dedup.edit_verified_neardups(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
@@ -1706,6 +1717,7 @@ def queries() -> Dict[str, Callable]:
     # green in >=1 prior round and stay pytest- and check_oracle-gated
     # every round.
     return {
+        "dedup_edit_verify": q_dedup_edit_verify,
         "graph_host_hits": q_graph_host_hits,
         "sketch_hll_hosts": q_sketch_hll_hosts,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -1916,6 +1928,7 @@ def oracle_sql() -> Dict[str, str]:
         "multimodal_dedup_apply": multimodal.sql_media_dedup_apply(),
         "multimodal_caption_pairs": multimodal.sql_caption_pairs(),
         "graph_host_rank": graphops.sql_host_rank(),
+        "dedup_edit_verify": dedup.sql_edit_verified_neardups(),
         "graph_host_hits": graphops.sql_host_hits(),
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),

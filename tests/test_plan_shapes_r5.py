@@ -79,3 +79,18 @@ def test_graph_iterations_plan_from_checkpointed_leaves(spark):
     assert hits_plan.count("Join") <= 12, hits_plan[:1200]
     tr_plan = trust_rank(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert tr_plan.count("Join") <= 3 * PR_ITERS + 4, tr_plan[:1200]
+
+
+def test_edit_verify_shuffle_budget(docs):
+    # candidate machinery (hot-bucket census + anti-join + bucket groupBy)
+    # plus the two edit-key joins; no planner-forced hints — AQE may pick
+    # broadcast at fixture scale but nothing in the plan demands it
+    from pdfextract_spark.functions.dedup import edit_verified_neardups
+
+    df = edit_verified_neardups(docs)
+    a = _analyzed(df)
+    assert "ResolvedHint" not in a and "UnresolvedHint" not in a
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 8, plan[:2000]
+    # the banded threshold must reach the physical plan (the -1 fast path)
+    assert "levenshtein" in plan and "102" in plan, plan[:2000]
