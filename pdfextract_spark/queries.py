@@ -1694,6 +1694,15 @@ def q_dedup_cdc_chunks(spark, sf_dir):
     return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_sim_bitext_mine(spark, sf_dir):
+    """Cross-lingual bitext mining (LASER/CCMatrix shape): mutual-best
+    cross-label aligned pairs over a planted bilingual embedding corpus —
+    capped ANN LSH candidates, exact fixed-point cosine re-rank, the
+    Artetxe–Schwenk intersection criterion via one struct-max groupBy per
+    direction plus one equi-join (no window sort)."""
+    return similarity.bitext_mine(_t(spark, sf_dir, "embeddings"))
+
+
 def q_dedup_edit_verify(spark, sf_dir):
     """Edit-distance verification of LSH near-dup candidates: every
     candidate pair gets a banded-Levenshtein verdict over a bounded
@@ -1718,6 +1727,7 @@ def queries() -> Dict[str, Callable]:
     # every round.
     return {
         "dedup_edit_verify": q_dedup_edit_verify,
+        "sim_bitext_mine": q_sim_bitext_mine,
         "graph_host_hits": q_graph_host_hits,
         "sketch_hll_hosts": q_sketch_hll_hosts,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -1929,6 +1939,7 @@ def oracle_sql() -> Dict[str, str]:
         "multimodal_caption_pairs": multimodal.sql_caption_pairs(),
         "graph_host_rank": graphops.sql_host_rank(),
         "dedup_edit_verify": dedup.sql_edit_verified_neardups(),
+        "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_host_hits": graphops.sql_host_hits(),
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),

@@ -94,3 +94,18 @@ def test_edit_verify_shuffle_budget(docs):
     assert plan.count("Exchange") <= 8, plan[:2000]
     # the banded threshold must reach the physical plan (the -1 fast path)
     assert "levenshtein" in plan and "102" in plan, plan[:2000]
+
+
+def test_bitext_no_window_sort_no_hints(spark):
+    # forward-best must be the struct-max groupBy, not a window sort, and
+    # nothing in the plan may force a broadcast
+    from pdfextract_spark.functions.similarity import bitext_mine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = bitext_mine(emb)
+    a = _analyzed(df)
+    assert "ResolvedHint" not in a and "UnresolvedHint" not in a
+    plan = _plan(df)
+    # fwd is localCheckpointed, so the visible plan is the mutuality join
+    # over the checkpoint leaf; no Window may appear anywhere downstream
+    assert "Window" not in plan, plan[:2000]
