@@ -51,18 +51,7 @@ def host_edges(documents: DataFrame) -> DataFrame:
     doc = F.col("doc_id").cast("string")
     links = F.transform(
         F.sequence(F.lit(0), F.lit(OUT_LINKS - 1)),
-        lambda k: F.concat(
-            F.lit("h"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit("lk|"), doc, F.lit("|"), k.cast("string"))),
-                        1, 4,
-                    ),
-                    16, 10,
-                ).cast("long") % HOSTS
-            ).cast("string"),
-        ),
+        lambda k: _link_dst(doc, k),
     )
     edges = documents.select(
         _host_of(doc).alias("src"), F.explode(links).alias("dst")
@@ -493,4 +482,117 @@ SELECT h.host, {seed.replace('host', 'h.host')} AS is_seed,
 FROM hosts h
 JOIN r{PR_ITERS} r ON h.host = r.host
 ORDER BY h.host
+"""
+
+
+# ------------------------------------------------------------- anchor text
+# Per-target anchor-text aggregation: the terms other pages use when
+# linking to a host, the classic off-page relevance/quality signal (the
+# ORCAS/MS-MARCO anchor corpora are exactly this relation, and web search
+# stacks have ranked on aggregated anchor text since AltaVista). Each
+# document's k-th outbound link (the SAME md5 kernel as host_edges, so the
+# two relations describe one graph) carries a deterministic anchor window
+# of the source text — tokens [ANCHOR_WIN*k, ANCHOR_WIN*(k+1)) — and the
+# operator censuses anchor terms per TARGET host, keeping the top
+# ANCHOR_TOPK by count (ties lexicographic).
+#
+# 100 TB shape: anchor extraction is a map-side explode bounded by
+# OUT_LINKS*ANCHOR_WIN rows per document; the census is ONE
+# groupBy(dst, term) with map-side combine; the top-K trim is a
+# row_number window PARTITIONED BY dst (host-keyed — never one task) that
+# Spark 3.5+ executes with a map-side WindowGroupLimit, so no reducer
+# sees a host's full term census. Output is host-space * K sized.
+
+ANCHOR_WIN = 3    # tokens per link anchor
+ANCHOR_TOPK = 5   # kept anchor terms per target host
+
+
+def _link_dst(doc, k) -> F.Column:
+    """dst host of doc's k-th link — host_edges' kernel, factored so the
+    anchor relation and the edge census cannot drift."""
+    return F.concat(
+        F.lit("h"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lk|"), doc, F.lit("|"), k.cast("string"))),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("long") % HOSTS
+        ).cast("string"),
+    )
+
+
+def anchor_text(documents: DataFrame) -> DataFrame:
+    """(host, anchor_term, n, rank, host_anchors) — the top-ANCHOR_TOPK
+    anchor terms pointing at each host, with the term's count, its rank
+    (count desc, term asc), and the host's total anchor-term volume."""
+    from pyspark.sql import Window
+
+    doc = F.col("doc_id").cast("string")
+    toks = F.split(F.lower("text"), " ")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(OUT_LINKS - 1)),
+            lambda k: F.transform(
+                F.slice(toks, k * ANCHOR_WIN + 1, ANCHOR_WIN),
+                lambda t: F.struct(_link_dst(doc, k).alias("host"), t.alias("term")),
+            ),
+        )
+    )
+    exploded = (
+        documents.select(F.explode(pairs).alias("p"))
+        .select("p.host", "p.term")
+        .filter(F.col("term") != "")
+    )
+    census = exploded.groupBy("host", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # host-keyed window (bounded partition = one host's term census after
+    # the map-side combine); WindowGroupLimit trims to K before the sort
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("term"))
+    totals = census.groupBy("host").agg(F.sum("n").alias("host_anchors"))
+    return (
+        census.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANCHOR_TOPK)
+        .join(totals, "host")
+        .select(
+            "host",
+            F.col("term").alias("anchor_term"),
+            "n",
+            F.col("rank").cast("long").alias("rank"),
+            "host_anchors",
+        )
+    )
+
+
+def sql_anchor_text(table: str = "documents") -> str:
+    dst = (
+        "('h' || CAST((('0x' || substr(md5('lk|' || CAST(doc_id AS VARCHAR) "
+        f"|| '|' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % {HOSTS}) AS VARCHAR))"
+    )
+    return f"""
+WITH exploded AS (
+  SELECT {dst} AS host, unnest(
+           list_filter(
+             list_slice(string_split(lower(text), ' '),
+                        k * {ANCHOR_WIN} + 1, (k + 1) * {ANCHOR_WIN}),
+             t -> t <> '')
+         ) AS term
+  FROM {table}, (SELECT unnest(range(0, {OUT_LINKS})) AS k) links
+),
+census AS (
+  SELECT host, term, COUNT(*) AS n FROM exploded GROUP BY host, term
+),
+ranked AS (
+  SELECT host, term, n,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY n DESC, term ASC) AS rank,
+         SUM(n) OVER (PARTITION BY host) AS host_anchors
+  FROM census
+)
+SELECT host, term AS anchor_term, n, CAST(rank AS BIGINT) AS rank,
+       CAST(host_anchors AS BIGINT) AS host_anchors
+FROM ranked WHERE rank <= {ANCHOR_TOPK}
 """

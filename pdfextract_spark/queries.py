@@ -1694,6 +1694,15 @@ def q_dedup_cdc_chunks(spark, sf_dir):
     return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_graph_anchor_text(spark, sf_dir):
+    """Per-target anchor-text aggregation (the ORCAS-corpus relation): top
+    anchor terms pointing at each host — map-side anchor explode bounded
+    per doc, ONE (host, term) census with map-side combine, host-keyed
+    WindowGroupLimit top-K trim. Shares host_edges' link kernel so the
+    anchor relation and the edge census describe the same graph."""
+    return graphops.anchor_text(_t(spark, sf_dir, "documents"))
+
+
 def q_sim_bitext_mine(spark, sf_dir):
     """Cross-lingual bitext mining (LASER/CCMatrix shape): mutual-best
     cross-label aligned pairs over a planted bilingual embedding corpus —
@@ -1728,6 +1737,7 @@ def queries() -> Dict[str, Callable]:
     return {
         "dedup_edit_verify": q_dedup_edit_verify,
         "sim_bitext_mine": q_sim_bitext_mine,
+        "graph_anchor_text": q_graph_anchor_text,
         "graph_host_hits": q_graph_host_hits,
         "sketch_hll_hosts": q_sketch_hll_hosts,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -1940,6 +1950,7 @@ def oracle_sql() -> Dict[str, str]:
         "graph_host_rank": graphops.sql_host_rank(),
         "dedup_edit_verify": dedup.sql_edit_verified_neardups(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
+        "graph_anchor_text": graphops.sql_anchor_text(),
         "graph_host_hits": graphops.sql_host_hits(),
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),
