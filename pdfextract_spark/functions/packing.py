@@ -828,3 +828,104 @@ SELECT n_buckets, n_docs, n_tokens, max_load, min_load,
             // (n_buckets * n_tokens) AS BIGINT) AS gini_milli
 FROM folded
 """
+
+
+# --------------------------------------------------- write-layout planning
+# partition_audit PROVES a layout balanced; this is the relation that
+# PLANS one. Given the per-partition-key volume census, it emits the
+# Iceberg write spec a 100-TB job would commit to: how many bucket files
+# each partition needs so every shard lands near LAYOUT_TARGET_TOKENS,
+# which partitions are skew outliers (load > LAYOUT_SKEW_X x the mean
+# partition), and the salt-bit width that spreads a skewed partition's
+# writes (ceil(log2(n_files)) — the explicit salting dial the north rule
+# asks for). All integer arithmetic, bit-exact cross-engine.
+#
+# 100 TB shape: ONE bounded groupBy on the partition key (the `source`
+# column — the natural Iceberg partition) with map-side combine, one
+# single-row total joined back (partition-space-sized, never doc-sized).
+# LAYOUT_TARGET_TOKENS is the shard dial: ~2k at fixture scale, ~256M
+# (~1 GB of text) on a production corpus.
+
+LAYOUT_TARGET_TOKENS = 2048
+LAYOUT_SKEW_X = 2   # skewed iff partition load > 2x mean partition load
+
+
+def layout_plan(
+    documents: DataFrame, target: int = LAYOUT_TARGET_TOKENS
+) -> DataFrame:
+    """(source, n_docs, n_tokens, share_milli, n_files, salt_bits, skewed)
+    — one row per partition key: its volume, corpus share in milli, the
+    file count ceil(n_tokens/target), the salt width ceil(log2(n_files)),
+    and the skew flag (load > LAYOUT_SKEW_X * mean partition load)."""
+    toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long")
+    census = (
+        documents.select("source", toks.alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+        )
+    )
+    totals = census.agg(
+        F.sum("n_tokens").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n_parts"),
+    )
+    n_files = F.expr(f"(n_tokens + {target} - 1) div {target}")
+    planned = census.crossJoin(totals).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000 * n_tokens) div _total").alias("share_milli"),
+        F.greatest(F.lit(1).cast("long"), n_files).alias("n_files"),
+        (F.col("n_tokens") * F.col("_n_parts")
+         > F.lit(LAYOUT_SKEW_X) * F.col("_total")).alias("skewed"),
+    )
+    salt_bits = (
+        F.when(F.col("n_files") <= 1, F.lit(0).cast("long"))
+        .otherwise(
+            F.length(
+                F.conv((F.col("n_files") - 1).cast("string"), 10, 2)
+            ).cast("long")
+        )
+    )
+    return planned.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "share_milli",
+        "n_files",
+        salt_bits.alias("salt_bits"),
+        "skewed",
+    )
+
+
+def sql_layout_plan(
+    table: str = "documents", target: int = LAYOUT_TARGET_TOKENS
+) -> str:
+    """DuckDB mirror: identical census, ceil-div, bin-length salt width."""
+    return f"""
+WITH census AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))
+              AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY source
+),
+totals AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM census
+),
+planned AS (
+  SELECT source, n_docs, n_tokens,
+         (1000 * n_tokens) // total AS share_milli,
+         GREATEST(1::BIGINT, (n_tokens + {target} - 1) // {target}) AS n_files,
+         (n_tokens * n_parts > {LAYOUT_SKEW_X} * total) AS skewed
+  FROM census CROSS JOIN totals
+)
+SELECT source, n_docs, n_tokens, share_milli, n_files,
+       CASE WHEN n_files <= 1 THEN 0
+            ELSE CAST(length(bin(n_files - 1)) AS BIGINT) END AS salt_bits,
+       skewed
+FROM planned
+"""

@@ -1694,6 +1694,15 @@ def q_dedup_cdc_chunks(spark, sf_dir):
     return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_layout_plan(spark, sf_dir):
+    """Write-layout planning relation: per partition key (source), the
+    Iceberg file count to hit the target shard tokens, the corpus share,
+    the skew flag, and the salt-bit width for skewed partitions — ONE
+    bounded census groupBy plus a single-row total join-back. The
+    planning complement of corpus_partition_audit."""
+    return packing.layout_plan(_t(spark, sf_dir, "documents"))
+
+
 def q_graph_anchor_text(spark, sf_dir):
     """Per-target anchor-text aggregation (the ORCAS-corpus relation): top
     anchor terms pointing at each host — map-side anchor explode bounded
@@ -1738,6 +1747,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_edit_verify": q_dedup_edit_verify,
         "sim_bitext_mine": q_sim_bitext_mine,
         "graph_anchor_text": q_graph_anchor_text,
+        "corpus_layout_plan": q_corpus_layout_plan,
         "graph_host_hits": q_graph_host_hits,
         "sketch_hll_hosts": q_sketch_hll_hosts,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -1951,6 +1961,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_edit_verify": dedup.sql_edit_verified_neardups(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
+        "corpus_layout_plan": packing.sql_layout_plan(),
         "graph_host_hits": graphops.sql_host_hits(),
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),
