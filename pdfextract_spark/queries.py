@@ -1694,6 +1694,14 @@ def q_dedup_cdc_chunks(spark, sf_dir):
     return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_embed_training_triples(spark, sf_dir):
+    """Contrastive training triples: per anchor, the best same-label
+    neighbour (positive), the best cross-label neighbour (hard negative),
+    and the integer-milli margin between them — one symmetrized capped-ANN
+    candidate relation, ONE groupBy with two conditional struct-maxes."""
+    return similarity.training_triples(_t(spark, sf_dir, "embeddings"))
+
+
 def q_corpus_layout_plan(spark, sf_dir):
     """Write-layout planning relation: per partition key (source), the
     Iceberg file count to hit the target shard tokens, the corpus share,
@@ -1748,6 +1756,7 @@ def queries() -> Dict[str, Callable]:
         "sim_bitext_mine": q_sim_bitext_mine,
         "graph_anchor_text": q_graph_anchor_text,
         "corpus_layout_plan": q_corpus_layout_plan,
+        "embed_training_triples": q_embed_training_triples,
         "graph_host_hits": q_graph_host_hits,
         "sketch_hll_hosts": q_sketch_hll_hosts,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -1962,6 +1971,7 @@ def oracle_sql() -> Dict[str, str]:
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
+        "embed_training_triples": similarity.sql_training_triples(),
         "graph_host_hits": graphops.sql_host_hits(),
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),
