@@ -2220,3 +2220,170 @@ FROM per_doc p JOIN census c ON p.b = c.b
 GROUP BY p.doc_id
 ORDER BY p.doc_id
 """
+
+
+# ---------------------------------------------------- code-switch detection
+# Document-level language ID hides mixed-language documents (boilerplate
+# in one language wrapping content in another, forum quotes, spam keyword
+# stuffing) — the docs multilingual filters most want to catch. This
+# operator runs the SAME lexicon argmax as language_id over fixed word
+# windows and reports the mix: the majority window language, how many
+# windows disagree with it, and how many ADJACENT windows disagree with
+# each other (the code-switching rate proper).
+#
+# 100 TB shape: zero shuffle — windowing, per-window argmax, majority
+# vote, and the boundary count are all in-row array algebra (transform /
+# filter / zip_with) inside one Project; output is one row per doc.
+
+CS_WIN = 16  # words per language window
+
+
+def _window_pred(win):
+    """Lexicon-hit argmax over one word-array window — language_id's fold,
+    factored for the windowed variant (ties resolve in LANG_ORDER)."""
+    scores = {
+        lang: F.size(F.filter(win, lambda w: w.isin(*lex)))
+        for lang, lex in LEXICONS.items()
+    }
+    pred = None
+    best = None
+    for lang in reversed(LANG_ORDER):
+        if pred is None:
+            pred = F.lit(lang)
+            best = scores[lang]
+        else:
+            cond = scores[lang] >= best
+            pred = F.when(cond, F.lit(lang)).otherwise(pred)
+            best = F.when(cond, scores[lang]).otherwise(best)
+    return pred
+
+
+def code_switch(documents: DataFrame, win: int = CS_WIN) -> DataFrame:
+    """(doc_id, n_windows, major_lang, n_off_major, boundary_switches,
+    switch_milli) — per doc: window count, the majority window language
+    (ties in LANG_ORDER), windows disagreeing with the majority, adjacent
+    window disagreements, and the off-majority rate in milli."""
+    words = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    n = F.size(words)
+    nw = F.expr(f"(size(filter(split(lower(text), ' '), w -> w != '')) + {win - 1}) div {win}").cast("int")
+    idx = F.when(nw > 0, F.sequence(F.lit(0), nw - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    preds = F.transform(
+        idx, lambda i: _window_pred(F.slice(words, i * win + 1, win))
+    )
+    # materialize _preds in its own Project FIRST: the majority fold below
+    # references the predictions 8x, and inlining would replicate the
+    # windowed-argmax subtree each time (the winnowing plan-size trap)
+    with_preds = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        preds.alias("_preds"),
+    )
+
+    def lang_count(lang):
+        return F.size(F.filter(F.col("_preds"), lambda p: p == lang))
+
+    major = None
+    best = None
+    for lang in reversed(LANG_ORDER):
+        if major is None:
+            major = F.lit(lang)
+            best = lang_count(lang)
+        else:
+            cond = lang_count(lang) >= best
+            major = F.when(cond, F.lit(lang)).otherwise(major)
+            best = F.when(cond, lang_count(lang)).otherwise(best)
+
+    base = with_preds.select(
+        "doc_id",
+        "_preds",
+        major.alias("major_lang"),
+    )
+    n_off = F.size(
+        F.filter(F.col("_preds"), lambda p: p != F.col("major_lang"))
+    ).cast("long")
+    boundary = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("_preds"),
+                F.slice(F.col("_preds"), 2, F.size("_preds")),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    ).cast("long")
+    return base.select(
+        "doc_id",
+        F.size("_preds").cast("long").alias("n_windows"),
+        "major_lang",
+        n_off.alias("n_off_major"),
+        boundary.alias("boundary_switches"),
+        F.when(F.size("_preds") > 0, (F.lit(1000) * n_off))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_num"),
+    ).select(
+        "doc_id",
+        "n_windows",
+        "major_lang",
+        "n_off_major",
+        "boundary_switches",
+        F.expr("CASE WHEN n_windows > 0 THEN _num div n_windows ELSE 0 END")
+        .cast("long")
+        .alias("switch_milli"),
+    )
+
+
+def sql_code_switch(table: str = "documents", win: int = CS_WIN) -> str:
+    """DuckDB mirror: identical windowing, per-window argmax fold, majority
+    vote, boundary count."""
+    def hits(arr, lex):
+        inl = ", ".join(f"'{w}'" for w in lex)
+        return f"len(list_filter({arr}, w -> w IN ({inl})))"
+
+    w_arr = f"list_slice(words, i * {win} + 1, (i + 1) * {win})"
+    s = {lang: hits(w_arr, lex) for lang, lex in LEXICONS.items()}
+    pred = f"'{LANG_ORDER[-1]}'"
+    best = s[LANG_ORDER[-1]]
+    for lang in reversed(LANG_ORDER[:-1]):
+        pred = f"CASE WHEN {s[lang]} >= {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN {s[lang]} >= {best} THEN {s[lang]} ELSE {best} END"
+
+    def lcount(lang):
+        return f"len(list_filter(preds, p -> p = '{lang}'))"
+
+    major = f"'{LANG_ORDER[-1]}'"
+    mbest = lcount(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        major = f"CASE WHEN {lcount(lang)} >= {mbest} THEN '{lang}' ELSE {major} END"
+        mbest = f"CASE WHEN {lcount(lang)} >= {mbest} THEN {lcount(lang)} ELSE {mbest} END"
+
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS words
+  FROM {table}
+),
+wined AS (
+  SELECT doc_id,
+         list_transform(range(0, (len(words) + {win - 1}) // {win}),
+                        i -> {pred}) AS preds
+  FROM base
+),
+scored AS (
+  SELECT doc_id, preds, {major} AS major_lang FROM wined
+)
+SELECT doc_id,
+       CAST(len(preds) AS BIGINT) AS n_windows,
+       major_lang,
+       CAST(len(list_filter(preds, p -> p <> major_lang)) AS BIGINT)
+         AS n_off_major,
+       CAST(len(list_filter(range(1, greatest(1::BIGINT, len(preds))),
+                            i -> preds[i] <> preds[i + 1])) AS BIGINT)
+         AS boundary_switches,
+       CAST(CASE WHEN len(preds) > 0
+                 THEN (1000 * len(list_filter(preds, p -> p <> major_lang)))
+                      // len(preds)
+                 ELSE 0 END AS BIGINT) AS switch_milli
+FROM scored
+"""

@@ -1694,6 +1694,14 @@ def q_dedup_cdc_chunks(spark, sf_dir):
     return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_text_code_switch(spark, sf_dir):
+    """Code-switching / mixed-language detection: the language_id lexicon
+    argmax run per 16-word window, reporting the majority window language,
+    off-majority window count, adjacent-window switches, and the
+    off-majority rate in milli — zero shuffle, all in-row array algebra."""
+    return textops.code_switch(_t(spark, sf_dir, "documents"))
+
+
 def q_embed_training_triples(spark, sf_dir):
     """Contrastive training triples: per anchor, the best same-label
     neighbour (positive), the best cross-label neighbour (hard negative),
@@ -1757,6 +1765,7 @@ def queries() -> Dict[str, Callable]:
         "graph_anchor_text": q_graph_anchor_text,
         "corpus_layout_plan": q_corpus_layout_plan,
         "embed_training_triples": q_embed_training_triples,
+        "text_code_switch": q_text_code_switch,
         "graph_host_hits": q_graph_host_hits,
         "sketch_hll_hosts": q_sketch_hll_hosts,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -1972,6 +1981,7 @@ def oracle_sql() -> Dict[str, str]:
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
         "embed_training_triples": similarity.sql_training_triples(),
+        "text_code_switch": textops.sql_code_switch(),
         "graph_host_hits": graphops.sql_host_hits(),
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),
