@@ -153,6 +153,22 @@ def curation_flags(
     return _curation_frame(documents, min_df, cap, sample_pct).drop("text")
 
 
+def curation_kept(
+    documents: DataFrame,
+    min_df: int = webclean.MIN_DF,
+    cap: int = webclean.CAP,
+    sample_pct: int = CURATION_SAMPLE_PCT,
+) -> DataFrame:
+    """The release keeper set (doc_id, redacted post-strip text): the
+    keep=true rows of the curation audit frame — what downstream split /
+    pack / release stages consume."""
+    return (
+        _curation_frame(documents, min_df, cap, sample_pct)
+        .filter("keep")
+        .select("doc_id", "text")
+    )
+
+
 def curation_packed(
     documents: DataFrame,
     min_df: int = webclean.MIN_DF,
@@ -166,11 +182,7 @@ def curation_packed(
     shuffle on the pack-stream key beyond the curation chain."""
     from . import packing
 
-    kept = (
-        _curation_frame(documents, min_df, cap, sample_pct)
-        .filter("keep")
-        .select("doc_id", "text")
-    )
+    kept = curation_kept(documents, min_df, cap, sample_pct)
     return packing.pack_sequences(kept)
 
 
