@@ -700,3 +700,139 @@ SELECT vec_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank FROM (
   FROM adc
 ) WHERE rank <= {topk}
 """
+
+
+# ----------------------------------------------------- PQ recall evaluation
+# The rollout-decision relation for quantized serving (the matryoshka
+# pattern applied to PQ): IVFADC answers are approximate on TWO axes —
+# coarse-cell pruning (nprobe) and code quantization (m, codes) — and
+# whether a corpus tolerates the compression is an empirical question a
+# pipeline answers before flipping the dial. Per query this reports the
+# ANN-benchmark metrics: recall@k of the TRUE nearest neighbour (is the
+# exact top-1 anywhere in the ADC top-k?) and the top-k overlap, against
+# an exact int64 L2 baseline over the same bounded query set.
+#
+# 100 TB shape: the ADC side is pq_adc_topk unchanged; the exact baseline
+# is the cosine_topk crossJoin shape whose broadcast hint is justified by
+# the PQ_N_QUERY cap (a design constant, never corpus-sized); the overlap
+# join is queries x 1 rows.
+
+
+def pq_recall(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    nprobe: int = PQ_NPROBE,
+    n_query: int = PQ_N_QUERY,
+    topk: int = PQ_TOPK,
+) -> DataFrame:
+    """(vec_id, n_common, overlap_milli, top1_kept) — per query: the size
+    of ADC-topk ∩ exact-topk, that overlap in milli, and whether the exact
+    nearest neighbour survived into the ADC top-k (recall@k of the true
+    NN, the headline ANN-benchmark number)."""
+    from pyspark.sql import Window
+
+    adc = pq_adc_topk(embeddings, m, codes, iters, dim, nprobe, n_query, topk)
+    qz = _quantized(embeddings).drop("h")
+    # bounded query side: n_query is a hard design cap (cosine_topk's
+    # justification), so the hint cannot force an unbounded materialization
+    qs = F.broadcast(
+        qz.filter(F.col("vec_id") < n_query).select(
+            F.col("vec_id").alias("qid"), F.col("q").alias("qv")
+        )
+    )
+    cand = qz.select(F.col("vec_id").alias("nid"), F.col("q").alias("nv"))
+    d2 = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("nid"))
+    exact = (
+        qs.crossJoin(cand)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )
+    e = exact.groupBy("qid").agg(
+        F.array_sort(F.collect_list("nid")).alias("ex_ids"),
+        F.max(F.when(F.col("rank") == 1, F.col("nid"))).alias("top1"),
+    )
+    a = adc.groupBy(F.col("vec_id").alias("qid")).agg(
+        F.array_sort(F.collect_list("neighbor_id")).alias("adc_ids")
+    )
+    j = e.join(a, "qid", "left").select(
+        F.col("qid").alias("vec_id"),
+        "ex_ids",
+        "top1",
+        F.coalesce("adc_ids", F.array().cast("array<long>")).alias("adc_ids"),
+    )
+    hits = F.size(F.array_intersect("ex_ids", "adc_ids")).cast("long")
+    return j.select(
+        "vec_id",
+        hits.alias("n_common"),
+        F.expr(
+            f"CASE WHEN size(ex_ids) > 0 THEN (1000 * size(array_intersect"
+            f"(ex_ids, adc_ids))) div size(ex_ids) ELSE 0 END"
+        ).cast("long").alias("overlap_milli"),
+        F.array_contains("adc_ids", F.col("top1")).alias("top1_kept"),
+    )
+
+
+def sql_pq_recall(
+    table: str = "embeddings",
+    m: int = PQ_M,
+    codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = DIM,
+    nprobe: int = PQ_NPROBE,
+    n_query: int = PQ_N_QUERY,
+    topk: int = PQ_TOPK,
+) -> str:
+    """DuckDB mirror: the pq_adc_topk mirror as a CTE, an exact int64 L2
+    top-k baseline over the same quantization, list intersection."""
+    adc = sql_pq_adc_topk(table, m, codes, iters, dim, nprobe, n_query, topk)
+    qexpr = (
+        f"list_transform(embedding, "
+        f"e -> CAST(floor((e::DOUBLE + 1.0) * {FIXED_SCALE}) AS BIGINT))"
+    )
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (q.q[i] - c.q[i]) * (q.q[i] - c.q[i])))"
+    )
+    return f"""
+WITH adc AS ({adc}),
+qz AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {qexpr} AS q FROM {table}),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid, {d2} AS d2
+  FROM qz q JOIN qz c ON q.vec_id < {n_query} AND q.vec_id <> c.vec_id
+),
+exact AS (
+  SELECT * FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {topk}
+),
+e AS (
+  SELECT qid, list_sort(list(nid)) AS ex_ids,
+         MAX(CASE WHEN rank = 1 THEN nid END) AS top1
+  FROM exact GROUP BY qid
+),
+a AS (
+  SELECT vec_id AS qid, list_sort(list(neighbor_id)) AS adc_ids
+  FROM adc GROUP BY vec_id
+)
+SELECT e.qid AS vec_id,
+       CAST(len(list_intersect(e.ex_ids, COALESCE(a.adc_ids, []))) AS BIGINT)
+         AS n_common,
+       CAST(CASE WHEN len(e.ex_ids) > 0
+                 THEN (1000 * len(list_intersect(e.ex_ids,
+                        COALESCE(a.adc_ids, [])))) // len(e.ex_ids)
+                 ELSE 0 END AS BIGINT) AS overlap_milli,
+       list_contains(COALESCE(a.adc_ids, []), e.top1) AS top1_kept
+FROM e LEFT JOIN a USING (qid)
+"""

@@ -1694,6 +1694,14 @@ def q_dedup_cdc_chunks(spark, sf_dir):
     return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_sim_pq_recall(spark, sf_dir):
+    """PQ serving-rollout eval (the matryoshka pattern applied to IVFADC):
+    per query, recall@k of the true nearest neighbour and the top-k
+    overlap of the ADC answer vs an exact int64 L2 baseline over the same
+    bounded query set."""
+    return clustering.pq_recall(_t(spark, sf_dir, "embeddings"))
+
+
 def q_text_code_switch(spark, sf_dir):
     """Code-switching / mixed-language detection: the language_id lexicon
     argmax run per 16-word window, reporting the majority window language,
@@ -1766,6 +1774,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_layout_plan": q_corpus_layout_plan,
         "embed_training_triples": q_embed_training_triples,
         "text_code_switch": q_text_code_switch,
+        "sim_pq_recall": q_sim_pq_recall,
         "graph_host_hits": q_graph_host_hits,
         "sketch_hll_hosts": q_sketch_hll_hosts,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -1982,6 +1991,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_layout_plan": packing.sql_layout_plan(),
         "embed_training_triples": similarity.sql_training_triples(),
         "text_code_switch": textops.sql_code_switch(),
+        "sim_pq_recall": clustering.sql_pq_recall(),
         "graph_host_hits": graphops.sql_host_hits(),
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),

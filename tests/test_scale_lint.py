@@ -130,6 +130,9 @@ BROADCAST_ALLOWED = {
     # 8-gram sets) — benchmarks are small by nature (eval suites), not
     # corpus-sized
     "decontam.py": 3,
+    # pq_recall's exact baseline: PQ_N_QUERY=50 query vectors (the
+    # cosine_topk justification — a design cap, never corpus-sized)
+    "clustering.py": 1,
     # nation dimension (25 rows) in the TPC-H-ish join query
     "queries.py": 1,
     # top-VOCAB_CAP unigram LM (hard cap, deterministic order) + the two
