@@ -2147,20 +2147,25 @@ def novelty_scores(documents: DataFrame) -> DataFrame:
     fold. The unbounded trigram vocabulary never becomes a key."""
     doc = F.col("doc_id").cast("string")
     ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    # ws materializes in its own Project: the trigram lambda references it
+    # three element_at's per element, and inlining would re-embed the
+    # split+filter subtree at every reference (the winnowing HOF lesson)
+    base = documents.select(doc.alias("doc_id"), ws.alias("ws"))
+    wcol = F.col("ws")
     # guard: Spark's sequence(1, n) DESCENDS when n < 1 (it never returns
     # empty), so short docs need an explicit empty-array branch
     tri = F.when(
-        F.size(ws) >= 3,
+        F.size(wcol) >= 3,
         F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 2),
+            F.sequence(F.lit(1), F.size(wcol) - 2),
             lambda i: F.conv(
                 F.substring(
                     F.md5(
                         F.concat_ws(
                             " ",
-                            F.element_at(ws, i),
-                            F.element_at(ws, i + 1),
-                            F.element_at(ws, i + 2),
+                            F.element_at(wcol, i),
+                            F.element_at(wcol, i + 1),
+                            F.element_at(wcol, i + 2),
                         )
                     ),
                     1, 8,
@@ -2169,13 +2174,18 @@ def novelty_scores(documents: DataFrame) -> DataFrame:
             ).cast("long") % NOV_BUCKETS,
         ),
     ).otherwise(F.expr("array()").cast("array<long>"))
-    grams = documents.select(doc.alias("doc_id"), F.explode(tri).alias("b"))
+    grams = base.select("doc_id", F.explode(tri).alias("b"))
     per_doc = grams.groupBy("doc_id", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    # bounded census: <= NOV_BUCKETS keys with map-side partials; two
-    # consumers would re-aggregate, but there is exactly one join use
-    census = grams.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("g"))
+    # per_doc (a REDUCED frame) feeds both the join and the census below;
+    # checkpoint it once so the md5-heavy gram explosion never runs twice
+    # (it previously fed census directly from `grams`, doubling the hash
+    # work — found timing the round-5 suite; ~2x on this operator)
+    per_doc = per_doc.localCheckpoint(eager=False)
+    # bounded census: <= NOV_BUCKETS keys with map-side partials; g = the
+    # bucket's global occupancy = the sum of per-doc occupancies
+    census = per_doc.groupBy("b").agg(F.sum("c").cast("long").alias("g"))
     scored = per_doc.join(census, "b").select(
         "doc_id",
         "c",
