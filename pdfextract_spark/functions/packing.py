@@ -929,3 +929,131 @@ SELECT source, n_docs, n_tokens, share_milli, n_files,
        skewed
 FROM planned
 """
+
+
+# ----------------------------------------- training-budget allocation plan
+# The data-constrained scaling question (Muennighoff et al. 2023, "Scaling
+# Data-Constrained Language Models"): a training run has a TOKEN BUDGET,
+# repeating data pays off only up to ~4 epochs, and the mix should favour
+# higher-quality sources — so how many tokens does each source contribute,
+# where does the repeat cap bind, and how much budget CANNOT be filled at
+# this cap? This relation answers it: allocation proportional to each
+# source's quality-weighted token mass (quality = the shared clamped
+# Flesch kernel, weighted by words), clamped at BP_MAX_EPOCHS x the
+# source's own tokens, with the clipped surplus REPORTED per source as
+# shortfall_tokens — never silently redistributed: a nonzero total
+# shortfall IS the data-constrained verdict (raise the cap, add data, or
+# shrink the run).
+#
+# 100 TB shape: ONE bounded census groupBy on the partition key + a
+# single-row total join-back (the layout_plan shape). Int64 headroom: the
+# per-source weight is sum(flesch_milli * words) (~1.2e8/doc); at 10^12
+# docs scale flesch to whole points (div 1000) before the sum — the same
+# headroom dial doremi_weights documents.
+
+BP_BUDGET_X = 3     # fixture dial: training budget = 3x the corpus tokens
+BP_MAX_EPOCHS = 4   # repeat cap: value decays past ~4 epochs (the paper)
+
+
+def budget_plan(
+    documents: DataFrame,
+    budget_x: int = BP_BUDGET_X,
+    max_epochs: int = BP_MAX_EPOCHS,
+) -> DataFrame:
+    """(source, n_docs, n_tokens, quality_milli, alloc_tokens,
+    epochs_milli, capped, shortfall_tokens) — one row per source: its
+    quality-weighted budget allocation under the repeat cap."""
+    from .textops import flesch_milli, readability_counts
+
+    w, s, y = readability_counts(F.col("text"))
+    f = F.greatest(F.lit(0).cast("long"), flesch_milli(w, s, y))
+    toks = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    census = (
+        documents.select(
+            "source",
+            toks.alias("t"),
+            w.cast("long").alias("w"),
+            (f * w.cast("long")).alias("wt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+            F.sum("w").alias("n_words"),
+            F.sum("wt").alias("weight"),
+        )
+    )
+    totals = census.agg(
+        F.sum("n_tokens").alias("_total"), F.sum("weight").alias("_wsum")
+    )
+    j = census.crossJoin(totals).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("weight div n_words").alias("quality_milli"),
+        F.expr(f"({budget_x} * _total * weight) div _wsum").alias("_raw"),
+        F.expr(f"{max_epochs} * n_tokens").alias("_cap"),
+    )
+    alloc = F.least(F.col("_raw"), F.col("_cap"))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "quality_milli",
+        alloc.alias("alloc_tokens"),
+        F.expr(
+            f"(1000 * least(_raw, _cap)) div n_tokens"
+        ).cast("long").alias("epochs_milli"),
+        (F.col("_raw") > F.col("_cap")).alias("capped"),
+        F.greatest(F.lit(0).cast("long"), F.col("_raw") - F.col("_cap")).alias(
+            "shortfall_tokens"
+        ),
+    )
+
+
+def sql_budget_plan(
+    table: str = "documents",
+    budget_x: int = BP_BUDGET_X,
+    max_epochs: int = BP_MAX_EPOCHS,
+) -> str:
+    """DuckDB mirror: identical Flesch weighting, census, clamp, report."""
+    wexpr = "GREATEST(1, len(string_split(text, ' ')))"
+    sexpr = (
+        "GREATEST(1, len(text) - len(regexp_replace(text, '[.!?]', '', 'g')))"
+    )
+    yexpr = (
+        "GREATEST(1, len(string_split_regex(lower(text), '[aeiou]+')) - 1)"
+    )
+    fexpr = (
+        f"GREATEST(0::BIGINT, 206835 - (1015 * {wexpr}) // {sexpr}"
+        f" - (84600 * {yexpr}) // {wexpr})"
+    )
+    return f"""
+WITH census AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens,
+         CAST(SUM({wexpr}) AS BIGINT) AS n_words,
+         CAST(SUM({fexpr} * {wexpr}) AS BIGINT) AS weight
+  FROM {table} GROUP BY source
+),
+totals AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         CAST(SUM(weight) AS BIGINT) AS wsum
+  FROM census
+),
+j AS (
+  SELECT source, n_docs, n_tokens,
+         weight // n_words AS quality_milli,
+         ({budget_x} * total * weight) // wsum AS raw,
+         {max_epochs} * n_tokens AS cap
+  FROM census CROSS JOIN totals
+)
+SELECT source, n_docs, n_tokens, quality_milli,
+       LEAST(raw, cap) AS alloc_tokens,
+       CAST((1000 * LEAST(raw, cap)) // n_tokens AS BIGINT) AS epochs_milli,
+       (raw > cap) AS capped,
+       GREATEST(0::BIGINT, raw - cap) AS shortfall_tokens
+FROM j
+"""

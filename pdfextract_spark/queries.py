@@ -1694,6 +1694,15 @@ def q_dedup_cdc_chunks(spark, sf_dir):
     return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_budget_plan(spark, sf_dir):
+    """Data-constrained training-budget allocation (Muennighoff 2023
+    shape): per source, a quality-weighted token allocation clamped at the
+    4-epoch repeat cap, with the clipped surplus reported as shortfall —
+    the 'can this corpus fill this run' relation. ONE bounded census
+    groupBy + a single-row total join-back."""
+    return packing.budget_plan(_t(spark, sf_dir, "documents"))
+
+
 def q_sim_pq_recall(spark, sf_dir):
     """PQ serving-rollout eval (the matryoshka pattern applied to IVFADC):
     per query, recall@k of the true nearest neighbour and the top-k
@@ -1775,6 +1784,7 @@ def queries() -> Dict[str, Callable]:
         "embed_training_triples": q_embed_training_triples,
         "text_code_switch": q_text_code_switch,
         "sim_pq_recall": q_sim_pq_recall,
+        "corpus_budget_plan": q_corpus_budget_plan,
         "graph_host_hits": q_graph_host_hits,
         "sketch_hll_hosts": q_sketch_hll_hosts,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -1992,6 +2002,7 @@ def oracle_sql() -> Dict[str, str]:
         "embed_training_triples": similarity.sql_training_triples(),
         "text_code_switch": textops.sql_code_switch(),
         "sim_pq_recall": clustering.sql_pq_recall(),
+        "corpus_budget_plan": packing.sql_budget_plan(),
         "graph_host_hits": graphops.sql_host_hits(),
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),
