@@ -596,3 +596,89 @@ SELECT host, term AS anchor_term, n, CAST(rank AS BIGINT) AS rank,
        CAST(host_anchors AS BIGINT) AS host_anchors
 FROM ranked WHERE rank <= {ANCHOR_TOPK}
 """
+
+
+# --------------------------------------------------------- link reciprocity
+# Link-exchange detection: organic web linking is largely asymmetric,
+# while link farms and paid link rings reciprocate — a host whose
+# out-links are mostly answered by back-links is a classic spam signal
+# (the complement of TrustRank's seed-flow view; used alongside
+# authority scores to demote manipulated hosts before crawl weighting).
+#
+# 100 TB shape: everything runs on the DISTINCT host->host edge relation
+# (host-space-sized, already collapsed by host_edges' one census shuffle):
+# one self-join against the reversed edges marks reciprocated pairs, two
+# host-keyed censuses produce degrees. No doc-sized surface.
+
+
+def link_reciprocity(documents: DataFrame) -> DataFrame:
+    """(host, out_deg, in_deg, reciprocated, recip_milli) — per host: the
+    distinct out/in degree, how many of its out-links are answered by a
+    back-link, and that fraction in milli."""
+    edges = host_edges(documents)
+    # the edge relation feeds the reverse join and both degree censuses
+    edges = edges.localCheckpoint(eager=False)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = edges.join(rev, ["src", "dst"]).groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("reciprocated")
+    )
+    out_deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    in_deg = edges.groupBy(F.col("dst").alias("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    return (
+        out_deg.join(in_deg, "src", "full")
+        .join(recip, "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("reciprocated", F.lit(0)).cast("long").alias(
+                "reciprocated"
+            ),
+        )
+        .withColumn(
+            "recip_milli",
+            F.expr(
+                "CASE WHEN out_deg > 0 THEN (1000 * reciprocated) div out_deg "
+                "ELSE 0 END"
+            ).cast("long"),
+        )
+    )
+
+
+def sql_link_reciprocity(table: str = "documents") -> str:
+    dst = (
+        "('h' || CAST((('0x' || substr(md5('lk|' || CAST(doc_id AS VARCHAR) "
+        f"|| '|' || CAST(k AS VARCHAR)), 1, 4))::BIGINT % {HOSTS}) AS VARCHAR))"
+    )
+    src = (
+        "('h' || CAST((('0x' || substr(md5('hs|' || CAST(doc_id AS VARCHAR)), "
+        f"1, 4))::BIGINT % {HOSTS}) AS VARCHAR))"
+    )
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT {src} AS src, {dst} AS dst
+  FROM {table}, (SELECT unnest(range(0, {OUT_LINKS})) AS k) links
+  WHERE {src} <> {dst}
+),
+recip AS (
+  SELECT e.src, CAST(COUNT(*) AS BIGINT) AS reciprocated
+  FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+  GROUP BY e.src
+),
+outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM edges GROUP BY src),
+ind AS (SELECT dst AS src, CAST(COUNT(*) AS BIGINT) AS in_deg FROM edges GROUP BY dst)
+SELECT COALESCE(o.src, i.src) AS host,
+       COALESCE(o.out_deg, 0)::BIGINT AS out_deg,
+       COALESCE(i.in_deg, 0)::BIGINT AS in_deg,
+       COALESCE(r.reciprocated, 0)::BIGINT AS reciprocated,
+       CAST(CASE WHEN COALESCE(o.out_deg, 0) > 0
+                 THEN (1000 * COALESCE(r.reciprocated, 0)) // o.out_deg
+                 ELSE 0 END AS BIGINT) AS recip_milli
+FROM outd o
+FULL OUTER JOIN ind i ON i.src = o.src
+LEFT JOIN recip r ON r.src = COALESCE(o.src, i.src)
+"""

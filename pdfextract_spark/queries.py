@@ -1694,6 +1694,14 @@ def q_dedup_cdc_chunks(spark, sf_dir):
     return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_graph_reciprocity(spark, sf_dir):
+    """Link-exchange / link-farm signal: per host, how many of its
+    out-links are answered by a back-link (organic linking is asymmetric;
+    rings reciprocate). Runs entirely on the host-space-sized distinct
+    edge relation — one reverse self-join plus two degree censuses."""
+    return graphops.link_reciprocity(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_budget_plan(spark, sf_dir):
     """Data-constrained training-budget allocation (Muennighoff 2023
     shape): per source, a quality-weighted token allocation clamped at the
@@ -1785,6 +1793,7 @@ def queries() -> Dict[str, Callable]:
         "text_code_switch": q_text_code_switch,
         "sim_pq_recall": q_sim_pq_recall,
         "corpus_budget_plan": q_corpus_budget_plan,
+        "graph_reciprocity": q_graph_reciprocity,
         "graph_host_hits": q_graph_host_hits,
         "sketch_hll_hosts": q_sketch_hll_hosts,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -2003,6 +2012,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_code_switch": textops.sql_code_switch(),
         "sim_pq_recall": clustering.sql_pq_recall(),
         "corpus_budget_plan": packing.sql_budget_plan(),
+        "graph_reciprocity": graphops.sql_link_reciprocity(),
         "graph_host_hits": graphops.sql_host_hits(),
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),
