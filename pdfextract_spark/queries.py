@@ -1694,6 +1694,15 @@ def q_dedup_cdc_chunks(spark, sf_dir):
     return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_embed_outliers(spark, sf_dir):
+    """Corrupted-embedding sweep: per vector the exact int64 distance to
+    its label centroid vs the label's mean distance, outlier flag past 3x
+    — the data-cleaning pass that catches failed encoder runs. Planted
+    saturated twins (+2.0 on every component) must flag; originals must
+    not."""
+    return similarity.embed_outliers(_t(spark, sf_dir, "embeddings"))
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Link-exchange / link-farm signal: per host, how many of its
     out-links are answered by a back-link (organic linking is asymmetric;
@@ -1794,6 +1803,7 @@ def queries() -> Dict[str, Callable]:
         "sim_pq_recall": q_sim_pq_recall,
         "corpus_budget_plan": q_corpus_budget_plan,
         "graph_reciprocity": q_graph_reciprocity,
+        "embed_outliers": q_embed_outliers,
         "graph_host_hits": q_graph_host_hits,
         "sketch_hll_hosts": q_sketch_hll_hosts,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -2013,6 +2023,7 @@ def oracle_sql() -> Dict[str, str]:
         "sim_pq_recall": clustering.sql_pq_recall(),
         "corpus_budget_plan": packing.sql_budget_plan(),
         "graph_reciprocity": graphops.sql_link_reciprocity(),
+        "embed_outliers": similarity.sql_embed_outliers(),
         "graph_host_hits": graphops.sql_host_hits(),
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),
