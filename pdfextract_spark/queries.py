@@ -1694,6 +1694,70 @@ def q_dedup_cdc_chunks(spark, sf_dir):
     return dedup.cdc_chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_window_retention(spark, sf_dir):
+    """Cohort retention (the product-analytics DAU grid): users bucketed
+    by first-seen day, and for each (cohort_day, day_offset) the fraction
+    of the cohort active that day in milli. Two user-keyed censuses (first
+    day + distinct active days) joined on user, then one bounded
+    (cohort, offset) groupBy — offsets span the fixture window, cohorts
+    the calendar: both bounded domains, never doc/event-sized keys."""
+    ev = _t(spark, sf_dir, "events")
+    DAY_US = 86_400_000_000
+    days = ev.select(
+        "user_id", F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}").alias("day")
+    ).distinct()
+    # feeds the cohort census AND the activity join
+    days = days.localCheckpoint(eager=False)
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    grid = (
+        days.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return (
+        grid.join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "n_cohort",
+            F.expr("(1000 * n_active) div n_cohort").cast("long").alias(
+                "retention_milli"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+SQL_WINDOW_RETENTION = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts::TIMESTAMP) // 86400000000) AS day
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+  FROM cohort GROUP BY cohort_day
+),
+grid AS (
+  SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM days d JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT g.cohort_day, g.day_offset, g.n_active, s.n_cohort,
+       CAST((1000 * g.n_active) // s.n_cohort AS BIGINT) AS retention_milli
+FROM grid g JOIN sizes s USING (cohort_day)
+ORDER BY cohort_day, day_offset
+"""
+
+
 def q_embed_outliers(spark, sf_dir):
     """Corrupted-embedding sweep: per vector the exact int64 distance to
     its label centroid vs the label's mean distance, outlier flag past 3x
@@ -1804,6 +1868,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_budget_plan": q_corpus_budget_plan,
         "graph_reciprocity": q_graph_reciprocity,
         "embed_outliers": q_embed_outliers,
+        "window_retention": q_window_retention,
         "graph_host_hits": q_graph_host_hits,
         "sketch_hll_hosts": q_sketch_hll_hosts,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -2024,6 +2089,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_budget_plan": packing.sql_budget_plan(),
         "graph_reciprocity": graphops.sql_link_reciprocity(),
         "embed_outliers": similarity.sql_embed_outliers(),
+        "window_retention": SQL_WINDOW_RETENTION,
         "graph_host_hits": graphops.sql_host_hits(),
         "sketch_hll_hosts": sketches.sql_hll_host_distinct(),
         "sketch_heavy_hitters": sketches.sql_heavy_hitters(),
