@@ -2012,3 +2012,207 @@ SELECT doc_a, doc_b, jaccard_est,
             >= {EDIT_SIM_MILLI}) AS verified
 FROM m
 """
+
+
+# --------------------------------------------- containment near-dup pairs
+# Resemblance (Jaccard) dedup misses the ASYMMETRIC case: a short document
+# wholly embedded in a much longer one (quote pages, aggregator articles,
+# "best of" compilations — Broder 1997's containment coefficient, the
+# signal CCNet/RefinedWeb-style pipelines need next to resemblance). With
+# |A| << |B|, J(A,B) = |A∩B| / |A∪B| stays below any useful resemblance
+# threshold while C(A→B) = |A∩B| / |A| is ~1. This operator surfaces
+# (containee, container, containment, jaccard) for candidate pairs from
+# the same df-cut inverted-index join as ngram_jaccard_pairs — candidate
+# generation is shared-shape, only the verify metric is oriented.
+#
+# 100 TB shape: identical to ngram_jaccard_pairs (one gram-keyed census
+# shuffle with map-side combine, hot grams anti-joined out so no posting
+# list exceeds DF_CAP, pairs generated JVM-side inside <=C(DF_CAP,2)
+# buckets, one pair-keyed dedup shuffle). The planted corpus makes the
+# asymmetry measurable: containers are the base doc plus ~CONTAIN_FILL
+# unique filler tokens, so the planted pair's jaccard is provably below
+# JACCARD_MIN while its containment is ~1.
+
+CONTAIN_MIN = 0.8          # containment verify threshold
+CONTAIN_PLANT_MOD = 11     # ~1/11 docs get a planted container
+CONTAIN_OFFSET = 7_000_000_000  # planted container doc_id offset
+CONTAIN_FILL = 1000        # filler tokens per container: corpus docs cap at
+#                             ~100 words (~98 grams), so jaccard <= 98/1098 <
+#                             JACCARD_MIN for every planted pair
+
+
+def synthesize_containment_corpus(documents: DataFrame) -> DataFrame:
+    """documents plus, for the md5-selected ~1/CONTAIN_PLANT_MOD subset, a
+    CONTAINER document at doc_id + CONTAIN_OFFSET whose text is the base
+    text followed by CONTAIN_FILL unique deterministic filler tokens —
+    the base doc is fully contained, the container is ~10x larger.
+    Rebuilt identically by the DuckDB oracle."""
+    doc_id = F.col("doc_id").cast("long")
+    base = documents.select(doc_id.alias("doc_id"), "text")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cn|"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    filler = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(CONTAIN_FILL)),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cf|"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+        ),
+    )
+    containers = base.filter(h % CONTAIN_PLANT_MOD == 0).select(
+        (F.col("doc_id") + CONTAIN_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), filler).alias("text"),
+    )
+    return base.unionByName(containers)
+
+
+def containment_pairs(documents: DataFrame) -> DataFrame:
+    """(containee, container, containment, jaccard, missed_by_resemblance)
+    for candidate pairs with containment >= CONTAIN_MIN. The containee is
+    the side with fewer distinct grams (tie: the smaller doc_id — which by
+    the pair ordering is doc_a); containment = shared / n_containee.
+    missed_by_resemblance marks pairs a Jaccard-threshold pass at
+    JACCARD_MIN would NOT have surfaced."""
+    docs = _fan_out(documents).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _shingles(_words(F.col("text"))).alias("grams"),
+    )
+    # same single-reference wrapper-struct explode as ngram_jaccard_pairs
+    # (the winnowing plan trap: exploding the attribute directly pushes the
+    # shingling expression into the scan filter; inlining it evaluates it
+    # twice per row)
+    ga = F.col("grams")
+    inv = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                ga,
+                lambda x: F.struct(x.alias("gram"), F.size(ga).alias("n_grams")),
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id", F.col("s.gram").alias("gram"), F.col("s.n_grams").alias("n_grams")
+    )
+    # df-cut anti-join, hint-free (AQE broadcasts when actually small); the
+    # corpus-exploded inv is recomputed for the two consumers, not
+    # checkpointed — the ngram_jaccard_pairs measurement applies unchanged
+    hot = (
+        inv.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("gram")
+    )
+    inv = inv.join(hot, "gram", "left_anti")
+    per_gram = (
+        inv.groupBy("gram")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_grams"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    pairs_col = F.flatten(
+        F.transform(
+            ds,
+            lambda a, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    a["n_grams"].alias("na"),
+                    b["n_grams"].alias("nb"),
+                ),
+            ),
+        )
+    )
+    shared = (
+        per_gram.select(F.explode(pairs_col).alias("p"))
+        .groupBy(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    small_is_a = F.col("na") <= F.col("nb")
+    containment = F.round(
+        F.col("shared") / F.least(F.col("na"), F.col("nb")), 4
+    )
+    jaccard = F.round(
+        F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+    )
+    out = shared.select(
+        F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "containee"
+        ),
+        F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "container"
+        ),
+        containment.alias("containment"),
+        jaccard.alias("jaccard"),
+        (jaccard < JACCARD_MIN).alias("missed_by_resemblance"),
+    ).filter(F.col("containment") >= CONTAIN_MIN)
+    return out
+
+
+def _sql_containment_corpus(table: str) -> str:
+    h = "('0x' || substr(md5('cn|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT"
+    filler = (
+        "array_to_string(list_transform(range(1, " + str(CONTAIN_FILL + 1) + "), "
+        "i -> substr(md5('cf|' || CAST(doc_id AS VARCHAR) || '|' || "
+        "CAST(i AS VARCHAR)), 1, 8)), ' ')"
+    )
+    return f"""
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM {table}
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + {CONTAIN_OFFSET}, text || ' ' || {filler}
+  FROM {table} WHERE {h} % {CONTAIN_PLANT_MOD} = 0
+"""
+
+
+def sql_containment_pairs(table: str = "documents") -> str:
+    return f"""
+WITH corpus0 AS ({_sql_containment_corpus(table)}),
+docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {sql_shingles('text')} AS grams
+  FROM corpus0
+),
+sizes AS (SELECT doc_id, len(grams) AS n_grams FROM docs),
+inv0 AS (SELECT doc_id, unnest(grams) AS gram FROM docs),
+keep AS (SELECT gram FROM inv0 GROUP BY gram HAVING COUNT(*) <= {DF_CAP}),
+inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (gram)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT doc_a, doc_b, shared,
+         sa.n_grams AS na, sb.n_grams AS nb
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS containee,
+       CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS container,
+       ROUND(shared / least(na, nb), 4) AS containment,
+       ROUND(shared / (na + nb - shared), 4) AS jaccard,
+       (ROUND(shared / (na + nb - shared), 4) < {JACCARD_MIN})
+         AS missed_by_resemblance
+FROM m
+WHERE ROUND(shared / least(na, nb), 4) >= {CONTAIN_MIN}
+"""

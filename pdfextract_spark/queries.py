@@ -1846,6 +1846,19 @@ def q_dedup_edit_verify(spark, sf_dir):
     return dedup.edit_verified_neardups(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Containment near-dup pairs (Broder's containment coefficient): the
+    ASYMMETRIC doc-in-doc case resemblance dedup misses — a short doc
+    wholly embedded in a 10x-larger container has jaccard below any useful
+    threshold but containment ~1. Same df-cut inverted-index candidate
+    shape as dedup_ngram_jaccard; the planted containers provably fall
+    below JACCARD_MIN while verifying at containment >= 0.8
+    (missed_by_resemblance marks them)."""
+    return dedup.containment_pairs(
+        dedup.synthesize_containment_corpus(_t(spark, sf_dir, "documents"))
+    )
+
+
 def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
@@ -1858,6 +1871,7 @@ def queries() -> Dict[str, Callable]:
     # green in >=1 prior round and stay pytest- and check_oracle-gated
     # every round.
     return {
+        "dedup_containment": q_dedup_containment,
         "dedup_edit_verify": q_dedup_edit_verify,
         "sim_bitext_mine": q_sim_bitext_mine,
         "graph_anchor_text": q_graph_anchor_text,
@@ -2080,6 +2094,7 @@ def oracle_sql() -> Dict[str, str]:
         "multimodal_caption_pairs": multimodal.sql_caption_pairs(),
         "graph_host_rank": graphops.sql_host_rank(),
         "dedup_edit_verify": dedup.sql_edit_verified_neardups(),
+        "dedup_containment": dedup.sql_containment_pairs(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
