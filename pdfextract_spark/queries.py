@@ -1915,13 +1915,13 @@ def queries() -> Dict[str, Callable]:
         "embed_pq_encode": q_embed_pq_encode,
         "sim_pq_adc_topk": q_sim_pq_adc_topk,
         "web_url_blocklist": q_web_url_blocklist,
-        "dedup_semdedup": q_dedup_semdedup,
+        "corpus_padding_report": q_corpus_padding_report,
         "bpe_train_merges": q_bpe_train_merges,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_pack_stats": q_corpus_pack_stats,
         "corpus_length_buckets": q_corpus_length_buckets,
-        "corpus_padding_report": q_corpus_padding_report,
+        "dedup_semdedup": q_dedup_semdedup,
         "corpus_sample_hash": q_corpus_sample_hash,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "html_block_stats": q_html_block_stats,
