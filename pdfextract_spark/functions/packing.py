@@ -1057,3 +1057,230 @@ SELECT source, n_docs, n_tokens, quality_milli,
        GREATEST(0::BIGINT, raw - cap) AS shortfall_tokens
 FROM j
 """
+
+
+# ------------------------------------------------ fetch/process shard plan
+# Key-to-worker sharding for a skewed host space (crawl fetchers, per-host
+# politeness queues, host-keyed reducers): pure hashing balances the TAIL
+# but a heavy host lands whole on one worker — the classic "isolate the
+# head, hash the tail" skew plan (the manual twin of AQE's skew-join
+# split, applied to a keyed WORK assignment where a key cannot be split
+# across workers because per-host state — rate limits, robots.txt, dedup
+# windows — is host-local).
+#
+# Scale shape: ONE host census shuffle (map-side combine), a 1-row total,
+# then the heavy-candidate set is PIGEONHOLE-BOUNDED: load * DENOM >=
+# total admits at most DENOM hosts at ANY corpus size, so the dedicated-
+# shard ranking window runs over a provably constant frame (same
+# bounded-domain argument as sketches.heavy_hitters' exact re-check). The
+# tail is assigned by md5 hash — no sort, no global rank over the host
+# space. vs_capacity_milli is reported against the PLAN CAPACITY
+# (SHARD_N + SHARD_HEAVY_W workers, a design constant), so 1000 = a
+# perfectly level plan; anything above flags residual imbalance the
+# operator could not remove without splitting a host.
+
+SHARD_N = 8           # hash shards for the tail
+SHARD_HEAVY_W = 4     # dedicated shards for the heaviest hosts
+SHARD_HEAVY_DENOM = 16  # heavy iff load*DENOM >= total (<= DENOM candidates)
+
+
+def shard_plan(
+    documents: DataFrame,
+    n_shards: int = SHARD_N,
+    heavy_w: int = SHARD_HEAVY_W,
+    denom: int = SHARD_HEAVY_DENOM,
+) -> DataFrame:
+    """(shard, kind, n_hosts, n_docs, load_tokens, share_milli,
+    vs_capacity_milli) — one row per nonempty shard: 'dedicated' shards
+    n_shards..n_shards+heavy_w-1 each hold ONE heavy host (top-heavy_w of
+    the pigeonhole-bounded candidates, load desc / host asc); 'hashed'
+    shards 0..n_shards-1 hold the md5-assigned tail."""
+    from pyspark.sql import Window
+
+    from .graphops import _host_of
+
+    doc = F.col("doc_id").cast("string")
+    toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long")
+    census = (
+        documents.select(_host_of(doc).alias("host"), toks.alias("t"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").alias("load"),
+        )
+    )
+    # host-space-sized, three consumers (total, candidates, tail)
+    census = census.localCheckpoint(eager=False)
+    totals = census.agg(F.sum("load").alias("_total"))
+    cand = census.crossJoin(totals).filter(
+        F.col("load") * denom >= F.col("_total")
+    )
+    # single-partition window GUARDRAIL: `cand` is pigeonhole-bounded at
+    # <= denom rows at any corpus size (each member holds >= total/denom
+    # of the mass) — a constant frame, never host- or corpus-scaled
+    # (allowlisted in tests/test_scale_lint.py)
+    wr = Window.orderBy(F.desc("load"), F.asc("host"))
+    heavy = (
+        cand.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") <= heavy_w)
+        .select(
+            "host",
+            (F.lit(n_shards).cast("long") + F.col("_rk") - 1).alias("shard"),
+            F.lit("dedicated").alias("kind"),
+        )
+    )
+    tail_shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("sd|"), F.col("host"))), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    )
+    # hint-free anti-join (heavy is <= heavy_w rows; AQE broadcasts it)
+    tail = census.join(heavy.select("host"), "host", "left_anti").select(
+        "host", tail_shard.alias("shard"), F.lit("hashed").alias("kind")
+    )
+    assign = heavy.select("host", "shard", "kind").unionByName(tail)
+    return (
+        assign.join(census, "host")
+        .groupBy("shard", "kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hosts"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("load").alias("load_tokens"),
+        )
+        .crossJoin(totals)
+        .select(
+            "shard",
+            "kind",
+            "n_hosts",
+            "n_docs",
+            "load_tokens",
+            F.expr("(1000 * load_tokens) div _total").cast("long").alias(
+                "share_milli"
+            ),
+            F.expr(
+                f"(load_tokens * {n_shards + heavy_w} * 1000) div _total"
+            ).cast("long").alias("vs_capacity_milli"),
+        )
+        .orderBy("shard")
+    )
+
+
+def sql_shard_plan(
+    table: str = "documents",
+    n_shards: int = SHARD_N,
+    heavy_w: int = SHARD_HEAVY_W,
+    denom: int = SHARD_HEAVY_DENOM,
+) -> str:
+    """DuckDB mirror: identical host synthesis (graphops._host_of), census,
+    pigeonhole candidate rank, md5 tail hash, and per-shard report."""
+    from .graphops import HOSTS
+
+    host = (
+        "'h' || CAST(('0x' || substr(md5('hs|' || CAST(doc_id AS VARCHAR)), 1, 4))"
+        f"::BIGINT % {HOSTS} AS VARCHAR)"
+    )
+    return f"""
+WITH census AS (
+  SELECT {host} AS host,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))
+              AS BIGINT) AS load
+  FROM {table} GROUP BY 1
+),
+totals AS (SELECT CAST(SUM(load) AS BIGINT) AS total FROM census),
+cand AS (
+  SELECT host, load,
+         ROW_NUMBER() OVER (ORDER BY load DESC, host ASC) AS rk
+  FROM census CROSS JOIN totals
+  WHERE load * {denom} >= total
+),
+heavy AS (
+  SELECT host, {n_shards}::BIGINT + rk - 1 AS shard, 'dedicated' AS kind
+  FROM cand WHERE rk <= {heavy_w}
+),
+tail AS (
+  SELECT c.host,
+         ('0x' || substr(md5('sd|' || c.host), 1, 8))::BIGINT % {n_shards}
+           AS shard,
+         'hashed' AS kind
+  FROM census c ANTI JOIN heavy h ON c.host = h.host
+),
+assign AS (SELECT * FROM heavy UNION ALL SELECT * FROM tail)
+SELECT a.shard, a.kind,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(c.n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(c.load) AS BIGINT) AS load_tokens,
+       CAST((1000 * SUM(c.load)) // MAX(t.total) AS BIGINT) AS share_milli,
+       CAST((SUM(c.load) * {n_shards + heavy_w} * 1000) // MAX(t.total)
+            AS BIGINT) AS vs_capacity_milli
+FROM assign a JOIN census c ON a.host = c.host CROSS JOIN totals t
+GROUP BY a.shard, a.kind
+ORDER BY a.shard
+"""
+
+
+# Planted skew synthesis for the shard-plan driver gate: the fixture's
+# md5-host space is near-uniform (every host ~3% of mass, below the
+# SHARD_HEAVY_DENOM=16 threshold of 6.25%), so the dedicated-shard path
+# would never exercise. Appending deterministic filler tokens to the docs
+# of two fixed hosts (rebuilt identically by the DuckDB oracle) makes
+# SKEW_HOST_A ~25% and SKEW_HOST_B ~13% of mass — both heavy, in that
+# rank order — without touching doc identity or the host derivation.
+
+SKEW_HOST_A, SKEW_FILL_A = "h3", 600
+SKEW_HOST_B, SKEW_FILL_B = "h7", 300
+
+
+def synthesize_skewed_hosts(documents: DataFrame) -> DataFrame:
+    """documents with SKEW_FILL_A/B deterministic filler tokens appended
+    to the text of every doc living on SKEW_HOST_A/B."""
+    from .graphops import _host_of
+
+    doc = F.col("doc_id").cast("string")
+
+    def filler(n: int) -> F.Column:
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n)),
+                lambda i: F.substring(
+                    F.md5(F.concat(F.lit("sk|"), doc, F.lit("|"), i.cast("string"))),
+                    1,
+                    8,
+                ),
+            ),
+        )
+
+    host = _host_of(doc)
+    text = (
+        F.when(host == SKEW_HOST_A, F.concat(F.col("text"), F.lit(" "), filler(SKEW_FILL_A)))
+        .when(host == SKEW_HOST_B, F.concat(F.col("text"), F.lit(" "), filler(SKEW_FILL_B)))
+        .otherwise(F.col("text"))
+    )
+    return documents.select("doc_id", text.alias("text"))
+
+
+def sql_synthesize_skewed_hosts(table: str = "documents") -> str:
+    """DuckDB mirror of synthesize_skewed_hosts (a FROM-able subquery)."""
+    from .graphops import HOSTS
+
+    host = (
+        "'h' || CAST(('0x' || substr(md5('hs|' || CAST(doc_id AS VARCHAR)), 1, 4))"
+        f"::BIGINT % {HOSTS} AS VARCHAR)"
+    )
+
+    def filler(n: int) -> str:
+        return (
+            f"array_to_string(list_transform(range(1, {n + 1}), "
+            "i -> substr(md5('sk|' || CAST(doc_id AS VARCHAR) || '|' || "
+            "CAST(i AS VARCHAR)), 1, 8)), ' ')"
+        )
+
+    return f"""
+  SELECT doc_id,
+         CASE WHEN {host} = '{SKEW_HOST_A}'
+                THEN text || ' ' || {filler(SKEW_FILL_A)}
+              WHEN {host} = '{SKEW_HOST_B}'
+                THEN text || ' ' || {filler(SKEW_FILL_B)}
+              ELSE text END AS text
+  FROM {table}
+"""

@@ -1859,6 +1859,20 @@ def q_dedup_containment(spark, sf_dir):
     )
 
 
+def q_corpus_shard_plan(spark, sf_dir):
+    """Skew-aware key-to-worker sharding plan (crawl fetchers / per-host
+    politeness queues / host-keyed reducers): isolate the heavy head onto
+    dedicated shards, hash the tail — the manual twin of AQE's skew-join
+    split for keyed WORK that cannot split a key across workers (per-host
+    state is host-local). The heavy-candidate set is pigeonhole-bounded
+    (load*16 >= total admits <= 16 hosts at ANY corpus size), so the
+    ranking window runs over a constant frame. Runs on the deterministic
+    skewed-host synthesis so the dedicated path exercises in the gate."""
+    return packing.shard_plan(
+        packing.synthesize_skewed_hosts(_t(spark, sf_dir, "documents"))
+    )
+
+
 def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
@@ -1871,6 +1885,7 @@ def queries() -> Dict[str, Callable]:
     # green in >=1 prior round and stay pytest- and check_oracle-gated
     # every round.
     return {
+        "corpus_shard_plan": q_corpus_shard_plan,
         "dedup_containment": q_dedup_containment,
         "dedup_edit_verify": q_dedup_edit_verify,
         "sim_bitext_mine": q_sim_bitext_mine,
@@ -2095,6 +2110,9 @@ def oracle_sql() -> Dict[str, str]:
         "graph_host_rank": graphops.sql_host_rank(),
         "dedup_edit_verify": dedup.sql_edit_verified_neardups(),
         "dedup_containment": dedup.sql_containment_pairs(),
+        "corpus_shard_plan": packing.sql_shard_plan(
+            table=f"({packing.sql_synthesize_skewed_hosts()})"
+        ),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),

@@ -109,3 +109,20 @@ def test_bitext_no_window_sort_no_hints(spark):
     # fwd is localCheckpointed, so the visible plan is the mutuality join
     # over the checkpoint leaf; no Window may appear anywhere downstream
     assert "Window" not in plan, plan[:2000]
+
+
+def test_shard_plan_budget_and_bounded_window(docs):
+    # host census (localCheckpointed once at runtime; the static plan
+    # repeats it per consumer) + 1-row total + bounded-candidate rank +
+    # tail anti-join + final per-shard groupBy/orderBy; the only window
+    # sort runs over the pigeonhole-bounded candidate frame
+    from pdfextract_spark.functions.packing import (
+        shard_plan,
+        synthesize_skewed_hosts,
+    )
+
+    df = shard_plan(synthesize_skewed_hosts(docs))
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 10, plan[:2000]
+    analyzed = _analyzed(df)
+    assert "hint" not in analyzed.lower()  # hint-free: AQE decides

@@ -87,6 +87,10 @@ SINGLE_PARTITION_WINDOW_ALLOWED = {
     # orderBy().limit(NQ*TPQ) result — constant-size frames, never
     # corpus-scaled
     "retrieval.py": 2,
+    # shard_plan: dedicated-shard ranking over the heavy-candidate set,
+    # pigeonhole-bounded at <= SHARD_HEAVY_DENOM rows at any corpus size
+    # (each member holds >= total/DENOM of the mass)
+    "packing.py": 1,
 }
 
 
