@@ -727,3 +727,201 @@ SELECT doc_id, ppl_bucket, CAST(epoch AS INT) AS epoch, shard,
             AS INT) AS pos
 FROM keyed
 """
+
+
+# ------------------------------------------------- UniMax language sampling
+# UniMax (Chung et al. 2023): given a total token budget and a per-language
+# epoch cap, walk languages LOW-resource first; each gets
+# min(cap * n_lang, remaining_budget / remaining_languages) and the
+# leftover WATER-FILLS into the higher-resource languages. This is the
+# redistributing complement of packing.budget_plan (which clamps and
+# REPORTS shortfall, never redistributes) and the closed-form alternative
+# to webclean.temperature_mixture's alpha dial: no temperature to tune,
+# the cap is the only knob, and no language exceeds it.
+#
+# Scale shape: ONE language census shuffle (map-side combine). The
+# water-filling walk is inherently sequential over languages — a BOUNDED
+# domain (ISO-language-sized at any corpus scale) — so it runs as ONE
+# in-row SQL `aggregate` fold over the ascending-sorted census array in a
+# single-row frame (the partition_audit idiom), never over docs. The rate
+# table joins back onto the corpus (language-sized, AQE broadcasts it)
+# and ONE final language groupBy censuses what the md5 residual coin
+# kept. All arithmetic is int64 integer division, bit-exact vs the DuckDB
+# recursive-CTE replay of the same walk.
+
+UNIMAX_BUDGET_X = 2   # budget = 2x the corpus tokens
+UNIMAX_EPOCH_CAP = 3  # no language repeats more than 3 epochs
+
+
+def unimax_sample(
+    documents: DataFrame,
+    budget_x: int = UNIMAX_BUDGET_X,
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+) -> DataFrame:
+    """(lang, n_docs, n_tokens, alloc_tokens, epochs_milli, capped,
+    full_epochs, residual_pm, kept_docs, kept_tokens, sampled_docs) — the
+    UniMax allocation per language plus what the sampling schedule
+    (full_epochs whole passes + an md5 residual coin) actually selects.
+    `capped` marks languages whose epoch cap was the binding minimum."""
+    doc_id = F.col("doc_id").cast("string")
+    toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long")
+    census = (
+        documents.select(F.col("lang").cast("string").alias("lang"), toks.alias("t"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+        )
+    )
+    census = census.localCheckpoint(eager=False)  # lang-sized, 2 consumers
+    folded = census.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("n_tokens"), F.col("lang")))
+        ).alias("cs"),
+        F.sum("n_tokens").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_nl"),
+    )
+    # the whole walk as one SQL fold; `alloc` has no let-binding in SQL
+    # lambdas so the min() is written twice — the fold runs once per
+    # LANGUAGE, not per row, so the repetition is free
+    alloc_expr = f"least({epoch_cap} * x.n_tokens, acc.b_rem div acc.l_rem)"
+    allocs = folded.select(
+        F.explode(
+            F.expr(
+                f"""aggregate(
+  cs,
+  struct(cast(_total * {budget_x} as bigint) as b_rem,
+         cast(_nl as bigint) as l_rem,
+         cast(array() as array<struct<lang:string,alloc:bigint>>) as allocs),
+  (acc, x) -> struct(
+      acc.b_rem - {alloc_expr} as b_rem,
+      acc.l_rem - 1 as l_rem,
+      array_append(acc.allocs,
+                   struct(x.lang as lang, {alloc_expr} as alloc)) as allocs),
+  acc -> acc.allocs)"""
+            )
+        ).alias("a")
+    ).select(F.col("a.lang").alias("lang"), F.col("a.alloc").alias("alloc_tokens"))
+    rates = census.join(allocs, "lang").select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "alloc_tokens",
+        F.expr("(1000 * alloc_tokens) div n_tokens").cast("long").alias(
+            "epochs_milli"
+        ),
+        (F.col("alloc_tokens") == F.lit(epoch_cap).cast("long") * F.col("n_tokens")).alias(
+            "capped"
+        ),
+        F.expr("alloc_tokens div n_tokens").cast("long").alias("full_epochs"),
+        F.expr("((alloc_tokens % n_tokens) * 1000) div n_tokens").cast("long").alias(
+            "residual_pm"
+        ),
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ux|"), doc_id)), 1, 5), 16, 10)
+        .cast("long") % 1000
+    )
+    kept = (
+        documents.select(
+            F.col("lang").cast("string").alias("lang"),
+            toks.alias("t"),
+            coin.alias("c"),
+        )
+        .join(rates.select("lang", "residual_pm"), "lang")
+        .filter(F.col("c") < F.col("residual_pm"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.sum("t").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "alloc_tokens",
+            "epochs_milli",
+            "capped",
+            "full_epochs",
+            "residual_pm",
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            (
+                F.col("full_epochs") * F.col("n_docs")
+                + F.coalesce("kept_docs", F.lit(0))
+            ).cast("long").alias("sampled_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sql_unimax_sample(
+    table: str = "documents",
+    budget_x: int = UNIMAX_BUDGET_X,
+    epoch_cap: int = UNIMAX_EPOCH_CAP,
+) -> str:
+    """DuckDB mirror: identical census; the water-filling walk replayed as
+    a recursive CTE over the ascending language rank carrying
+    (b_rem, l_rem); identical residual coin and kept census."""
+    return f"""
+WITH RECURSIVE census AS (
+  SELECT CAST(lang AS VARCHAR) AS lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY 1
+),
+ranked AS (
+  SELECT lang, n_docs, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens ASC, lang ASC) AS rk
+  FROM census
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS nl
+  FROM census
+),
+walk AS (
+  SELECT 0::BIGINT AS rk, (total * {budget_x})::BIGINT AS b_rem,
+         nl AS l_rem, NULL::VARCHAR AS lang, 0::BIGINT AS alloc
+  FROM tot
+  UNION ALL
+  SELECT r.rk,
+         w.b_rem - LEAST({epoch_cap} * r.n_tokens, w.b_rem // w.l_rem),
+         w.l_rem - 1,
+         r.lang,
+         LEAST({epoch_cap} * r.n_tokens, w.b_rem // w.l_rem)
+  FROM walk w JOIN ranked r ON r.rk = w.rk + 1
+),
+rates AS (
+  SELECT c.lang, c.n_docs, c.n_tokens,
+         w.alloc AS alloc_tokens,
+         (1000 * w.alloc) // c.n_tokens AS epochs_milli,
+         (w.alloc = {epoch_cap} * c.n_tokens) AS capped,
+         w.alloc // c.n_tokens AS full_epochs,
+         ((w.alloc % c.n_tokens) * 1000) // c.n_tokens AS residual_pm
+  FROM census c JOIN walk w ON c.lang = w.lang
+),
+kept AS (
+  SELECT CAST(d.lang AS VARCHAR) AS lang,
+         CAST(COUNT(*) AS BIGINT) AS kept_docs,
+         CAST(SUM(len(list_filter(string_split(d.text, ' '), x -> x <> '')))
+              AS BIGINT) AS kept_tokens
+  FROM {table} d
+  JOIN rates r ON CAST(d.lang AS VARCHAR) = r.lang
+  WHERE ('0x' || substr(md5('ux|' || CAST(d.doc_id AS VARCHAR)), 1, 5))::BIGINT
+          % 1000 < r.residual_pm
+  GROUP BY 1
+)
+SELECT r.lang, r.n_docs, r.n_tokens, r.alloc_tokens, r.epochs_milli,
+       r.capped, r.full_epochs, r.residual_pm,
+       COALESCE(k.kept_docs, 0)::BIGINT AS kept_docs,
+       COALESCE(k.kept_tokens, 0)::BIGINT AS kept_tokens,
+       (r.full_epochs * r.n_docs + COALESCE(k.kept_docs, 0))::BIGINT
+         AS sampled_docs
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+ORDER BY r.lang
+"""

@@ -1859,6 +1859,19 @@ def q_dedup_containment(spark, sf_dir):
     )
 
 
+def q_corpus_unimax_sample(spark, sf_dir):
+    """UniMax language allocation (Chung et al. 2023): walk languages
+    low-resource first, each gets min(cap*n_lang, remaining/remaining_langs),
+    the leftover WATER-FILLS upward — the redistributing complement of
+    corpus_budget_plan (clamp + report shortfall) with no temperature to
+    tune. The sequential walk runs as ONE in-row fold over the bounded
+    language census; the rate table joins back and an md5 residual coin
+    samples the fractional epoch. All three regimes exercise on the
+    fixture: 'de' cap-bound at 3 epochs, mid langs water-filled ~2.9,
+    'en' downsampled below one epoch."""
+    return curation.unimax_sample(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_shard_plan(spark, sf_dir):
     """Skew-aware key-to-worker sharding plan (crawl fetchers / per-host
     politeness queues / host-keyed reducers): isolate the heavy head onto
@@ -1885,6 +1898,7 @@ def queries() -> Dict[str, Callable]:
     # green in >=1 prior round and stay pytest- and check_oracle-gated
     # every round.
     return {
+        "corpus_unimax_sample": q_corpus_unimax_sample,
         "corpus_shard_plan": q_corpus_shard_plan,
         "dedup_containment": q_dedup_containment,
         "dedup_edit_verify": q_dedup_edit_verify,
@@ -2113,6 +2127,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_shard_plan": packing.sql_shard_plan(
             table=f"({packing.sql_synthesize_skewed_hosts()})"
         ),
+        "corpus_unimax_sample": curation.sql_unimax_sample(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
