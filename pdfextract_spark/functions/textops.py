@@ -2397,3 +2397,116 @@ SELECT doc_id,
                  ELSE 0 END AS BIGINT) AS switch_milli
 FROM scored
 """
+
+
+# ------------------------------------------------ MATTR lexical diversity
+# Moving-Average Type-Token Ratio (Covington & McFall 2010): plain TTR
+# falls with document length (long docs look artificially repetitive), so
+# it cannot rank a mixed-length corpus; MATTR averages the TTR of every
+# w-token sliding window, which is length-invariant. A low MATTR next to
+# an acceptable repetition_stats score flags template/spun text whose
+# repetition unit is longer than that operator's n-gram windows. hapax
+# share (types occurring once) is the classic vocabulary-richness
+# companion.
+#
+# Scale shape: ZERO shuffle — one narrow Project of in-row array algebra
+# (per-window distinct counts over slices), no explode, no groupBy. The
+# per-row cost is O(n_tokens * w); the plan-trap rule is respected: the
+# only row gate is on the RAW text column, never on a derived array.
+
+MATTR_W = 25  # window width (the literature's standard 25-100 range)
+
+
+def mattr_diversity(documents: DataFrame, w: int = MATTR_W) -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr_milli, mattr_milli, hapax_milli,
+    n_windows) — per-doc lexical diversity. Docs shorter than `w` tokens
+    fall back to whole-doc TTR with n_windows = 1 (the reference
+    implementation's behavior)."""
+    doc_id = F.col("doc_id").cast("string")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    base = documents.select(doc_id.alias("doc_id"), toks.alias("toks"))
+    n = F.size("toks")
+    types = F.size(F.array_distinct("toks"))
+    # hapax census stays in-row: for each distinct type, its occurrence
+    # count inside the SAME row's token array (O(n_types * n), bounded by
+    # the per-doc length, never corpus-scaled)
+    tk = F.col("toks")
+    hapax = F.size(
+        F.filter(
+            F.array_distinct("toks"),
+            lambda t: F.size(F.filter(tk, lambda x: x == t)) == 1,
+        )
+    )
+    n_windows = F.when(n >= w, n - w + 1).otherwise(F.lit(1)).cast("long")
+    win_sum = F.when(
+        n >= w,
+        F.aggregate(
+            F.sequence(F.lit(1), n - w + 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.size(F.array_distinct(F.slice(tk, i, w))).cast("long"),
+        ),
+    ).otherwise(types.cast("long"))
+    denom = F.when(n >= w, F.lit(w).cast("long") * (n - w + 1)).otherwise(
+        F.greatest(F.lit(1).cast("long"), n.cast("long"))
+    )
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        types.cast("long").alias("n_types"),
+        win_sum.alias("_ws"),
+        denom.alias("_den"),
+        n_windows.alias("n_windows"),
+        hapax.cast("long").alias("_hapax"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.when(
+            F.col("n_tokens") > 0, F.expr("(1000 * n_types) div n_tokens")
+        ).otherwise(F.lit(0)).cast("long").alias("ttr_milli"),
+        F.expr("(1000 * _ws) div _den").cast("long").alias("mattr_milli"),
+        F.when(
+            F.col("n_types") > 0, F.expr("(1000 * _hapax) div n_types")
+        ).otherwise(F.lit(0)).cast("long").alias("hapax_milli"),
+        "n_windows",
+    )
+
+
+def sql_mattr_diversity(table: str = "documents", w: int = MATTR_W) -> str:
+    """DuckDB mirror: identical tokenization, window distinct counts via
+    list_slice/list_distinct, hapax via per-type in-row occurrence count."""
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM {table}
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         len(list_distinct(toks)) AS types,
+         len(list_filter(list_distinct(toks),
+             t -> len(list_filter(toks, x -> x = t)) = 1)) AS hapax,
+         CASE WHEN len(toks) >= {w}
+              THEN list_sum(list_transform(range(1, len(toks) - {w} + 2),
+                   i -> len(list_distinct(list_slice(toks, i, i + {w} - 1)))))
+              ELSE len(list_distinct(toks)) END AS ws,
+         CASE WHEN len(toks) >= {w}
+              THEN {w} * (len(toks) - {w} + 1)
+              ELSE GREATEST(1, len(toks)) END AS den,
+         CASE WHEN len(toks) >= {w} THEN len(toks) - {w} + 1 ELSE 1 END
+           AS n_windows
+  FROM base
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(types AS BIGINT) AS n_types,
+       CAST(CASE WHEN n > 0 THEN (1000 * types) // n ELSE 0 END AS BIGINT)
+         AS ttr_milli,
+       CAST((1000 * ws) // den AS BIGINT) AS mattr_milli,
+       CAST(CASE WHEN types > 0 THEN (1000 * hapax) // types ELSE 0 END
+            AS BIGINT) AS hapax_milli,
+       CAST(n_windows AS BIGINT) AS n_windows
+FROM m
+"""

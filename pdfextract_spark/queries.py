@@ -1859,6 +1859,15 @@ def q_dedup_containment(spark, sf_dir):
     )
 
 
+def q_text_mattr(spark, sf_dir):
+    """MATTR lexical diversity (Covington & McFall 2010): plain TTR falls
+    with length so it cannot rank a mixed-length corpus; the w=25
+    moving-average TTR is length-invariant (test-pinned). Hapax share is
+    the vocabulary-richness companion. ZERO shuffle — one narrow Project
+    of in-row array algebra, plan-asserted."""
+    return textops.mattr_diversity(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_unimax_sample(spark, sf_dir):
     """UniMax language allocation (Chung et al. 2023): walk languages
     low-resource first, each gets min(cap*n_lang, remaining/remaining_langs),
@@ -1898,6 +1907,7 @@ def queries() -> Dict[str, Callable]:
     # green in >=1 prior round and stay pytest- and check_oracle-gated
     # every round.
     return {
+        "text_mattr": q_text_mattr,
         "corpus_unimax_sample": q_corpus_unimax_sample,
         "corpus_shard_plan": q_corpus_shard_plan,
         "dedup_containment": q_dedup_containment,
@@ -2128,6 +2138,7 @@ def oracle_sql() -> Dict[str, str]:
             table=f"({packing.sql_synthesize_skewed_hosts()})"
         ),
         "corpus_unimax_sample": curation.sql_unimax_sample(),
+        "text_mattr": textops.sql_mattr_diversity(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
