@@ -303,3 +303,109 @@ FROM split s LEFT JOIN hs ON s.doc_id = hs.doc_id
              LEFT JOIN he ON s.doc_id = he.doc_id
 WHERE s.role = 'train' ORDER BY s.doc_id
 """
+
+
+# ------------------------------------------- contamination attribution
+# The eval-side complement of contamination_report: for each BENCHMARK
+# item, WHICH training documents share its n-grams and how much of the
+# item they cover. contamination_report answers "is this train doc dirty";
+# this answers the eval-integrity question "is this benchmark item still
+# measurable, and which corpus docs leak it" — the relation an eval-suite
+# owner reads before trusting a score (and the audit trail a takedown
+# request needs).
+#
+# Scale shape: the bench gram relation keeps its doc_id (still
+# benchmark-bounded, broadcast like the report's gram set); the train
+# corpus explodes once and joins on gram — never shuffled on its own key.
+# The per-bench-item candidate set IS corpus-scaled (every planted copy
+# matches every bench item), so the top-K is the bm25 SALTED TWO-STAGE
+# ranking: no reducer ever sorts a whole bench item's candidates; bucket-
+# local top-K then global top-K over <= salt*K survivors is exact.
+
+ATTR_TOPK = 3
+ATTR_SALT = 8
+
+
+def contamination_attribution(
+    split: DataFrame, n: int = NGRAM, topk: int = ATTR_TOPK, salt: int = ATTR_SALT
+) -> DataFrame:
+    """(bench_id, rank, train_id, shared_grams, bench_grams,
+    coverage_milli) — per benchmark item, the top-`topk` training docs by
+    shared distinct n-grams (ties to the smaller train_id), with the
+    fraction of the item's grams they cover."""
+    from pyspark.sql import Window
+
+    bench = split.filter(F.col("role") == "bench").select(
+        F.col("doc_id").alias("bench_id"),
+        _grams(F.col("text2"), n).alias("grams"),
+    )
+    bench_sizes = bench.select(
+        "bench_id", F.size("grams").cast("long").alias("bench_grams")
+    )
+    bench_rel = bench.select("bench_id", F.explode("grams").alias("gram"))
+    train_rel = split.filter(F.col("role") == "train").select(
+        F.col("doc_id").alias("train_id"),
+        F.explode(_grams(F.col("text2"), n)).alias("gram"),
+    )
+    shared = (
+        train_rel.join(F.broadcast(bench_rel), "gram")
+        .groupBy("bench_id", "train_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    order = [F.desc("shared_grams"), F.asc("train_id")]
+    w1 = Window.partitionBy("bench_id", "_salt").orderBy(*order)
+    s1 = (
+        shared.withColumn("_salt", F.pmod(F.crc32(F.col("train_id")), F.lit(salt)))
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= topk)
+    )
+    w2 = Window.partitionBy("bench_id").orderBy(*order)
+    return (
+        s1.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .join(F.broadcast(bench_sizes), "bench_id")
+        .select(
+            "bench_id",
+            "rank",
+            "train_id",
+            "shared_grams",
+            "bench_grams",
+            F.expr("(1000 * shared_grams) div bench_grams").cast("long").alias(
+                "coverage_milli"
+            ),
+        )
+    )
+
+
+def sql_contamination_attribution(
+    table: str = "documents", n: int = NGRAM, topk: int = ATTR_TOPK
+) -> str:
+    """DuckDB mirror: identical split/grams; the salted two-stage top-k
+    collapses to one window rank (exactness is the salt-invariance
+    argument, tested on the Spark side)."""
+    return f"""
+WITH {_sql_split(table)},
+bench AS (
+  SELECT doc_id AS bench_id, {_sql_grams('text2', n)} AS grams
+  FROM split WHERE role = 'bench'),
+bsz AS (SELECT bench_id, CAST(len(grams) AS BIGINT) AS bench_grams FROM bench),
+brel AS (SELECT bench_id, unnest(grams) AS gram FROM bench),
+trel AS (
+  SELECT doc_id AS train_id, unnest({_sql_grams('text2', n)}) AS gram
+  FROM split WHERE role = 'train'),
+shared AS (
+  SELECT b.bench_id, t.train_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+  FROM trel t JOIN brel b USING (gram)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT bench_id, train_id, shared_grams,
+         ROW_NUMBER() OVER (PARTITION BY bench_id
+                            ORDER BY shared_grams DESC, train_id ASC) AS rank
+  FROM shared)
+SELECT r.bench_id, CAST(r.rank AS BIGINT) AS rank, r.train_id,
+       r.shared_grams, s.bench_grams,
+       CAST((1000 * r.shared_grams) // s.bench_grams AS BIGINT)
+         AS coverage_milli
+FROM ranked r JOIN bsz s USING (bench_id)
+WHERE r.rank <= {topk}
+"""

@@ -1859,6 +1859,19 @@ def q_dedup_containment(spark, sf_dir):
     )
 
 
+def q_corpus_contam_attribution(spark, sf_dir):
+    """Contamination attribution — the eval-side complement of
+    corpus_decontaminate: per BENCHMARK item, the top training docs
+    leaking it and the fraction of its grams they cover (the relation an
+    eval owner reads before trusting a score). Bench gram relation stays
+    benchmark-bounded (broadcast); the per-item candidate set is
+    corpus-scaled so the top-k is the bm25 salted two-stage ranking
+    (salt-invariance tested)."""
+    return decontam.contamination_attribution(
+        decontam.synthesize_eval_split(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_text_mattr(spark, sf_dir):
     """MATTR lexical diversity (Covington & McFall 2010): plain TTR falls
     with length so it cannot rank a mixed-length corpus; the w=25
@@ -1907,6 +1920,7 @@ def queries() -> Dict[str, Callable]:
     # green in >=1 prior round and stay pytest- and check_oracle-gated
     # every round.
     return {
+        "corpus_contam_attribution": q_corpus_contam_attribution,
         "text_mattr": q_text_mattr,
         "corpus_unimax_sample": q_corpus_unimax_sample,
         "corpus_shard_plan": q_corpus_shard_plan,
@@ -2139,6 +2153,7 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "corpus_unimax_sample": curation.sql_unimax_sample(),
         "text_mattr": textops.sql_mattr_diversity(),
+        "corpus_contam_attribution": decontam.sql_contamination_attribution(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),

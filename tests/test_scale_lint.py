@@ -131,9 +131,10 @@ BROADCAST_ALLOWED = {
     # boilerplate_overflow)
     "webclean.py": 3,
     # benchmark gram/shingle sets (exact + the fuzzy pass's 3-gram and
-    # 8-gram sets) — benchmarks are small by nature (eval suites), not
-    # corpus-sized
-    "decontam.py": 3,
+    # 8-gram sets) plus the attribution pass's per-bench-item gram relation
+    # and bench-size table — ALL benchmark-bounded by nature (eval suites),
+    # never corpus-sized
+    "decontam.py": 5,
     # pq_recall's exact baseline: PQ_N_QUERY=50 query vectors (the
     # cosine_topk justification — a design cap, never corpus-sized)
     "clustering.py": 1,
