@@ -1911,14 +1911,11 @@ def q_corpus_shard_plan(spark, sf_dir):
 def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
-    # task 1). r5 rotation (script-verified against CORRECTNESS_r01-r04):
-    # every zero-evidence entry — all operators added this round — is
-    # inside the window, no window slot holds a >=2-evidence veteran, and
-    # the remaining slots go to 1-evidence entries oldest-evidence-first
-    # (the r03-only singles, then r04-only singles).
-    # The entries past position 50 are veterans
-    # green in >=1 prior round and stay pytest- and check_oracle-gated
-    # every round.
+    # task 1). r5 final rotation (script-verified against
+    # CORRECTNESS_r01-r04): the window is EXACTLY the 50 zero-evidence
+    # entries — every operator added this round — and every entry past
+    # position 50 is a veteran green in >=1 prior driver round; all 154
+    # stay pytest- and check_oracle-gated every round.
     return {
         "corpus_contam_attribution": q_corpus_contam_attribution,
         "text_mattr": q_text_mattr,
@@ -1969,11 +1966,11 @@ def queries() -> Dict[str, Callable]:
         "sim_pq_adc_topk": q_sim_pq_adc_topk,
         "web_url_blocklist": q_web_url_blocklist,
         "corpus_padding_report": q_corpus_padding_report,
-        "bpe_train_merges": q_bpe_train_merges,
+        "corpus_length_buckets": q_corpus_length_buckets,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_pack_stats": q_corpus_pack_stats,
-        "corpus_length_buckets": q_corpus_length_buckets,
+        "bpe_train_merges": q_bpe_train_merges,
         "dedup_semdedup": q_dedup_semdedup,
         "corpus_sample_hash": q_corpus_sample_hash,
         "corpus_sample_stratified": q_corpus_sample_stratified,
