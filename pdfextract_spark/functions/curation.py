@@ -925,3 +925,215 @@ SELECT r.lang, r.n_docs, r.n_tokens, r.alloc_tokens, r.epochs_milli,
 FROM rates r LEFT JOIN kept k ON r.lang = k.lang
 ORDER BY r.lang
 """
+
+
+# ---------------------------------------------------- per-source data card
+# The dataset-documentation relation (Datasheets for Datasets / the data
+# card every corpus release ships): one row per source with volume, a
+# within-source exact-duplicate rate, the language mix (count + Shannon
+# entropy), a quality score, and the median document length. Each signal
+# exists as its own operator; the card is the composed one-pass release
+# artifact — the first table a consumer of the corpus reads, and the
+# regression surface a weekly crawl diffs against corpus_drift_report.
+#
+# Scale shape: one narrow doc Project feeds four censuses — (source)
+# volume+quality, (source, text-hash) dup census (the dedup_exact shuffle
+# keyed WITH source), (source, lang) mix, (source, n_tokens) length
+# histogram — all but the dup census on bounded key spaces. The median is
+# the histogram-cumsum idiom partitioned BY SOURCE (never a global sort);
+# entropy is the 1/16-bit integer log2 kernel (s16), bit-exact vs DuckDB.
+
+DC_PRESCALE = 1024  # s16's LM_PRESCALE, re-declared for the entropy ratio
+
+
+def datacard(documents: DataFrame) -> DataFrame:
+    """(source, n_docs, n_tokens, tokens_p50, dup_milli, n_langs,
+    lang_entropy_q4, mean_flesch_milli) — the per-source data card.
+    lang_entropy_q4 is Shannon entropy over the source's language doc
+    distribution in 1/16-bit units; dup_milli is the within-source
+    exact-duplicate share (docs minus distinct texts)."""
+    toks = F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast("long")
+    w, s, y = textops.readability_counts(F.col("text"))
+    f = F.greatest(F.lit(0).cast("long"), textops.flesch_milli(w, s, y))
+    base = documents.select(
+        F.col("source").cast("string").alias("source"),
+        F.col("lang").cast("string").alias("lang"),
+        toks.alias("t"),
+        f.alias("f"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    vol = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("t").alias("n_tokens"),
+        F.sum("f").alias("_fsum"),
+    )
+    dup = (
+        base.groupBy("source", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("_docs"),
+            F.count(F.lit(1)).cast("long").alias("_distinct"),
+        )
+        .select(
+            "source",
+            F.expr("(1000 * (_docs - _distinct)) div _docs").cast("long").alias(
+                "dup_milli"
+            ),
+        )
+    )
+    lg = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_l")
+    )
+    lang = (
+        lg.join(vol.select("source", "n_docs"), "source")
+        .withColumn("_lm_q", F.expr(f"(n_docs * {DC_PRESCALE}) div n_l"))
+        .withColumn("_s16", textops._surprisal16(None))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.expr("sum(n_l * _s16)").alias("_esum"),
+            F.max("n_docs").alias("_nd"),
+        )
+        .select(
+            "source",
+            "n_langs",
+            F.expr("_esum div _nd").cast("long").alias("lang_entropy_q4"),
+        )
+    )
+    from pyspark.sql import Window
+
+    hist = base.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = Window.partitionBy("source").orderBy("t")
+    p50 = (
+        hist.withColumn("_cum", F.sum("c").over(wcum))
+        .join(vol.select("source", "n_docs"), "source")
+        .filter(F.col("_cum") * 2 >= F.col("n_docs"))
+        .groupBy("source")
+        .agg(F.min("t").alias("tokens_p50"))
+    )
+    return (
+        vol.join(dup, "source")
+        .join(lang, "source")
+        .join(p50, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "tokens_p50",
+            "dup_milli",
+            "n_langs",
+            "lang_entropy_q4",
+            F.expr("_fsum div n_docs").cast("long").alias("mean_flesch_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_datacard(table: str = "documents") -> str:
+    """DuckDB mirror: identical censuses, histogram-cumsum median, s16
+    entropy kernel, and flesch weighting."""
+    from .textops import LM_PRESCALE
+
+    bias = 16 + 16 * (LM_PRESCALE.bit_length() - 1)
+    wexpr = "GREATEST(1, len(string_split(text, ' ')))"
+    sexpr = (
+        "GREATEST(1, len(text) - len(regexp_replace(text, '[.!?]', '', 'g')))"
+    )
+    yexpr = (
+        "GREATEST(1, len(string_split_regex(lower(text), '[aeiou]+')) - 1)"
+    )
+    fexpr = (
+        f"GREATEST(0::BIGINT, 206835 - (1015 * {wexpr}) // {sexpr}"
+        f" - (84600 * {yexpr}) // {wexpr})"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(source AS VARCHAR) AS source, CAST(lang AS VARCHAR) AS lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS t,
+         {fexpr} AS f,
+         md5(text) AS h
+  FROM {table}
+),
+vol AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(t)::BIGINT AS n_tokens,
+         SUM(f)::BIGINT AS fsum
+  FROM base GROUP BY source
+),
+dup AS (
+  SELECT source,
+         ((1000 * (SUM(c) - COUNT(*))) // SUM(c))::BIGINT AS dup_milli
+  FROM (SELECT source, h, COUNT(*)::BIGINT AS c FROM base GROUP BY 1, 2)
+  GROUP BY source
+),
+lg AS (SELECT source, lang, COUNT(*)::BIGINT AS n_l FROM base GROUP BY 1, 2),
+lang AS (
+  SELECT lg.source,
+         COUNT(*)::BIGINT AS n_langs,
+         (SUM(n_l * (16 * (length(bin(q)) - 1)
+                     + ((q * 16) >> (length(bin(q)) - 1)) - {bias}))
+          // MAX(v.n_docs))::BIGINT AS lang_entropy_q4
+  FROM (SELECT source, lang, n_l,
+               ((SELECT n_docs FROM vol WHERE vol.source = lg0.source)
+                * {DC_PRESCALE}) // n_l AS q
+        FROM lg AS lg0) lg
+  JOIN vol v ON lg.source = v.source
+  GROUP BY lg.source
+),
+hist AS (SELECT source, t, COUNT(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+p50 AS (
+  SELECT source, MIN(t)::BIGINT AS tokens_p50
+  FROM (
+    SELECT h.source, h.t,
+           SUM(h.c) OVER (PARTITION BY h.source ORDER BY h.t) AS cum,
+           v.n_docs
+    FROM hist h JOIN vol v ON h.source = v.source
+  ) WHERE cum * 2 >= n_docs
+  GROUP BY source
+)
+SELECT v.source, v.n_docs, v.n_tokens, p.tokens_p50, d.dup_milli,
+       l.n_langs, l.lang_entropy_q4,
+       (v.fsum // v.n_docs)::BIGINT AS mean_flesch_milli
+FROM vol v JOIN dup d ON v.source = d.source
+JOIN lang l ON v.source = l.source
+JOIN p50 p ON v.source = p.source
+ORDER BY v.source
+"""
+
+
+def synthesize_datacard_corpus(documents: DataFrame) -> DataFrame:
+    """documents plus an md5-selected ~1/8 of docs re-keyed as
+    'd'||doc_id with identical (text, lang, source) — planted exact
+    duplicates so the card's dup_milli column exercises in the gate
+    (the curation-keeper plant idiom; the fixture itself carries none)."""
+    doc_id = F.col("doc_id").cast("string")
+    base = documents.select(
+        doc_id.alias("doc_id"), "text", "lang", "source"
+    )
+    plant = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dcp|"), doc_id)), 1, 4), 16, 10)
+        .cast("long") % 8 == 0
+    )
+    return base.unionByName(
+        base.filter(plant).select(
+            F.concat(F.lit("d"), F.col("doc_id")).alias("doc_id"),
+            "text", "lang", "source",
+        )
+    )
+
+
+def sql_synthesize_datacard_corpus(table: str = "documents") -> str:
+    """DuckDB mirror of synthesize_datacard_corpus (FROM-able subquery)."""
+    plant = (
+        "(('0x' || substr(md5('dcp|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT"
+        " % 8) = 0"
+    )
+    return f"""
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source FROM {table}
+  UNION ALL
+  SELECT 'd' || CAST(doc_id AS VARCHAR), text, lang, source
+  FROM {table} WHERE {plant}
+"""

@@ -1859,6 +1859,18 @@ def q_dedup_containment(spark, sf_dir):
     )
 
 
+def q_corpus_datacard(spark, sf_dir):
+    """Per-source data card (Datasheets for Datasets): volume,
+    within-source exact-dup share, language mix + integer-log2 Shannon
+    entropy (1/16-bit), mean Flesch, histogram-cumsum median length — the
+    release artifact a corpus consumer reads first. One doc Project feeds
+    four censuses, median partitioned BY SOURCE (never a global sort).
+    Runs on the planted-duplicate synthesis so dup_milli exercises."""
+    return curation.datacard(
+        curation.synthesize_datacard_corpus(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_corpus_contam_attribution(spark, sf_dir):
     """Contamination attribution — the eval-side complement of
     corpus_decontaminate: per BENCHMARK item, the top training docs
@@ -1912,11 +1924,15 @@ def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
     # task 1). r5 final rotation (script-verified against
-    # CORRECTNESS_r01-r04): the window is EXACTLY the 50 zero-evidence
-    # entries — every operator added this round — and every entry past
-    # position 50 is a veteran green in >=1 prior driver round; all 154
-    # stay pytest- and check_oracle-gated every round.
+    # CORRECTNESS_r01-r04): this round added 51 zero-evidence operators —
+    # one more than the window holds — so the window is 50 of them and the
+    # single overflow is corpus_length_buckets at position 51 (chosen
+    # because its bounded-histogram kernel is shared with the driver-green
+    # corpus_padding_report / text_length_quantiles cousins); every entry
+    # past it is a veteran green in >=1 prior driver round. All 155 stay
+    # pytest- and check_oracle-gated every round.
     return {
+        "corpus_datacard": q_corpus_datacard,
         "corpus_contam_attribution": q_corpus_contam_attribution,
         "text_mattr": q_text_mattr,
         "corpus_unimax_sample": q_corpus_unimax_sample,
@@ -2151,6 +2167,9 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_unimax_sample": curation.sql_unimax_sample(),
         "text_mattr": textops.sql_mattr_diversity(),
         "corpus_contam_attribution": decontam.sql_contamination_attribution(),
+        "corpus_datacard": curation.sql_datacard(
+            table=f"({curation.sql_synthesize_datacard_corpus()})"
+        ),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
