@@ -1284,3 +1284,126 @@ def sql_synthesize_skewed_hosts(table: str = "documents") -> str:
               ELSE text END AS text
   FROM {table}
 """
+
+
+# ---------------------------------------------- sorted-export range plan
+# The range-partitioner planning relation: writing a corpus GLOBALLY
+# sorted by a score (quality-ordered curriculum exports, ascending-length
+# packing inputs) needs K range boundaries such that each writer gets an
+# even share — Spark's RangePartitioner SAMPLES for this; over a BOUNDED
+# score domain the boundaries can be computed exactly and deterministically
+# instead. Score = whole Flesch points clamped at 0 (<= ~207 distinct
+# values at ANY corpus size — the quality_calibrate domain), so the
+# histogram census is constant-sized, the cumsum window runs over it, and
+# the boundary table is exact. Equal-score runs cannot be split across
+# shards by a range partition (no tiebreaker column in the sort), so a
+# heavy score value lands whole and the residual imbalance is REPORTED
+# (vs_ideal_milli), never hidden — the caller's dial is K or a finer score.
+#
+# Scale shape: one bounded groupBy (score census, map-side combine), one
+# single-partition window over the <= ~207-row histogram (bounded-domain
+# allowance), a K-row report. The corpus is never sorted here — this emits
+# the PLAN for the sorted write (the boundaries a repartitionByRange-style
+# export consumes).
+
+EXPORT_SHARDS = 16
+
+
+def export_plan(documents: DataFrame, k: int = EXPORT_SHARDS) -> DataFrame:
+    """(shard_idx, lo_pt, hi_pt, n_docs, n_tokens, share_milli,
+    vs_ideal_milli) — one row per nonempty export shard of the ascending
+    quality-sorted write: its inclusive whole-Flesch-point range, volume,
+    and balance vs the ideal total/k docs share."""
+    from pyspark.sql import Window
+
+    from .textops import flesch_milli, readability_counts
+
+    w_, s_, y_ = readability_counts(F.col("text"))
+    toks = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    pt = F.expr("CASE WHEN _f < 0 THEN 0 ELSE _f div 1000 END").cast("long")
+    scored = documents.select(
+        flesch_milli(w_, s_, y_).alias("_f"), toks.alias("t")
+    ).select(pt.alias("pt"), "t")
+    hist = scored.groupBy("pt").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("t").alias("tk"),
+    )
+    # single-partition window GUARDRAIL: the frame is the whole-Flesch-
+    # point histogram, <= ~207 rows after the 0-clamp at ANY corpus size
+    # (the quality_calibrate bounded-domain argument; allowlisted in
+    # tests/test_scale_lint.py)
+    win = Window.orderBy("pt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "pt",
+        "c",
+        "tk",
+        (F.sum("c").over(win) - F.col("c")).alias("cum_lt"),
+        F.sum("c").over(wt).alias("total"),
+    )
+    shard = F.least(
+        F.lit(k - 1).cast("long"), F.expr(f"(cum_lt * {k}) div total")
+    )
+    return (
+        cum.select(shard.alias("shard_idx"), "pt", "c", "tk", "total")
+        .groupBy("shard_idx")
+        .agg(
+            F.min("pt").alias("lo_pt"),
+            F.max("pt").alias("hi_pt"),
+            F.sum("c").alias("n_docs"),
+            F.sum("tk").alias("n_tokens"),
+            F.max("total").alias("_total"),
+        )
+        .select(
+            "shard_idx",
+            "lo_pt",
+            "hi_pt",
+            "n_docs",
+            "n_tokens",
+            F.expr("(1000 * n_docs) div _total").cast("long").alias("share_milli"),
+            F.expr(f"(n_docs * {k} * 1000) div _total").cast("long").alias(
+                "vs_ideal_milli"
+            ),
+        )
+        .orderBy("shard_idx")
+    )
+
+
+def sql_export_plan(table: str = "documents", k: int = EXPORT_SHARDS) -> str:
+    """DuckDB mirror: identical Flesch-point clamp, histogram cumsum,
+    boundary assignment, and per-shard report."""
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN f < 0 THEN 0 ELSE f // 1000 END AS pt,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS t
+  FROM (
+    SELECT 206835
+           - (1015 * GREATEST(1, len(string_split(text, ' '))))
+             // GREATEST(1, len(text) - len(regexp_replace(text, '[.!?]', '', 'g')))
+           - (84600 * GREATEST(1, len(string_split_regex(lower(text), '[aeiou]+')) - 1))
+             // GREATEST(1, len(string_split(text, ' '))) AS f,
+           text
+    FROM {table})
+),
+hist AS (
+  SELECT pt, COUNT(*)::BIGINT AS c, SUM(t)::BIGINT AS tk
+  FROM scored GROUP BY pt
+),
+cum AS (
+  SELECT pt, c, tk,
+         (SUM(c) OVER (ORDER BY pt ASC) - c)::BIGINT AS cum_lt,
+         SUM(c) OVER ()::BIGINT AS total
+  FROM hist
+)
+SELECT LEAST({k} - 1, (cum_lt * {k}) // total)::BIGINT AS shard_idx,
+       MIN(pt)::BIGINT AS lo_pt,
+       MAX(pt)::BIGINT AS hi_pt,
+       SUM(c)::BIGINT AS n_docs,
+       SUM(tk)::BIGINT AS n_tokens,
+       ((1000 * SUM(c)) // MAX(total))::BIGINT AS share_milli,
+       ((SUM(c) * {k} * 1000) // MAX(total))::BIGINT AS vs_ideal_milli
+FROM cum
+GROUP BY 1
+ORDER BY 1
+"""

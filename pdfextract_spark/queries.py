@@ -1859,6 +1859,17 @@ def q_dedup_containment(spark, sf_dir):
     )
 
 
+def q_corpus_export_plan(spark, sf_dir):
+    """Sorted-export range plan: exact, deterministic range-partitioner
+    boundaries for a globally quality-sorted write (what Spark's
+    RangePartitioner samples for), computed over the bounded whole-Flesch-
+    point histogram (<= ~207 values at any corpus size). Equal-score runs
+    cannot split across shards, so residual imbalance is REPORTED
+    (vs_ideal_milli), never hidden. The corpus is never sorted here — this
+    emits the plan a repartitionByRange export consumes."""
+    return packing.export_plan(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_datacard(spark, sf_dir):
     """Per-source data card (Datasheets for Datasets): volume,
     within-source exact-dup share, language mix + integer-log2 Shannon
@@ -1924,12 +1935,13 @@ def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
     # task 1). r5 final rotation (script-verified against
-    # CORRECTNESS_r01-r04): this round added 51 zero-evidence operators —
-    # one more than the window holds — so the window is 50 of them and the
-    # single overflow is corpus_length_buckets at position 51 (chosen
-    # because its bounded-histogram kernel is shared with the driver-green
-    # corpus_padding_report / text_length_quantiles cousins); every entry
-    # past it is a veteran green in >=1 prior driver round. All 155 stay
+    # CORRECTNESS_r01-r04): this round added 52 zero-evidence operators —
+    # two more than the window holds — so the window is 50 of them and the
+    # overflow rows sit at positions 51-52: corpus_length_buckets and
+    # corpus_export_plan, chosen because their bounded-histogram kernels
+    # are shared with driver-green cousins (corpus_padding_report /
+    # text_length_quantiles / text_quality_calibrate); every entry past
+    # them is a veteran green in >=1 prior driver round. All 156 stay
     # pytest- and check_oracle-gated every round.
     return {
         "corpus_datacard": q_corpus_datacard,
@@ -1983,6 +1995,7 @@ def queries() -> Dict[str, Callable]:
         "web_url_blocklist": q_web_url_blocklist,
         "corpus_padding_report": q_corpus_padding_report,
         "corpus_length_buckets": q_corpus_length_buckets,
+        "corpus_export_plan": q_corpus_export_plan,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_pack_stats": q_corpus_pack_stats,
@@ -2170,6 +2183,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_datacard": curation.sql_datacard(
             table=f"({curation.sql_synthesize_datacard_corpus()})"
         ),
+        "corpus_export_plan": packing.sql_export_plan(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),

@@ -89,8 +89,10 @@ SINGLE_PARTITION_WINDOW_ALLOWED = {
     "retrieval.py": 2,
     # shard_plan: dedicated-shard ranking over the heavy-candidate set,
     # pigeonhole-bounded at <= SHARD_HEAVY_DENOM rows at any corpus size
-    # (each member holds >= total/DENOM of the mass)
-    "packing.py": 1,
+    # (each member holds >= total/DENOM of the mass); export_plan: cumsum
+    # + total (x2 specs) over the whole-Flesch-point histogram (<= ~207
+    # rows after the 0-clamp — the quality_calibrate bounded domain)
+    "packing.py": 3,
 }
 
 
