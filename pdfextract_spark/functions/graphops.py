@@ -682,3 +682,156 @@ FROM outd o
 FULL OUTER JOIN ind i ON i.src = o.src
 LEFT JOIN recip r ON r.src = COALESCE(o.src, i.src)
 """
+
+
+# ------------------------------------------------------- mirror host pairs
+# Mirror-site detection: two hosts serving (near-)identical content sets —
+# CDN twins, www/no-www splits, scraper mirrors — waste crawl budget and
+# double-count every page-level signal, so crawl pipelines dedup at HOST
+# granularity before doc-level near-dup ever runs. Similarity here is
+# Jaccard over each host's set of exact content fingerprints (md5(text)):
+# content-set resemblance, not link structure.
+#
+# Scale shape: ONE distinct (host, fingerprint) census; the candidate
+# generator is the inverted fingerprint index (fingerprint -> hosts) with
+# a df-cut — a fingerprint on more than MIRROR_DF_CAP hosts is boilerplate
+# (an empty page, a parked-domain template) and would explode pairs
+# quadratically, so it is anti-joined out (hint-free) and REPORTED via the
+# companion overflow relation, the dedup-module cap contract. Pairs
+# assemble JVM-side inside <= C(DF_CAP, 2) buckets per fingerprint and
+# dedup on one pair-keyed shuffle. Host content sets are host-space-sized;
+# nothing doc-sized survives the first census.
+
+MIRROR_DF_CAP = 8      # fingerprint on more hosts than this = boilerplate
+MIRROR_MIN_MILLI = 500  # report pairs with content Jaccard >= 0.5
+
+
+def with_hosts(documents: DataFrame) -> DataFrame:
+    """(host, text) — the deterministic md5 host synthesis every graph
+    operator uses, factored for mirror_hosts' composable input contract."""
+    doc = F.col("doc_id").cast("string")
+    return documents.select(_host_of(doc).alias("host"), "text")
+
+
+def synthesize_mirror_hosts(documents: DataFrame) -> DataFrame:
+    """with_hosts(documents) plus two planted mirrors: 'm3' carries every
+    doc of host 'h3' verbatim (a full mirror, jaccard 1000) and 'p7'
+    carries an md5-selected half of 'h7' (a partial mirror whose jaccard
+    lands near 500/ (1000+500-500) ~ 333-666 depending on the coin) —
+    rebuilt identically by the DuckDB oracle."""
+    base = with_hosts(documents)
+    coin = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mh|"), F.col("text"))), 1, 4), 16, 10)
+        .cast("long") % 2 == 0
+    )
+    full = base.filter(F.col("host") == "h3").select(
+        F.lit("m3").alias("host"), "text"
+    )
+    part = base.filter((F.col("host") == "h7") & coin).select(
+        F.lit("p7").alias("host"), "text"
+    )
+    return base.unionByName(full).unionByName(part)
+
+
+def mirror_hosts(
+    hosted: DataFrame,
+    df_cap: int = MIRROR_DF_CAP,
+    min_milli: int = MIRROR_MIN_MILLI,
+) -> DataFrame:
+    """(host_a, host_b, shared, n_a, n_b, jaccard_milli) over a (host,
+    text) relation: host pairs whose content-fingerprint Jaccard clears
+    min_milli, host_a < host_b."""
+    sets = hosted.select(
+        "host", F.md5(F.col("text")).alias("h")
+    ).distinct()
+    sets = sets.localCheckpoint(eager=False)  # feeds sizes + index
+    sizes = sets.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hot = (
+        sets.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("h")
+    )
+    inv = sets.join(hot, "h", "left_anti")
+    per_h = (
+        inv.groupBy("h")
+        .agg(F.array_sort(F.collect_list("host")).alias("hs"))
+        .filter(F.size("hs") >= 2)
+    )
+    hs = F.col("hs")
+    pairs_col = F.flatten(
+        F.transform(
+            hs,
+            lambda a, i: F.transform(
+                F.slice(hs, i + 2, F.size(hs)),
+                lambda b: F.struct(a.alias("host_a"), b.alias("host_b")),
+            ),
+        )
+    )
+    shared = (
+        per_h.select(F.explode(pairs_col).alias("p"))
+        .groupBy(
+            F.col("p.host_a").alias("host_a"),
+            F.col("p.host_b").alias("host_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b"))
+    jac = F.expr("(1000 * shared) div (n_a + n_b - shared)")
+    return (
+        shared.join(sa, "host_a")
+        .join(sb, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            "n_a",
+            "n_b",
+            jac.cast("long").alias("jaccard_milli"),
+        )
+        .filter(F.col("jaccard_milli") >= min_milli)
+    )
+
+
+def sql_mirror_hosts(
+    table: str = "documents",
+    df_cap: int = MIRROR_DF_CAP,
+    min_milli: int = MIRROR_MIN_MILLI,
+    synthesize: bool = True,
+) -> str:
+    """DuckDB mirror: identical host synthesis + planted mirrors, distinct
+    fingerprint census, df-cut, pair join, Jaccard gate."""
+    host = (
+        "'h' || CAST(('0x' || substr(md5('hs|' || CAST(doc_id AS VARCHAR)), 1, 4))"
+        f"::BIGINT % {HOSTS} AS VARCHAR)"
+    )
+    coin = "(('0x' || substr(md5('mh|' || text), 1, 4))::BIGINT % 2) = 0"
+    hosted = f"""
+  SELECT {host} AS host, text FROM {table}
+  UNION ALL
+  SELECT 'm3', text FROM {table} WHERE {host} = 'h3'
+  UNION ALL
+  SELECT 'p7', text FROM {table} WHERE {host} = 'h7' AND {coin}
+"""
+    if not synthesize:
+        hosted = f"SELECT host, text FROM {table}"
+    return f"""
+WITH hosted AS ({hosted}),
+sets AS (SELECT DISTINCT host, md5(text) AS h FROM hosted),
+sizes AS (SELECT host, COUNT(*)::BIGINT AS n FROM sets GROUP BY host),
+keep AS (SELECT h FROM sets GROUP BY h HAVING COUNT(*) <= {df_cap}),
+inv AS (SELECT sets.* FROM sets JOIN keep USING (h)),
+shared AS (
+  SELECT a.host AS host_a, b.host AS host_b, COUNT(*)::BIGINT AS shared
+  FROM inv a JOIN inv b ON a.h = b.h AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT s.host_a, s.host_b, s.shared, sa.n AS n_a, sb.n AS n_b,
+       ((1000 * s.shared) // (sa.n + sb.n - s.shared))::BIGINT
+         AS jaccard_milli
+FROM shared s
+JOIN sizes sa ON s.host_a = sa.host
+JOIN sizes sb ON s.host_b = sb.host
+WHERE ((1000 * s.shared) // (sa.n + sb.n - s.shared)) >= {min_milli}
+"""

@@ -1859,6 +1859,18 @@ def q_dedup_containment(spark, sf_dir):
     )
 
 
+def q_web_mirror_hosts(spark, sf_dir):
+    """Mirror-site detection: host pairs whose exact-content-fingerprint
+    Jaccard clears 0.5 — CDN twins / www splits / scraper mirrors deduped
+    at HOST granularity before doc-level near-dup spends anything. ONE
+    distinct (host, fingerprint) census; boilerplate fingerprints df-cut
+    (hint-free anti-join); pairs assemble in capped per-fingerprint
+    buckets. Runs on the planted full+partial mirror synthesis."""
+    return graphops.mirror_hosts(
+        graphops.synthesize_mirror_hosts(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_corpus_export_plan(spark, sf_dir):
     """Sorted-export range plan: exact, deterministic range-partitioner
     boundaries for a globally quality-sorted write (what Spark's
@@ -1935,15 +1947,16 @@ def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
     # task 1). r5 final rotation (script-verified against
-    # CORRECTNESS_r01-r04): this round added 52 zero-evidence operators —
-    # two more than the window holds — so the window is 50 of them and the
-    # overflow rows sit at positions 51-52: corpus_length_buckets and
-    # corpus_export_plan, chosen because their bounded-histogram kernels
-    # are shared with driver-green cousins (corpus_padding_report /
-    # text_length_quantiles / text_quality_calibrate); every entry past
-    # them is a veteran green in >=1 prior driver round. All 156 stay
-    # pytest- and check_oracle-gated every round.
+    # CORRECTNESS_r01-r04): this round added 53 zero-evidence operators —
+    # three more than the window holds — so the window is 50 of them and
+    # the overflow rows sit at positions 51-53: corpus_padding_report,
+    # corpus_length_buckets and corpus_export_plan, chosen because their
+    # bounded-histogram kernels are shared with driver-green cousins
+    # (corpus_pack_stats / text_length_quantiles / text_quality_calibrate);
+    # every entry past them is a veteran green in >=1 prior driver round.
+    # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "web_mirror_hosts": q_web_mirror_hosts,
         "corpus_datacard": q_corpus_datacard,
         "corpus_contam_attribution": q_corpus_contam_attribution,
         "text_mattr": q_text_mattr,
@@ -2184,6 +2197,7 @@ def oracle_sql() -> Dict[str, str]:
             table=f"({curation.sql_synthesize_datacard_corpus()})"
         ),
         "corpus_export_plan": packing.sql_export_plan(),
+        "web_mirror_hosts": graphops.sql_mirror_hosts(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
