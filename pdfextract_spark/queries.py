@@ -1758,6 +1758,72 @@ ORDER BY cohort_day, day_offset
 """
 
 
+STICKY_W = 7  # rolling active-user window (WAU); the 28-day MAU is the
+#               same plan with a bigger constant
+
+
+def q_window_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness — the engagement-health ratio next to the
+    retention grid: per day, distinct daily actives over distinct actives
+    in the trailing STICKY_W-day window, in milli. Exact rolling distinct:
+    the distinct (user, day) census explodes each activity onto the
+    STICKY_W days it keeps the user 'weekly active' for, then a second
+    distinct collapses multi-activity — two calendar-keyed shuffles, both
+    on (user, day)-bounded relations, never event-sized; the explode
+    factor is the CONSTANT window width. Days with no trailing-window
+    activity cannot appear (WAU >= DAU > 0 on every reported day)."""
+    ev = _t(spark, sf_dir, "events")
+    DAY_US = 86_400_000_000
+    days = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}").alias("day"),
+    ).distinct()
+    days = days.localCheckpoint(eager=False)  # feeds DAU and the WAU explode
+    dau = days.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n_dau"))
+    span = F.explode(
+        F.sequence(F.col("day"), F.col("day") + (STICKY_W - 1))
+    ).alias("wday")
+    wau = (
+        days.select("user_id", span)
+        .distinct()
+        .groupBy(F.col("wday").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_dau",
+            "n_wau",
+            F.expr("(1000 * n_dau) div n_wau").cast("long").alias(
+                "stickiness_milli"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_WINDOW_STICKINESS = f"""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts::TIMESTAMP) // 86400000000) AS day
+  FROM events
+),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_dau FROM days GROUP BY day),
+wau AS (
+  SELECT wday AS day, CAST(COUNT(*) AS BIGINT) AS n_wau
+  FROM (
+    SELECT DISTINCT user_id, unnest(range(day, day + {STICKY_W})) AS wday
+    FROM days
+  ) GROUP BY wday
+)
+SELECT CAST(d.day AS BIGINT) AS day, d.n_dau, w.n_wau,
+       CAST((1000 * d.n_dau) // w.n_wau AS BIGINT) AS stickiness_milli
+FROM dau d JOIN wau w USING (day)
+ORDER BY day
+"""
+
+
 def q_embed_outliers(spark, sf_dir):
     """Corrupted-embedding sweep: per vector the exact int64 distance to
     its label centroid vs the label's mean distance, outlier flag past 3x
@@ -1956,6 +2022,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "window_stickiness": q_window_stickiness,
         "web_mirror_hosts": q_web_mirror_hosts,
         "corpus_datacard": q_corpus_datacard,
         "corpus_contam_attribution": q_corpus_contam_attribution,
@@ -2198,6 +2265,7 @@ def oracle_sql() -> Dict[str, str]:
         ),
         "corpus_export_plan": packing.sql_export_plan(),
         "web_mirror_hosts": graphops.sql_mirror_hosts(),
+        "window_stickiness": SQL_WINDOW_STICKINESS,
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
