@@ -1137,3 +1137,115 @@ def sql_synthesize_datacard_corpus(table: str = "documents") -> str:
   SELECT 'd' || CAST(doc_id AS VARCHAR), text, lang, source
   FROM {table} WHERE {plant}
 """
+
+
+# ----------------------------------------------------- filter-funnel report
+# Per-gate kill attribution over the curation chain — the ablation table
+# every curation paper publishes (C4 §2.2, Gopher table A1, RefinedWeb
+# fig. 2): for each gate, how many documents it rejects outright, how many
+# ONLY it rejects (its unique contribution — the number that justifies the
+# gate's existence), and how many documents survive the chain up to and
+# including it in pipeline order. Unique-kill vs total-kill separates
+# redundant gates (high overlap with earlier, cheaper rules) from
+# load-bearing ones.
+
+FUNNEL_GATES = ("quality", "perplexity", "dedup", "sample")
+
+
+def filter_funnel(
+    documents: DataFrame,
+    min_df: int = webclean.MIN_DF,
+    cap: int = webclean.CAP,
+    sample_pct: int = CURATION_SAMPLE_PCT,
+) -> DataFrame:
+    """(stage, gate, n_fail, n_unique_fail, n_survive, fail_pm) — one row
+    per curation gate in pipeline order.
+
+    Scale shape: the cost IS the curation flag relation (one traversal of
+    the corpus, see _curation_frame); the funnel itself is ONE global
+    aggregate of conditional sums (map-side partials collapse to a single
+    row regardless of corpus size) followed by an in-row explode of 4
+    constant structs — no added shuffle shape, constant-size output at any
+    corpus size. n_survive is cumulative (gates 1..i all pass), so the
+    last row's n_survive equals the keep count of curation_flags."""
+    flags = curation_flags(documents, min_df, cap, sample_pct)
+    passes = [
+        F.col("ok_quality"),
+        ~F.col("ppx_flag"),
+        F.col("is_keeper"),
+        F.col("sampled"),
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("total")]
+    for i, p in enumerate(passes):
+        others = [q for j, q in enumerate(passes) if j != i]
+        only_this = ~p & others[0] & others[1] & others[2]
+        cum = passes[0]
+        for j in range(1, i + 1):
+            cum = cum & passes[j]
+        aggs += [
+            F.sum((~p).cast("long")).alias(f"f{i}"),
+            F.sum(only_this.cast("long")).alias(f"u{i}"),
+            F.sum(cum.cast("long")).alias(f"s{i}"),
+        ]
+    one = flags.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("stage"),
+                F.lit(name).alias("gate"),
+                F.col(f"f{i}").alias("n_fail"),
+                F.col(f"u{i}").alias("n_unique_fail"),
+                F.col(f"s{i}").alias("n_survive"),
+            )
+            for i, name in enumerate(FUNNEL_GATES)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"), "total")
+        .select(
+            "r.stage",
+            "r.gate",
+            "r.n_fail",
+            "r.n_unique_fail",
+            "r.n_survive",
+            F.expr("(1000 * r.n_fail) div total").cast("long").alias("fail_pm"),
+        )
+        .orderBy("stage")
+    )
+
+
+def sql_filter_funnel(
+    table: str = "documents",
+    min_df: int = webclean.MIN_DF,
+    cap: int = webclean.CAP,
+    sample_pct: int = CURATION_SAMPLE_PCT,
+) -> str:
+    """DuckDB mirror of filter_funnel (shares _sql_flagged_body)."""
+    passes = [
+        "ok_quality",
+        "(NOT ppx_flag)",
+        "is_keeper",
+        "sampled",
+    ]
+    cells = ["CAST(COUNT(*) AS BIGINT) AS total"]
+    for i, p in enumerate(passes):
+        others = [q for j, q in enumerate(passes) if j != i]
+        only_this = f"(NOT {p}) AND {others[0]} AND {others[1]} AND {others[2]}"
+        cum = " AND ".join(passes[: i + 1])
+        cells += [
+            f"CAST(COUNT(*) FILTER (WHERE NOT {p}) AS BIGINT) AS f{i}",
+            f"CAST(COUNT(*) FILTER (WHERE {only_this}) AS BIGINT) AS u{i}",
+            f"CAST(COUNT(*) FILTER (WHERE {cum}) AS BIGINT) AS s{i}",
+        ]
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS stage, '{name}' AS gate,"
+        f" f{i} AS n_fail, u{i} AS n_unique_fail, s{i} AS n_survive,"
+        f" CAST((1000 * f{i}) // total AS BIGINT) AS fail_pm FROM agg"
+        for i, name in enumerate(FUNNEL_GATES)
+    )
+    return f"""
+WITH {_sql_flagged_body(table, min_df, cap, sample_pct)},
+agg AS (SELECT {', '.join(cells)} FROM flagged)
+{rows}
+ORDER BY stage
+"""

@@ -1758,6 +1758,16 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_corpus_filter_funnel(spark, sf_dir):
+    """Curation-gate ablation table (the C4/Gopher/RefinedWeb funnel):
+    per gate in pipeline order, total kills, UNIQUE kills (docs only this
+    gate rejects — the number that justifies the gate), and cumulative
+    survivors. One global conditional-sum aggregate over the curation flag
+    relation + an in-row 4-struct explode: no shuffle shape beyond the
+    curation chain itself, constant 4-row output at any corpus size."""
+    return curation.filter_funnel(_t(spark, sf_dir, "documents"))
+
+
 STICKY_W = 7  # rolling active-user window (WAU); the 28-day MAU is the
 #               same plan with a bigger constant
 
@@ -2022,6 +2032,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "corpus_filter_funnel": q_corpus_filter_funnel,
         "window_stickiness": q_window_stickiness,
         "web_mirror_hosts": q_web_mirror_hosts,
         "corpus_datacard": q_corpus_datacard,
@@ -2266,6 +2277,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_export_plan": packing.sql_export_plan(),
         "web_mirror_hosts": graphops.sql_mirror_hosts(),
         "window_stickiness": SQL_WINDOW_STICKINESS,
+        "corpus_filter_funnel": curation.sql_filter_funnel(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
