@@ -2216,3 +2216,75 @@ SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS containee,
 FROM m
 WHERE ROUND(shared / least(na, nb), 4) >= {CONTAIN_MIN}
 """
+
+
+# ------------------------------------------------ cluster-size histogram
+def cluster_size_histogram(documents: DataFrame) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup health report next
+    to the keeper relation: (cluster_size, n_clusters, n_docs, n_removable)
+    over the MinHash-LSH component graph, plus the size-1 row for documents
+    outside any near-dup cluster. Web-corpus dup clusters are Zipf-like;
+    this relation is what sizes the keeper win (sum of n_removable) and
+    exposes template explosions (a fat tail at large cluster_size) before
+    they hit the pair joins.
+
+    Scale shape: cost is the CC fixpoint itself; the histogram adds one
+    groupBy(rep) over the component relation (one row per clustered doc)
+    and one groupBy(cluster_size) over the per-cluster sizes (bounded by
+    the max cluster width). The singleton row is two 1-row count aggregates
+    crossJoined — no driver traffic, constant-size tail. Size-1 clusters
+    cannot come from the CC relation (every node there has an edge), so the
+    union is key-collision-free by construction."""
+    cc = connected_components(lsh_candidate_pairs(documents))
+    sizes = cc.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    hist = hist.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_removable"),
+    )
+    tot = documents.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    n_in = cc.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    singleton = tot.crossJoin(n_in).select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("n_total") - F.col("n_in")).alias("n_clusters"),
+        (F.col("n_total") - F.col("n_in")).alias("n_docs"),
+        F.lit(0).cast("long").alias("n_removable"),
+    )
+    return hist.unionByName(singleton).orderBy("cluster_size")
+
+
+def sql_cluster_size_histogram(table: str = "documents") -> str:
+    """DuckDB mirror of cluster_size_histogram."""
+    cc = sql_connected_components(
+        f"SELECT doc_a, doc_b FROM ({sql_lsh_candidate_pairs(table)})"
+    )
+    return f"""
+WITH cc AS ({cc}),
+sizes AS (
+  SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM cc GROUP BY rep
+),
+hist AS (
+  SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+  FROM sizes GROUP BY cluster_size
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM {table}),
+incc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_in FROM cc)
+SELECT cluster_size, n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_removable
+FROM hist
+UNION ALL
+SELECT CAST(1 AS BIGINT), n_total - n_in, n_total - n_in, CAST(0 AS BIGINT)
+FROM tot, incc
+ORDER BY cluster_size
+"""

@@ -1758,6 +1758,13 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size histogram over the MinHash-LSH component
+    graph, singleton row included — the dedup health relation (keeper win
+    = sum n_removable; template explosions = fat tail)."""
+    return dedup.cluster_size_histogram(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_filter_funnel(spark, sf_dir):
     """Curation-gate ablation table (the C4/Gopher/RefinedWeb funnel):
     per gate in pipeline order, total kills, UNIQUE kills (docs only this
@@ -2032,6 +2039,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "corpus_filter_funnel": q_corpus_filter_funnel,
         "window_stickiness": q_window_stickiness,
         "web_mirror_hosts": q_web_mirror_hosts,
@@ -2278,6 +2286,7 @@ def oracle_sql() -> Dict[str, str]:
         "web_mirror_hosts": graphops.sql_mirror_hosts(),
         "window_stickiness": SQL_WINDOW_STICKINESS,
         "corpus_filter_funnel": curation.sql_filter_funnel(),
+        "dedup_cluster_sizes": dedup.sql_cluster_size_histogram(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
