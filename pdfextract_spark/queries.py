@@ -1758,6 +1758,13 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_embed_dim_stats(spark, sf_dir):
+    """Per-dimension embedding moments (exact int64 fixed point) — the
+    whitening / feature-health relation: dead dims (var ~ 0) and
+    scale-skewed dims surface before they distort L2-based ANN/k-means."""
+    return clustering.dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def q_dedup_cluster_sizes(spark, sf_dir):
     """Duplicate-cluster size histogram over the MinHash-LSH component
     graph, singleton row included — the dedup health relation (keeper win
@@ -2039,6 +2046,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "embed_dim_stats": q_embed_dim_stats,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "corpus_filter_funnel": q_corpus_filter_funnel,
         "window_stickiness": q_window_stickiness,
@@ -2287,6 +2295,7 @@ def oracle_sql() -> Dict[str, str]:
         "window_stickiness": SQL_WINDOW_STICKINESS,
         "corpus_filter_funnel": curation.sql_filter_funnel(),
         "dedup_cluster_sizes": dedup.sql_cluster_size_histogram(),
+        "embed_dim_stats": clustering.sql_dim_stats(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
