@@ -1863,3 +1863,126 @@ SELECT r.lang, r.n_docs, r.n_tokens, r.share_pm, r.temp_share_pm, r.rate_pm,
 FROM rates r LEFT JOIN kept k ON r.lang = k.lang
 ORDER BY r.lang
 """
+
+
+# ------------------------------------------------------ snapshot diff census
+# Crawl-snapshot churn (CommonCrawl month-over-month): which documents were
+# added, removed, changed, or carried unchanged between two dated snapshots.
+# The churn relation is what sizes an INCREMENTAL recrawl/reprocess (only
+# added+changed re-enter the pipeline) and what detects a broken snapshot
+# (removal spikes) before it poisons dedup history.
+
+
+def synthesize_snapshots(documents: DataFrame):
+    """Deterministic two-snapshot pair from the documents table (the
+    synthesizer pattern — md5-scheduled, mirrored byte-exact in SQL):
+    snapshot A is the corpus; in snapshot B ~1/8 of docs are REMOVED
+    (md5 'sdel' bucket), ~1/8 of survivors are CHANGED (text suffixed),
+    and ~1/8 reappear as NEW doc_ids ('n' prefix)."""
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+    def bucket(tag):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(tag + "|"), F.col("doc_id"))), 1, 4),
+                16,
+                10,
+            ).cast("long")
+            % 8
+            == 0
+        )
+
+    snap_a = base
+    kept = base.filter(~bucket("sdel"))
+    mutated = kept.select(
+        "doc_id",
+        F.when(bucket("smut"), F.concat("text", F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = base.filter(bucket("snew")).select(
+        F.concat(F.lit("n"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    snap_b = mutated.unionByName(new)
+    return snap_a, snap_b
+
+
+def snapshot_diff(documents: DataFrame) -> DataFrame:
+    """(status, n_docs, share_pm) over {added, removed, changed, unchanged}
+    between the two synthesized snapshots; share_pm is per-mille of the
+    doc_id UNION.
+
+    100 TB shape: each snapshot reduces to (doc_id, md5 fingerprint) in a
+    narrow Project — the text never crosses a shuffle; ONE full-outer join
+    keyed on doc_id (exchange-free when snapshots are stored
+    bucket(doc_id), the write_bucketed_spans layout; with STORED
+    fingerprint columns the scan reads 2 thin columns only); then one
+    census aggregate to <= 4 rows with map-side partials. Incremental
+    reprocess cost = added + changed rows, read straight off this
+    relation."""
+    snap_a, snap_b = synthesize_snapshots(documents)
+    fa = snap_a.select("doc_id", F.md5("text").alias("fp_a"))
+    fb = snap_b.select("doc_id", F.md5("text").alias("fp_b"))
+    j = fa.join(fb, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") == F.col("fp_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    census = j.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    total = census.agg(F.sum("n_docs").alias("total"))
+    return (
+        census.crossJoin(total)
+        .select(
+            "status",
+            "n_docs",
+            F.expr("(1000 * n_docs) div total").cast("long").alias("share_pm"),
+        )
+        .orderBy("status")
+    )
+
+
+def _sql_snapshots(table: str = "documents"):
+    def bucket(tag: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{tag}|' || CAST(doc_id AS VARCHAR)), 1, 4))"
+            "::BIGINT % 8) = 0"
+        )
+
+    snap_a = f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM {table}"
+    snap_b = f"""
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN {bucket('smut')} THEN text || ' [rev2]' ELSE text END AS text
+  FROM {table} WHERE NOT ({bucket('sdel')})
+  UNION ALL
+  SELECT 'n' || CAST(doc_id AS VARCHAR), text FROM {table} WHERE {bucket('snew')}
+"""
+    return snap_a, snap_b
+
+
+def sql_snapshot_diff(table: str = "documents") -> str:
+    """DuckDB mirror of snapshot_diff."""
+    snap_a, snap_b = _sql_snapshots(table)
+    return f"""
+WITH fa AS (SELECT doc_id, md5(text) AS fp_a FROM ({snap_a})),
+fb AS (SELECT doc_id, md5(text) AS fp_b FROM ({snap_b})),
+j AS (SELECT fa.fp_a, fb.fp_b FROM fa FULL OUTER JOIN fb USING (doc_id)),
+census AS (
+  SELECT CASE WHEN fp_a IS NULL THEN 'added'
+              WHEN fp_b IS NULL THEN 'removed'
+              WHEN fp_a = fp_b THEN 'unchanged'
+              ELSE 'changed' END AS status,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM j GROUP BY 1
+),
+tot AS (SELECT SUM(n_docs) AS total FROM census)
+SELECT status, n_docs,
+       CAST((1000 * n_docs) // tot.total AS BIGINT) AS share_pm
+FROM census, tot
+ORDER BY status
+"""

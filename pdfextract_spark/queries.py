@@ -1758,6 +1758,13 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_corpus_snapshot_diff(spark, sf_dir):
+    """Crawl-snapshot churn census (added/removed/changed/unchanged +
+    per-mille shares) — the relation that sizes an incremental reprocess.
+    Fingerprint Project per side, ONE full-outer doc_id join, <=4-row agg."""
+    return webclean.snapshot_diff(_t(spark, sf_dir, "documents"))
+
+
 def q_embed_dim_stats(spark, sf_dir):
     """Per-dimension embedding moments (exact int64 fixed point) — the
     whitening / feature-health relation: dead dims (var ~ 0) and
@@ -2046,6 +2053,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "embed_dim_stats": q_embed_dim_stats,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "corpus_filter_funnel": q_corpus_filter_funnel,
@@ -2296,6 +2304,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_filter_funnel": curation.sql_filter_funnel(),
         "dedup_cluster_sizes": dedup.sql_cluster_size_histogram(),
         "embed_dim_stats": clustering.sql_dim_stats(),
+        "corpus_snapshot_diff": webclean.sql_snapshot_diff(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
