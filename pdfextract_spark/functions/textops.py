@@ -2510,3 +2510,136 @@ SELECT doc_id,
        CAST(n_windows AS BIGINT) AS n_windows
 FROM m
 """
+
+
+# ------------------------------------------------------- gate agreement
+# Inter-gate agreement between the two quality filters (the rule gate and
+# the model gate): Cohen's kappa in integer milli plus the full 2x2
+# confusion census. Curation suites run both gates; kappa is the number
+# that says whether the model adds signal beyond the rules (kappa << 1)
+# or is a re-implementation of them (kappa ~ 1) — i.e. whether paying the
+# model's serving cost buys any selectivity.
+
+GATE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def gate_agreement(documents: DataFrame) -> DataFrame:
+    """1-row (n, both_keep, rule_only, clf_only, both_drop, agree_pm,
+    kappa_milli). Both gates evaluate in ONE narrow Project over the text
+    column (the rule gate is Column algebra, the classifier is the hashed
+    linear scorer — no join: same row, same pass), then one global
+    conditional-sum aggregate. Zero shuffle at any corpus size; kappa's
+    numerator/denominator are exact int64 (n^2 terms: safe to ~3*10^9
+    docs per exact pass, past that the census row still merges exactly —
+    only the final ratio needs the wider type)."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mean_wlen = F.length(F.regexp_replace("text", " ", "")) / n_words
+    digit_words = F.size(F.filter(words, lambda w: w.rlike("^[0-9]+$")))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*GATE_STOPWORDS)))
+    rule_keep = (
+        (n_words >= 5)
+        & (n_words <= 100000)
+        & (mean_wlen >= 2.0)
+        & (mean_wlen <= 12.0)
+        & ((digit_words / n_words) <= 0.3)
+        & (stop_hits >= 1)
+    )
+
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    half = (QC_WEIGHT_MOD - 1) // 2
+    weights = F.transform(
+        toks,
+        lambda t: (_qc_bucket(t) * F.lit(QC_WEIGHT_MULT)) % QC_WEIGHT_MOD
+        - F.lit(half),
+    )
+    w_total = F.aggregate(weights, F.lit(0).cast("long"), lambda a, x: a + x)
+    n_tok = F.size(toks).cast("long")
+    # raw pieces materialize in one Project; the guarded integer div runs
+    # in the next so the aggregate-fold is evaluated once per row
+    flags = documents.select(
+        rule_keep.alias("rk"), w_total.alias("w_total"), n_tok.alias("n_tok")
+    ).select(
+        "rk",
+        (
+            F.when(F.col("n_tok") > 0, F.expr("(1000 * w_total) div n_tok"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            >= QC_THRESHOLD_MILLI
+        ).alias("ck"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("rk") & F.col("ck")).cast("long")).alias("both_keep"),
+        F.sum((F.col("rk") & ~F.col("ck")).cast("long")).alias("rule_only"),
+        F.sum((~F.col("rk") & F.col("ck")).cast("long")).alias("clf_only"),
+        F.sum((~F.col("rk") & ~F.col("ck")).cast("long")).alias("both_drop"),
+    )
+    pe_num = (
+        "(both_keep + rule_only) * (both_keep + clf_only)"
+        " + (clf_only + both_drop) * (rule_only + both_drop)"
+    )
+    return agg.select(
+        "n",
+        "both_keep",
+        "rule_only",
+        "clf_only",
+        "both_drop",
+        F.expr("(1000 * (both_keep + both_drop)) div n")
+        .cast("long")
+        .alias("agree_pm"),
+        F.expr(
+            f"CASE WHEN n * n - ({pe_num}) = 0 THEN 1000"
+            f" ELSE (1000 * (n * (both_keep + both_drop) - ({pe_num})))"
+            f" div (n * n - ({pe_num})) END"
+        )
+        .cast("long")
+        .alias("kappa_milli"),
+    )
+
+
+def sql_gate_agreement(table: str = "documents") -> str:
+    """DuckDB mirror of gate_agreement."""
+    stops = GATE_STOPWORDS
+    rule = (
+        "(len(string_split(text, ' ')) BETWEEN 5 AND 100000)"
+        " AND (length(replace(text, ' ', '')) * 1.0"
+        "      / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0)"
+        " AND (len(list_filter(string_split(text, ' '),"
+        "                      w -> regexp_full_match(w, '[0-9]+')))"
+        "      * 1.0 / len(string_split(text, ' ')) <= 0.3)"
+        f" AND (len(list_filter(string_split(text, ' '), w -> w IN {stops!r})) >= 1)"
+    )
+    half = (QC_WEIGHT_MOD - 1) // 2
+    bucket = f"(('0x' || substr(md5('qc|' || t), 1, 8))::BIGINT % {QC_BUCKETS})"
+    w = f"(({bucket} * {QC_WEIGHT_MULT}) % {QC_WEIGHT_MOD} - {half})"
+    pe_num = (
+        "(both_keep + rule_only) * (both_keep + clf_only)"
+        " + (clf_only + both_drop) * (rule_only + both_drop)"
+    )
+    return f"""
+WITH flags AS (
+  SELECT ({rule}) AS rk,
+         (CASE WHEN len(list_filter(string_split(lower(text), ' '), t -> t <> '')) > 0
+               THEN (1000 * COALESCE(list_sum(list_transform(
+                      list_filter(string_split(lower(text), ' '), t -> t <> ''),
+                      t -> {w})), 0))
+                    // len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+               ELSE 0 END) >= {QC_THRESHOLD_MILLI} AS ck
+  FROM {table}
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE rk AND ck) AS BIGINT) AS both_keep,
+         CAST(COUNT(*) FILTER (WHERE rk AND NOT ck) AS BIGINT) AS rule_only,
+         CAST(COUNT(*) FILTER (WHERE NOT rk AND ck) AS BIGINT) AS clf_only,
+         CAST(COUNT(*) FILTER (WHERE NOT rk AND NOT ck) AS BIGINT) AS both_drop
+  FROM flags
+)
+SELECT n, both_keep, rule_only, clf_only, both_drop,
+       CAST((1000 * (both_keep + both_drop)) // n AS BIGINT) AS agree_pm,
+       CAST(CASE WHEN n * n - ({pe_num}) = 0 THEN 1000
+            ELSE (1000 * (n * (both_keep + both_drop) - ({pe_num})))
+                 // (n * n - ({pe_num})) END AS BIGINT) AS kappa_milli
+FROM agg
+"""

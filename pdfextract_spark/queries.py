@@ -1758,6 +1758,14 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_text_gate_agreement(spark, sf_dir):
+    """Cohen's kappa (integer milli) + 2x2 confusion between the rule
+    quality gate and the hashed-classifier gate — does the model add
+    selectivity beyond the rules? One Project + one global aggregate,
+    zero shuffle."""
+    return textops.gate_agreement(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_snapshot_diff(spark, sf_dir):
     """Crawl-snapshot churn census (added/removed/changed/unchanged +
     per-mille shares) — the relation that sizes an incremental reprocess.
@@ -2053,6 +2061,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "text_gate_agreement": q_text_gate_agreement,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "embed_dim_stats": q_embed_dim_stats,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -2305,6 +2314,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_cluster_sizes": dedup.sql_cluster_size_histogram(),
         "embed_dim_stats": clustering.sql_dim_stats(),
         "corpus_snapshot_diff": webclean.sql_snapshot_diff(),
+        "text_gate_agreement": textops.sql_gate_agreement(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
