@@ -2523,15 +2523,12 @@ FROM m
 GATE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
-def gate_agreement(documents: DataFrame) -> DataFrame:
-    """1-row (n, both_keep, rule_only, clf_only, both_drop, agree_pm,
-    kappa_milli). Both gates evaluate in ONE narrow Project over the text
-    column (the rule gate is Column algebra, the classifier is the hashed
-    linear scorer — no join: same row, same pass), then one global
-    conditional-sum aggregate. Zero shuffle at any corpus size; kappa's
-    numerator/denominator are exact int64 (n^2 terms: safe to ~3*10^9
-    docs per exact pass, past that the census row still merges exactly —
-    only the final ratio needs the wider type)."""
+def gate_flags(documents: DataFrame) -> DataFrame:
+    """(doc_id, rk, ck) — both quality-gate verdicts per document in ONE
+    narrow Project (the rule gate is Column algebra, the classifier is the
+    hashed linear scorer: same row, same pass, no join). Shared by the
+    batch kappa aggregate and the streaming twin so the two cannot
+    drift."""
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     mean_wlen = F.length(F.regexp_replace("text", " ", "")) / n_words
@@ -2557,9 +2554,13 @@ def gate_agreement(documents: DataFrame) -> DataFrame:
     n_tok = F.size(toks).cast("long")
     # raw pieces materialize in one Project; the guarded integer div runs
     # in the next so the aggregate-fold is evaluated once per row
-    flags = documents.select(
-        rule_keep.alias("rk"), w_total.alias("w_total"), n_tok.alias("n_tok")
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        rule_keep.alias("rk"),
+        w_total.alias("w_total"),
+        n_tok.alias("n_tok"),
     ).select(
+        "doc_id",
         "rk",
         (
             F.when(F.col("n_tok") > 0, F.expr("(1000 * w_total) div n_tok"))
@@ -2568,6 +2569,16 @@ def gate_agreement(documents: DataFrame) -> DataFrame:
             >= QC_THRESHOLD_MILLI
         ).alias("ck"),
     )
+
+
+def gate_agreement(documents: DataFrame) -> DataFrame:
+    """1-row (n, both_keep, rule_only, clf_only, both_drop, agree_pm,
+    kappa_milli). Both gates evaluate in ONE narrow Project (gate_flags),
+    then one global conditional-sum aggregate. Zero shuffle at any corpus
+    size; kappa's numerator/denominator are exact int64 (n^2 terms: safe
+    to ~3*10^9 docs per exact pass, past that the census row still merges
+    exactly — only the final ratio needs the wider type)."""
+    flags = gate_flags(documents)
     agg = flags.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum((F.col("rk") & F.col("ck")).cast("long")).alias("both_keep"),
