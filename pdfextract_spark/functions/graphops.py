@@ -835,3 +835,76 @@ JOIN sizes sa ON s.host_a = sa.host
 JOIN sizes sb ON s.host_b = sb.host
 WHERE ((1000 * s.shared) // (sa.n + sb.n - s.shared)) >= {min_milli}
 """
+
+
+# ------------------------------------------------- per-host duplicate share
+def host_dup_rates(hosted: DataFrame) -> DataFrame:
+    """(host, n_docs, n_dup_docs, n_unique_fp, dup_pm) over a (host, text)
+    relation — the recrawl-prioritization census: hosts whose pages are
+    mostly corpus-wide duplicates (mirrors, scrapers, parked templates)
+    are the first to deprioritize in the fetch schedule and the first to
+    route through host-level dedup (mirror_hosts) before doc-level
+    near-dup spends anything on them.
+
+    n_dup_docs counts pages whose exact fingerprint appears anywhere else
+    in the corpus (cross-host OR within-host). 100 TB shape: the same
+    census + join-back skeleton as paragraph dedup — ONE fingerprint
+    census groupBy with map-side partials (a corpus-hot fingerprint
+    contributes one partial row per input partition), a join back keyed on
+    the fixed-width fingerprint (AQE skew-join territory, no hints), then
+    ONE host-keyed census. Nothing doc-sized survives the final agg."""
+    rows = hosted.select("host", F.md5("text").alias("h"))
+    census = rows.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    j = rows.join(census, "h")
+    return (
+        j.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_dup_docs"),
+            F.countDistinct("h").cast("long").alias("n_unique_fp"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_dup_docs",
+            "n_unique_fp",
+            F.expr("(1000 * n_dup_docs) div n_docs")
+            .cast("long")
+            .alias("dup_pm"),
+        )
+        .orderBy("host")
+    )
+
+
+def sql_host_dup_rates(table: str = "documents", synthesize: bool = True) -> str:
+    """DuckDB mirror of host_dup_rates over the mirror-host synthesis."""
+    host = (
+        "'h' || CAST(('0x' || substr(md5('hs|' || CAST(doc_id AS VARCHAR)), 1, 4))"
+        f"::BIGINT % {HOSTS} AS VARCHAR)"
+    )
+    coin = "(('0x' || substr(md5('mh|' || text), 1, 4))::BIGINT % 2) = 0"
+    hosted = f"""
+  SELECT {host} AS host, text FROM {table}
+  UNION ALL
+  SELECT 'm3', text FROM {table} WHERE {host} = 'h3'
+  UNION ALL
+  SELECT 'p7', text FROM {table} WHERE {host} = 'h7' AND {coin}
+"""
+    if not synthesize:
+        hosted = f"SELECT host, text FROM {table}"
+    return f"""
+WITH hosted AS ({hosted}),
+rows_fp AS (SELECT host, md5(text) AS h FROM hosted),
+census AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM rows_fp GROUP BY h),
+j AS (SELECT r.host, r.h, c.df FROM rows_fp r JOIN census c USING (h))
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE df > 1) AS BIGINT) AS n_dup_docs,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_fp,
+       CAST((1000 * COUNT(*) FILTER (WHERE df > 1)) // COUNT(*) AS BIGINT)
+         AS dup_pm
+FROM j GROUP BY host
+ORDER BY host
+"""

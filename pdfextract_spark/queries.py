@@ -1758,6 +1758,15 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_web_host_dup_rates(spark, sf_dir):
+    """Per-host duplicate share (recrawl prioritization): fingerprint
+    census + join-back + ONE host census, on the planted-mirror synthesis
+    so mirror hosts show dup_pm = 1000 in the gate."""
+    return graphops.host_dup_rates(
+        graphops.synthesize_mirror_hosts(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_text_gate_agreement(spark, sf_dir):
     """Cohen's kappa (integer milli) + 2x2 confusion between the rule
     quality gate and the hashed-classifier gate — does the model add
@@ -2061,6 +2070,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "web_host_dup_rates": q_web_host_dup_rates,
         "text_gate_agreement": q_text_gate_agreement,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "embed_dim_stats": q_embed_dim_stats,
@@ -2315,6 +2325,7 @@ def oracle_sql() -> Dict[str, str]:
         "embed_dim_stats": clustering.sql_dim_stats(),
         "corpus_snapshot_diff": webclean.sql_snapshot_diff(),
         "text_gate_agreement": textops.sql_gate_agreement(),
+        "web_host_dup_rates": graphops.sql_host_dup_rates(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
