@@ -1407,3 +1407,152 @@ FROM cum
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ------------------------------------------------------- zone-map audit
+# What the sorted export actually BUYS at scan time: parquet/Iceberg readers
+# prune files whose column min/max (zone map) misses the predicate range.
+# Under a hash layout every file spans nearly the whole key domain (zone
+# maps useless — every probe touches every file); under the export_plan
+# range layout each file covers one contiguous key slice (a probe touches
+# only the overlapping shard(s)). This relation measures that, probe by
+# probe, so the layout decision is a number instead of folklore.
+
+ZM_PROBES = 16
+ZM_PROBE_W = 13  # whole-Flesch-point probe width (domain is 0..~207)
+
+
+def zonemap_audit(
+    documents: DataFrame, k: int = EXPORT_SHARDS
+) -> DataFrame:
+    """(probe_id, probe_lo, probe_hi, files_hash, files_sorted,
+    touch_ratio_pm) — for each of ZM_PROBES fixed key-range probes, the
+    number of files a zone-map-pruning reader must touch under (a) an
+    md5-hash file layout and (b) the export_plan quality-sorted layout;
+    touch_ratio_pm = 1000*files_sorted/files_hash (lower = the sorted
+    layout prunes more).
+
+    Scale shape: the hash-layout zone maps are ONE groupBy(file) min/max
+    census (k rows); the sorted-layout zone maps are export_plan's shard
+    ranges (bounded-histogram machinery, never a global sort). Probes are
+    k x ZM_PROBES constant-size crossJoins off those censuses — nothing
+    doc-sized survives the first aggregates."""
+    from .textops import flesch_milli, readability_counts
+
+    w_, s_, y_ = readability_counts(F.col("text"))
+    pt = F.expr("CASE WHEN _f < 0 THEN 0 ELSE _f div 1000 END").cast("long")
+    scored = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        flesch_milli(w_, s_, y_).alias("_f"),
+    ).select("doc_id", pt.alias("pt"))
+    fhash = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("zm|"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % k
+    )
+    zm_hash = scored.select(fhash.alias("f"), "pt").groupBy("f").agg(
+        F.min("pt").alias("lo"), F.max("pt").alias("hi")
+    )
+    zm_sorted = export_plan(documents, k).select(
+        F.col("shard_idx").alias("f"),
+        F.col("lo_pt").alias("lo"),
+        F.col("hi_pt").alias("hi"),
+    )
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("probe_id"),
+                F.lit(i * ZM_PROBE_W).cast("long").alias("probe_lo"),
+                F.lit(i * ZM_PROBE_W + ZM_PROBE_W - 1)
+                .cast("long")
+                .alias("probe_hi"),
+            )
+            for i in range(ZM_PROBES)
+        ]
+    )
+
+    def hits(zm, name):
+        p = (
+            zm.agg(F.count(F.lit(1)).alias("_n"))
+            .select(F.explode(probes).alias("p"))
+            .select("p.probe_id", "p.probe_lo", "p.probe_hi")
+        )
+        overlap = (F.col("lo") <= F.col("probe_hi")) & (
+            F.col("hi") >= F.col("probe_lo")
+        )
+        return (
+            p.crossJoin(zm)
+            .groupBy("probe_id", "probe_lo", "probe_hi")
+            .agg(F.sum(overlap.cast("long")).alias(name))
+        )
+    h = hits(zm_hash, "files_hash")
+    s = hits(zm_sorted, "files_sorted")
+    return (
+        h.join(s, ["probe_id", "probe_lo", "probe_hi"])
+        .select(
+            "probe_id",
+            "probe_lo",
+            "probe_hi",
+            "files_hash",
+            "files_sorted",
+            F.expr(
+                "CASE WHEN files_hash = 0 THEN 1000"
+                " ELSE (1000 * files_sorted) div files_hash END"
+            )
+            .cast("long")
+            .alias("touch_ratio_pm"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def sql_zonemap_audit(table: str = "documents", k: int = EXPORT_SHARDS) -> str:
+    """DuckDB mirror of zonemap_audit (shares the export_plan SQL)."""
+    probes = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS probe_id,"
+        f" CAST({i * ZM_PROBE_W} AS BIGINT) AS probe_lo,"
+        f" CAST({i * ZM_PROBE_W + ZM_PROBE_W - 1} AS BIGINT) AS probe_hi"
+        for i in range(ZM_PROBES)
+    )
+    return f"""
+WITH scored AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN f < 0 THEN 0 ELSE f // 1000 END AS pt
+  FROM (
+    SELECT doc_id, 206835
+           - (1015 * GREATEST(1, len(string_split(text, ' '))))
+             // GREATEST(1, len(text) - len(regexp_replace(text, '[.!?]', '', 'g')))
+           - (84600 * GREATEST(1, len(string_split_regex(lower(text), '[aeiou]+')) - 1))
+             // GREATEST(1, len(string_split(text, ' '))) AS f
+    FROM {table})
+),
+zm_hash AS (
+  SELECT ('0x' || substr(md5('zm|' || doc_id), 1, 8))::BIGINT % {k} AS f,
+         MIN(pt) AS lo, MAX(pt) AS hi
+  FROM scored GROUP BY 1
+),
+splan AS ({sql_export_plan(table, k)}),
+zm_sorted AS (SELECT shard_idx AS f, lo_pt AS lo, hi_pt AS hi FROM splan),
+probes AS ({probes}),
+h AS (
+  SELECT probe_id, probe_lo, probe_hi,
+         CAST(COALESCE(SUM(CASE WHEN z.lo <= probe_hi AND z.hi >= probe_lo
+                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS files_hash
+  FROM probes, zm_hash z GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT probe_id, probe_lo, probe_hi,
+         CAST(COALESCE(SUM(CASE WHEN z.lo <= probe_hi AND z.hi >= probe_lo
+                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS files_sorted
+  FROM probes, zm_sorted z GROUP BY 1, 2, 3
+)
+SELECT probe_id, probe_lo, probe_hi, files_hash, files_sorted,
+       CAST(CASE WHEN files_hash = 0 THEN 1000
+            ELSE (1000 * files_sorted) // files_hash END AS BIGINT)
+         AS touch_ratio_pm
+FROM h JOIN s USING (probe_id, probe_lo, probe_hi)
+ORDER BY probe_id
+"""

@@ -1758,6 +1758,14 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_corpus_zonemap_audit(spark, sf_dir):
+    """Zone-map pruning audit: files touched per key-range probe under a
+    hash layout vs the export_plan quality-sorted layout — what the sorted
+    write buys at scan time, as a number. Two bounded min/max censuses +
+    constant-size probe crossJoins."""
+    return packing.zonemap_audit(_t(spark, sf_dir, "documents"))
+
+
 def q_web_host_dup_rates(spark, sf_dir):
     """Per-host duplicate share (recrawl prioritization): fingerprint
     census + join-back + ONE host census, on the planted-mirror synthesis
@@ -2070,6 +2078,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "web_host_dup_rates": q_web_host_dup_rates,
         "text_gate_agreement": q_text_gate_agreement,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
@@ -2326,6 +2335,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_snapshot_diff": webclean.sql_snapshot_diff(),
         "text_gate_agreement": textops.sql_gate_agreement(),
         "web_host_dup_rates": graphops.sql_host_dup_rates(),
+        "corpus_zonemap_audit": packing.sql_zonemap_audit(),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
