@@ -1758,6 +1758,130 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_window_activity_gini(spark, sf_dir):
+    """User-activity concentration: exact integer Gini + top-1% share of
+    events over the per-user activity census — the abuse/bot-detection and
+    load-model relation (a Gini near 1000 means a handful of accounts
+    generate the traffic).
+
+    Exact Gini WITHOUT a global sort: users with equal event counts occupy
+    consecutive ranks, so the rank-weighted sum folds over the COUNT-VALUE
+    histogram (bounded by the max per-user activity, not the user space):
+    one user census shuffle, one bounded histogram groupBy, a
+    single-partition cumsum over that bounded frame, one global fold."""
+    ev = _t(spark, sf_dir, "events")
+    census = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    hist = census.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    # bounded-domain single-partition window (distinct per-user activity
+    # counts; same guardrail class as the flesch-point histogram)
+    win = (
+        Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "c",
+        "m",
+        (F.sum("m").over(win) - F.col("m")).alias("lt"),
+    )
+    agg = cum.agg(
+        F.sum("m").alias("n_users"),
+        F.sum(F.col("c") * F.col("m")).alias("n_events"),
+        F.max(F.col("c")).alias("max_events"),
+        # sum of rank*count over each equal-count run: ranks lt+1..lt+m,
+        # their sum = m*(2*lt + m + 1) div 2 (always an even product)
+        F.sum(F.expr("c * ((m * (2 * lt + m + 1)) div 2)")).alias("t_rank"),
+        # ascending count runs, collected for the bounded top-k walk below
+        # (frame size = distinct activity counts, never the user space)
+        F.array_sort(
+            F.collect_list(F.struct(F.col("c"), F.col("m")))
+        ).alias("_runs"),
+    )
+    n = F.col("n_users")
+    k = F.greatest(F.lit(1).cast("long"), F.expr("n_users div 100"))
+    return agg.select(
+        n.alias("n_users"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("max_events").cast("long").alias("max_events"),
+        F.expr(
+            "(1000 * (2 * t_rank - (n_users + 1) * n_events))"
+            " div (n_users * n_events)"
+        )
+        .cast("long")
+        .alias("gini_milli"),
+        (
+            F.lit(1000).cast("long")
+            * F.aggregate(
+                F.reverse("_runs"),
+                F.struct(
+                    k.alias("left"),
+                    F.lit(0).cast("long").alias("mass"),
+                ),
+                lambda acc, r: F.struct(
+                    F.greatest(
+                        F.lit(0).cast("long"), acc["left"] - r["m"]
+                    ).alias("left"),
+                    (acc["mass"] + F.least(r["m"], acc["left"]) * r["c"]).alias(
+                        "mass"
+                    ),
+                ),
+                lambda acc: acc["mass"],
+            )
+        )
+        .cast("long")
+        .alias("_top_mass_k"),
+        F.col("n_events").alias("_ne"),
+    ).select(
+        "n_users",
+        "n_events",
+        "max_events",
+        "gini_milli",
+        F.expr("_top_mass_k div _ne").cast("long").alias("top1pct_share_pm"),
+    )
+
+
+SQL_WINDOW_ACTIVITY_GINI = """
+WITH census AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+),
+hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM census GROUP BY c),
+cum AS (
+  SELECT c, m,
+         CAST(SUM(m) OVER (ORDER BY c) - m AS BIGINT) AS lt
+  FROM hist
+),
+agg AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n_users,
+         CAST(SUM(c * m) AS BIGINT) AS n_events,
+         CAST(MAX(c) AS BIGINT) AS max_events,
+         CAST(SUM(c * ((m * (2 * lt + m + 1)) // 2)) AS BIGINT) AS t_rank
+  FROM cum
+),
+topk AS (
+  -- heaviest k = max(1, n_users/100) users: walk runs from the top,
+  -- take min(m, remaining) users per count run
+  SELECT CAST(SUM(tk.c * LEAST(tk.m, GREATEST(0, a.k - tk.above))) AS BIGINT)
+           AS top_mass
+  FROM (
+    SELECT c, m,
+           CAST(COALESCE(SUM(m) OVER (ORDER BY c DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS above
+    FROM hist
+  ) tk,
+  (SELECT GREATEST(1, n_users // 100) AS k FROM agg) a
+)
+SELECT n_users, n_events, max_events,
+       CAST((1000 * (2 * t_rank - (n_users + 1) * n_events))
+            // (n_users * n_events) AS BIGINT) AS gini_milli,
+       CAST((1000 * t.top_mass) // a.n_events AS BIGINT) AS top1pct_share_pm
+FROM agg a, topk t
+"""
+
+
 def q_corpus_zonemap_audit(spark, sf_dir):
     """Zone-map pruning audit: files touched per key-range probe under a
     hash layout vs the export_plan quality-sorted layout — what the sorted
@@ -2078,6 +2202,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "window_activity_gini": q_window_activity_gini,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "web_host_dup_rates": q_web_host_dup_rates,
         "text_gate_agreement": q_text_gate_agreement,
@@ -2336,6 +2461,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_gate_agreement": textops.sql_gate_agreement(),
         "web_host_dup_rates": graphops.sql_host_dup_rates(),
         "corpus_zonemap_audit": packing.sql_zonemap_audit(),
+        "window_activity_gini": SQL_WINDOW_ACTIVITY_GINI,
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),

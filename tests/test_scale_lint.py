@@ -74,8 +74,11 @@ def test_no_to_pandas_in_operators():
 # comment at the use site.
 SINGLE_PARTITION_WINDOW_ALLOWED = {
     # q_text_length_quantiles: windows over the length histogram
-    # (|distinct lengths| rows, bounded by max doc length, not corpus size)
-    "queries.py": 2,
+    # (|distinct lengths| rows, bounded by max doc length, not corpus size);
+    # q_window_activity_gini: cumsum over the per-user activity-COUNT
+    # histogram (|distinct counts| <= max events per user, never the user
+    # space)
+    "queries.py": 3,
     # ppl_buckets: the same histogram-cumsum kernel over the per-doc
     # mean_surprisal_q4 score domain (|distinct q4 scores| <= a few
     # thousand — bounded by the 1/16-bit log2 range, not corpus size);
