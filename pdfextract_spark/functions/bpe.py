@@ -125,20 +125,7 @@ def bpe_encode(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     tokenization itself part of the checked relation, not just its size."""
     merges = _train_merges_py(documents, n_merges)
     words = F.filter(F.split("text", " "), lambda w: w != "")
-
-    def encode_word(w):
-        s = F.concat(
-            F.lit(SEP2),
-            F.regexp_replace(w, "(.)", "$1" + SEP2),
-            F.lit(EOW + SEP2),
-        )
-        for _r, a, b, _c in merges:
-            s = F.replace(
-                s, F.lit(SEP + a + SEP2 + b + SEP), F.lit(SEP + a + b + SEP)
-            )
-        return F.filter(F.split(s, SEP2), lambda x: x != "")
-
-    toks = F.transform(words, encode_word)
+    toks = F.transform(words, _encode_word_col(merges))
     n_tokens = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.size(t)
     )
@@ -230,3 +217,157 @@ s{r} AS MATERIALIZED (
         for r in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + finals + "\nORDER BY round"
+
+
+# ---------------------------------------------------- per-language fit audit
+def _encode_word_col(merges):
+    """The per-word padded-string replace fold as a Column builder, shared
+    by bpe_encode and tokenizer_fit."""
+
+    def encode_word(w):
+        s = F.concat(
+            F.lit(SEP2),
+            F.regexp_replace(w, "(.)", "$1" + SEP2),
+            F.lit(EOW + SEP2),
+        )
+        for _r, a, b, _c in merges:
+            s = F.replace(
+                s, F.lit(SEP + a + SEP2 + b + SEP), F.lit(SEP + a + b + SEP)
+            )
+        return F.filter(F.split(s, SEP2), lambda x: x != "")
+
+    return encode_word
+
+
+def tokenizer_fit(documents: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """(pred_lang, n_docs, n_words, n_tokens_bpe, n_fallback_words,
+    fertility_milli, fallback_pm) — how well the corpus-trained BPE fits
+    each language: fertility (BPE tokens per word) and the FALLBACK rate
+    (words no merge touched — encoded at one symbol per character, the
+    'tokenizer never saw this language' signal). Multilingual tokenizer
+    audits read exactly this table: a language whose fallback_pm is high is
+    under-served by the merge inventory and will train at 2-4x the token
+    cost (the fertility tax).
+
+    Scale shape: training cost is bpe_train_merges' (vocabulary-sized
+    rounds, audited 1-row collects); the audit itself is ONE narrow Project
+    (language argmax + per-word encode fold, same scan) and ONE |langs|-key
+    aggregation with map-side partials. Zero joins: language and counts
+    derive from the same row, never re-shuffled."""
+    from .textops import LANG_ORDER, LEXICONS
+
+    merges = _train_merges_py(documents, n_merges)
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    enc = _encode_word_col(merges)
+    per_word = F.transform(
+        words,
+        lambda w: F.struct(
+            F.size(enc(w)).cast("long").alias("nt"),
+            (F.size(enc(w)) == F.length(w) + 1).cast("long").alias("fb"),
+        ),
+    )
+    n_tokens = F.aggregate(
+        per_word, F.lit(0).cast("long"), lambda acc, s: acc + s["nt"]
+    )
+    n_fb = F.aggregate(
+        per_word, F.lit(0).cast("long"), lambda acc, s: acc + s["fb"]
+    )
+
+    lang_words = F.split(F.lower(F.col("text")), " ")
+
+    def hit_count(lex):
+        return F.size(F.filter(lang_words, lambda w: w.isin(*lex)))
+
+    scores = {lang: hit_count(lex) for lang, lex in LEXICONS.items()}
+    pred = None
+    best = None
+    for lang in reversed(LANG_ORDER):
+        if pred is None:
+            pred, best = F.lit(lang), scores[lang]
+        else:
+            cond = scores[lang] >= best
+            pred = F.when(cond, F.lit(lang)).otherwise(pred)
+            best = F.when(cond, scores[lang]).otherwise(best)
+
+    one = documents.select(
+        pred.alias("pred_lang"),
+        F.size(words).cast("long").alias("n_w"),
+        n_tokens.alias("n_t"),
+        n_fb.alias("n_f"),
+    )
+    agg = one.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_w").alias("n_words"),
+        F.sum("n_t").alias("n_tokens_bpe"),
+        F.sum("n_f").alias("n_fallback_words"),
+    )
+    return agg.select(
+        "pred_lang",
+        "n_docs",
+        "n_words",
+        "n_tokens_bpe",
+        "n_fallback_words",
+        F.when(
+            F.col("n_words") > 0, F.expr("(1000 * n_tokens_bpe) div n_words")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fertility_milli"),
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("(1000 * n_fallback_words) div n_words"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("fallback_pm"),
+    ).orderBy("pred_lang")
+
+
+def sql_tokenizer_fit(n_merges: int = N_MERGES, table: str = "documents") -> str:
+    """DuckDB mirror: the training CTE chain + the same per-word fold,
+    language via the sql_language_id join (mirror-independent plan)."""
+    from .textops import sql_language_id
+
+    train = sql_bpe_train_merges(n_merges, table)
+    ctes = train[len("WITH ") : train.index("\nSELECT round")]
+    mm_cols = ", ".join(
+        f"(SELECT a FROM m{r}) AS a{r}, (SELECT b FROM m{r}) AS b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    pad = f"'{SEP2}' || regexp_replace(w, '(.)', '\\1{SEP2}', 'g') || '{EOW}{SEP2}'"
+    s = pad
+    for r in range(1, n_merges + 1):
+        s = (
+            f"replace({s}, '{SEP}' || a{r} || '{SEP2}' || b{r} || '{SEP}', "
+            f"'{SEP}' || a{r} || b{r} || '{SEP}')"
+        )
+    ntok = f"len(list_filter(string_split({s}, '{SEP2}'), x -> x <> ''))"
+    return f"""WITH {ctes},
+mm AS (SELECT {mm_cols}),
+lid AS ({sql_language_id(table)}),
+enc AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+           AS n_w,
+         CAST(COALESCE(list_sum(list_transform(
+           list_filter(string_split(text, ' '), w -> w <> ''),
+           w -> {ntok})), 0) AS BIGINT) AS n_t,
+         CAST(COALESCE(list_sum(list_transform(
+           list_filter(string_split(text, ' '), w -> w <> ''),
+           w -> CASE WHEN {ntok} = length(w) + 1 THEN 1 ELSE 0 END)), 0)
+           AS BIGINT) AS n_f
+  FROM {table} CROSS JOIN mm),
+agg AS (
+  SELECT pred_lang, COUNT(*)::BIGINT AS n_docs, SUM(n_w)::BIGINT AS n_words,
+         SUM(n_t)::BIGINT AS n_tokens_bpe,
+         SUM(n_f)::BIGINT AS n_fallback_words
+  FROM lid JOIN enc USING (doc_id)
+  GROUP BY pred_lang
+)
+SELECT pred_lang, n_docs, n_words, n_tokens_bpe, n_fallback_words,
+       CAST(CASE WHEN n_words > 0 THEN (1000 * n_tokens_bpe) // n_words
+            ELSE 0 END AS BIGINT) AS fertility_milli,
+       CAST(CASE WHEN n_words > 0 THEN (1000 * n_fallback_words) // n_words
+            ELSE 0 END AS BIGINT) AS fallback_pm
+FROM agg
+ORDER BY pred_lang"""

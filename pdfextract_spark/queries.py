@@ -1758,6 +1758,17 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_text_tokenizer_fit(spark, sf_dir):
+    """Per-language BPE fit audit over the multilingual synthesis:
+    fertility (tokens/word) and FALLBACK rate (words no merge touched) of
+    the corpus-trained merge table — the under-served-language signal.
+    Training cost is bpe_train_merges'; the audit is one Project + one
+    |langs|-key agg, zero joins."""
+    return bpe.tokenizer_fit(
+        textops.synthesize_multilingual(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_window_activity_gini(spark, sf_dir):
     """User-activity concentration: exact integer Gini + top-1% share of
     events over the per-user activity census — the abuse/bot-detection and
@@ -2202,6 +2213,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "text_tokenizer_fit": q_text_tokenizer_fit,
         "window_activity_gini": q_window_activity_gini,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
         "web_host_dup_rates": q_web_host_dup_rates,
@@ -2462,6 +2474,9 @@ def oracle_sql() -> Dict[str, str]:
         "web_host_dup_rates": graphops.sql_host_dup_rates(),
         "corpus_zonemap_audit": packing.sql_zonemap_audit(),
         "window_activity_gini": SQL_WINDOW_ACTIVITY_GINI,
+        "text_tokenizer_fit": bpe.sql_tokenizer_fit(
+            table=f"({textops.sql_synthesize_multilingual()})"
+        ),
         "sim_bitext_mine": similarity.sql_bitext_mine(),
         "graph_anchor_text": graphops.sql_anchor_text(),
         "corpus_layout_plan": packing.sql_layout_plan(),
