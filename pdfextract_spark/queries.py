@@ -1758,6 +1758,91 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_window_anomaly_days(spark, sf_dir):
+    """Daily-volume anomaly sweep over the events table: per day, event
+    count, robust center/spread (lower median + MAD — outlier-immune,
+    unlike mean/stddev), deviation in MAD-milli units, and the >=3-MAD
+    anomaly flag. The pipeline-incident relation: a collector outage or a
+    bot flood shows up as a flagged day before it poisons downstream
+    censuses.
+
+    Scale shape: ONE calendar-bounded day census (map-side partials), a
+    1-row in-row fold for median/MAD (the collected array is |days| long —
+    calendar-bounded at any corpus size), then a narrow crossJoin back.
+    Median/MAD are exact integer folds (lower median), bit-equal in both
+    engines — no percentile_approx, no floats."""
+    ev = _t(spark, sf_dir, "events")
+    DAY_US = 86_400_000_000
+    daily = (
+        ev.select(
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}").alias(
+                "day"
+            )
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    # lower median of a sorted array xs (1-indexed): xs[(n+1) div 2]
+    med_of = lambda xs: F.element_at(xs, ((F.size(xs) + 1) / 2).cast("int"))
+    stats = daily.agg(
+        F.array_sort(F.collect_list("n_events")).alias("_xs")
+    ).select(
+        med_of(F.col("_xs")).alias("med"),
+        F.col("_xs").alias("_xs"),
+    ).select(
+        "med",
+        med_of(
+            F.array_sort(
+                F.transform("_xs", lambda x: F.abs(x - F.col("med")))
+            )
+        ).alias("mad"),
+    )
+    return (
+        daily.crossJoin(stats)
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_events",
+            F.col("med").cast("long").alias("med"),
+            F.col("mad").cast("long").alias("mad"),
+            F.expr(
+                "(1000 * abs(n_events - med)) div greatest(1, mad)"
+            )
+            .cast("long")
+            .alias("dev_milli"),
+            (
+                F.expr("(1000 * abs(n_events - med)) div greatest(1, mad)")
+                >= 3000
+            ).alias("anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_WINDOW_ANOMALY_DAYS = """
+WITH daily AS (
+  SELECT (epoch_us(ts::TIMESTAMP) // 86400000000) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+xs AS (SELECT list_sort(list(n_events)) AS v FROM daily),
+med AS (SELECT v[(len(v) + 1) // 2] AS med, v FROM xs),
+mad AS (
+  SELECT med,
+         list_sort(list_transform(v, x -> abs(x - med)))
+           [(len(v) + 1) // 2] AS mad
+  FROM med
+)
+SELECT CAST(d.day AS BIGINT) AS day, d.n_events,
+       CAST(m.med AS BIGINT) AS med, CAST(m.mad AS BIGINT) AS mad,
+       CAST((1000 * abs(d.n_events - m.med)) // GREATEST(1, m.mad) AS BIGINT)
+         AS dev_milli,
+       ((1000 * abs(d.n_events - m.med)) // GREATEST(1, m.mad)) >= 3000
+         AS anomaly
+FROM daily d, mad m
+ORDER BY day
+"""
+
+
 def q_text_tokenizer_fit(spark, sf_dir):
     """Per-language BPE fit audit over the multilingual synthesis:
     fertility (tokens/word) and FALLBACK rate (words no merge touched) of
@@ -2213,6 +2298,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "window_anomaly_days": q_window_anomaly_days,
         "text_tokenizer_fit": q_text_tokenizer_fit,
         "window_activity_gini": q_window_activity_gini,
         "corpus_zonemap_audit": q_corpus_zonemap_audit,
@@ -2474,6 +2560,7 @@ def oracle_sql() -> Dict[str, str]:
         "web_host_dup_rates": graphops.sql_host_dup_rates(),
         "corpus_zonemap_audit": packing.sql_zonemap_audit(),
         "window_activity_gini": SQL_WINDOW_ACTIVITY_GINI,
+        "window_anomaly_days": SQL_WINDOW_ANOMALY_DAYS,
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
