@@ -309,3 +309,177 @@ GROUP BY token
 HAVING COUNT(*) >= MAX(thr)
 ORDER BY n DESC, token ASC
 """
+
+
+# ------------------------------------------------------ bloom-filter audit
+# The incremental-dedup bloom prefilter (PLANS.md: InjectRuntimeFilter over
+# stored fingerprints) trades shuffle volume for false-positive re-checks.
+# This relation MEASURES that trade on the corpus itself: build an
+# m-bit/k-hash bloom over the history half's fingerprints, probe the batch
+# half, and report the realized false-positive rate next to the bit load —
+# the number that sizes m (bits per key) for a target re-check budget.
+
+BLOOM_M = 1 << 16  # filter bits
+BLOOM_K = 4        # hash functions
+
+
+def _bloom_pos(fp, j: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bf{j}|"), fp)), 1, 8), 16, 10
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def bloom_fpr(documents: DataFrame) -> DataFrame:
+    """1-row (n_history, n_probes, bits_set, n_bloom_hits, n_true_members,
+    n_false_pos, load_pm, fpr_pm): an md5-split half of the corpus is the
+    history (its distinct md5(text) fingerprints populate the filter), the
+    other half probes it. fpr_pm = false positives per mille of the
+    NON-member probes — the realized re-check rate the dedup prefilter
+    pays; load_pm = bits set per mille of m (past ~500 the filter is
+    saturated and m must grow).
+
+    100 TB shape: the bit set is a distinct census BOUNDED at BLOOM_M rows
+    regardless of history size (positions, not keys); the probe side
+    explodes k = BLOOM_K constant positions per probe and joins the
+    bounded bit relation (AQE broadcasts it — bounded by construction, no
+    hint); true membership is one fingerprint-keyed join. Nothing
+    unbounded crosses a shuffle except the fingerprint relations
+    themselves, which any dedup already shuffles."""
+    half = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bh|"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    fp = F.md5("text")
+    hist = documents.filter(half).select(fp.alias("fp")).distinct()
+    hist = hist.localCheckpoint(eager=False)  # feeds bits + membership join
+    bits = (
+        hist.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("fp"), j) for j in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    bits = bits.localCheckpoint(eager=False)  # <= BLOOM_M rows, 2 consumers
+    probes = documents.filter(~half).select(
+        F.col("doc_id").cast("string").alias("doc_id"), fp.alias("fp")
+    )
+    ppos = probes.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("fp"), j) for j in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    hits = (
+        ppos.join(bits.withColumn("_set", F.lit(1)), "pos", "left")
+        .groupBy("doc_id", "fp")
+        .agg(
+            (F.sum(F.coalesce("_set", F.lit(0))) == BLOOM_K).alias("bloom_hit")
+        )
+    )
+    member = hits.join(
+        hist.withColumn("_mem", F.lit(1)), "fp", "left"
+    ).select(
+        "bloom_hit", F.coalesce("_mem", F.lit(0)).alias("is_member")
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    n_hist = hist.agg(F.count(F.lit(1)).cast("long").alias("n_history"))
+    agg = member.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+        F.sum(F.col("is_member").cast("long")).alias("n_true_members"),
+        F.sum(
+            (F.col("bloom_hit") & (F.col("is_member") == 0)).cast("long")
+        ).alias("n_false_pos"),
+    )
+    return (
+        agg.crossJoin(n_hist)
+        .crossJoin(n_bits)
+        .select(
+            "n_history",
+            "n_probes",
+            "bits_set",
+            "n_bloom_hits",
+            "n_true_members",
+            "n_false_pos",
+            F.expr(f"(1000 * bits_set) div {BLOOM_M}")
+            .cast("long")
+            .alias("load_pm"),
+            F.expr(
+                "CASE WHEN n_probes - n_true_members = 0 THEN 0"
+                " ELSE (1000 * n_false_pos) div (n_probes - n_true_members)"
+                " END"
+            )
+            .cast("long")
+            .alias("fpr_pm"),
+        )
+    )
+
+
+def sql_bloom_fpr(table: str = "documents") -> str:
+    """DuckDB mirror of bloom_fpr."""
+    half = (
+        "(('0x' || substr(md5('bh|' || CAST(doc_id AS VARCHAR)), 1, 4))"
+        "::BIGINT % 2) = 0"
+    )
+    pos = lambda j, col: (
+        f"('0x' || substr(md5('bf{j}|' || {col}), 1, 8))::BIGINT % {BLOOM_M}"
+    )
+    pos_list = ", ".join(pos(j, "fp") for j in range(BLOOM_K))
+    return f"""
+WITH hist AS (
+  SELECT DISTINCT md5(text) AS fp FROM {table} WHERE {half}
+),
+bits AS (
+  SELECT DISTINCT unnest([{pos_list}]) AS pos FROM hist
+),
+probes AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS fp
+  FROM {table} WHERE NOT ({half})
+),
+ppos AS (
+  SELECT doc_id, fp, unnest([{pos_list}]) AS pos FROM probes
+),
+hits AS (
+  SELECT doc_id, fp,
+         (SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = {BLOOM_K})
+           AS bloom_hit
+  FROM ppos p LEFT JOIN bits b USING (pos)
+  GROUP BY doc_id, fp
+),
+member AS (
+  SELECT h.bloom_hit,
+         CASE WHEN m.fp IS NOT NULL THEN 1 ELSE 0 END AS is_member
+  FROM hits h LEFT JOIN hist m USING (fp)
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(COUNT(*) FILTER (WHERE bloom_hit) AS BIGINT) AS n_bloom_hits,
+         CAST(SUM(is_member) AS BIGINT) AS n_true_members,
+         CAST(COUNT(*) FILTER (WHERE bloom_hit AND is_member = 0) AS BIGINT)
+           AS n_false_pos
+  FROM member
+),
+nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_history FROM hist),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits)
+SELECT n_history, n_probes, bits_set, n_bloom_hits, n_true_members,
+       n_false_pos,
+       CAST((1000 * bits_set) // {BLOOM_M} AS BIGINT) AS load_pm,
+       CAST(CASE WHEN n_probes - n_true_members = 0 THEN 0
+            ELSE (1000 * n_false_pos) // (n_probes - n_true_members)
+            END AS BIGINT) AS fpr_pm
+FROM agg, nh, nb
+"""

@@ -1758,6 +1758,15 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_sketch_bloom_fpr(spark, sf_dir):
+    """Bloom prefilter audit: realized false-positive rate + bit load of an
+    m-bit/k-hash filter built over the history half's fingerprints, probed
+    by the other half — the number that sizes bits-per-key for the
+    incremental-dedup prefilter. Bit set bounded at BLOOM_M rows by
+    construction; probe side joins it AQE-broadcast, hint-free."""
+    return sketches.bloom_fpr(_t(spark, sf_dir, "documents"))
+
+
 def q_window_anomaly_days(spark, sf_dir):
     """Daily-volume anomaly sweep over the events table: per day, event
     count, robust center/spread (lower median + MAD — outlier-immune,
@@ -2298,6 +2307,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "sketch_bloom_fpr": q_sketch_bloom_fpr,
         "window_anomaly_days": q_window_anomaly_days,
         "text_tokenizer_fit": q_text_tokenizer_fit,
         "window_activity_gini": q_window_activity_gini,
@@ -2561,6 +2571,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_zonemap_audit": packing.sql_zonemap_audit(),
         "window_activity_gini": SQL_WINDOW_ACTIVITY_GINI,
         "window_anomaly_days": SQL_WINDOW_ANOMALY_DAYS,
+        "sketch_bloom_fpr": sketches.sql_bloom_fpr(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
