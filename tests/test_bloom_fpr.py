@@ -11,15 +11,15 @@ from pdfextract_spark.functions.sketches import BLOOM_K, BLOOM_M
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _h(tag, s):
-    return int(hashlib.md5(f"{tag}|{s}".encode()).hexdigest()[:8], 16)
+def _h(tag, s, width=8):
+    return int(hashlib.md5(f"{tag}|{s}".encode()).hexdigest()[:width], 16)
 
 
 def test_python_recompute(spark):
     row = entry.queries()["sketch_bloom_fpr"](spark, SF_DIR).toPandas().iloc[0]
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
     md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
-    half = docs.doc_id.astype(str).map(lambda d: _h("bh", d) % 2 == 0)
+    half = docs.doc_id.astype(str).map(lambda d: _h("bh", d, 4) % 2 == 0)
     hist = {md5(t) for t in docs[half].text}
     bits = {_h(f"bf{j}", fp) % BLOOM_M for fp in hist for j in range(BLOOM_K)}
     probes = [md5(t) for t in docs[~half].text]
