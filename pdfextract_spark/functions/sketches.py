@@ -319,7 +319,10 @@ ORDER BY n DESC, token ASC
 # half, and report the realized false-positive rate next to the bit load —
 # the number that sizes m (bits per key) for a target re-check budget.
 
-BLOOM_M = 1 << 16  # filter bits
+BLOOM_M = 1 << 12  # filter bits — sized so the fixture SFs exercise a real
+#                    load (an oversized filter realizes zero FPs and the
+#                    audit relation degenerates; production m is the dial
+#                    this relation exists to size)
 BLOOM_K = 4        # hash functions
 
 
@@ -373,8 +376,31 @@ def bloom_fpr(documents: DataFrame) -> DataFrame:
         .distinct()
     )
     bits = bits.localCheckpoint(eager=False)  # <= BLOOM_M rows, 2 consumers
+    # planted TRUE members: an md5-selected ~1/8 of the history half is
+    # re-probed under 'p'-prefixed ids, so n_true_members (and the
+    # no-false-negative contract) is exercised at every fixture SF
+    plant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bp|"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+        == 0
+    )
     probes = documents.filter(~half).select(
         F.col("doc_id").cast("string").alias("doc_id"), fp.alias("fp")
+    ).unionByName(
+        documents.filter(half & plant).select(
+            F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias(
+                "doc_id"
+            ),
+            fp.alias("fp"),
+        )
     )
     ppos = probes.select(
         "doc_id",
@@ -449,6 +475,12 @@ bits AS (
 probes AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS fp
   FROM {table} WHERE NOT ({half})
+  UNION ALL
+  SELECT 'p' || CAST(doc_id AS VARCHAR), md5(text)
+  FROM {table}
+  WHERE ({half})
+    AND (('0x' || substr(md5('bp|' || CAST(doc_id AS VARCHAR)), 1, 4))
+         ::BIGINT % 8) = 0
 ),
 ppos AS (
   SELECT doc_id, fp, unnest([{pos_list}]) AS pos FROM probes

@@ -22,7 +22,10 @@ def test_python_recompute(spark):
     half = docs.doc_id.astype(str).map(lambda d: _h("bh", d, 4) % 2 == 0)
     hist = {md5(t) for t in docs[half].text}
     bits = {_h(f"bf{j}", fp) % BLOOM_M for fp in hist for j in range(BLOOM_K)}
-    probes = [md5(t) for t in docs[~half].text]
+    plant = docs.doc_id.astype(str).map(lambda d: _h("bp", d, 4) % 8 == 0)
+    probes = [md5(t) for t in docs[~half].text] + [
+        md5(t) for t in docs[half & plant].text
+    ]
     bloom_hits = [
         all(_h(f"bf{j}", fp) % BLOOM_M in bits for j in range(BLOOM_K))
         for fp in probes
