@@ -2288,3 +2288,101 @@ SELECT CAST(1 AS BIGINT), n_total - n_in, n_total - n_in, CAST(0 AS BIGINT)
 FROM tot, incc
 ORDER BY cluster_size
 """
+
+
+# ------------------------------------------------ dup x quality interaction
+def dup_quality_interaction(documents: DataFrame) -> DataFrame:
+    """(band, n_docs, n_clusters, mean_shout_milli) by duplicate-cluster
+    size band ('1', '2-3', '4-7', '8+') over the quality-skewed dup
+    synthesis — the interaction relation behind quality-aware dedup: if
+    duplicated mass scores worse than singleton mass (here it provably
+    does — every planted cluster carries one shouted copy), dedup is also
+    a quality filter and keeper choice matters (dedup_keep_best).
+
+    100 TB shape: one fingerprint census groupBy + one join back keyed on
+    the fingerprint (the paragraph-dedup skeleton), then ONE 4-key band
+    aggregation; mean is exact integer sum div count. n_clusters counts
+    each cluster once via its min-doc representative flag — no second
+    census pass."""
+    letters = F.regexp_replace(F.col("text"), "[^A-Za-z]", "")
+    upper = F.regexp_replace(F.col("text"), "[^A-Z]", "")
+    shout = F.expr(
+        "CASE WHEN _n_letters > 0 THEN (1000 * _n_upper) div _n_letters "
+        "ELSE 0 END"
+    ).cast("long")
+    scored = synthesize_quality_dup_corpus(documents).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        F.length(letters).cast("long").alias("_n_letters"),
+        F.length(upper).cast("long").alias("_n_upper"),
+    ).select("doc_id", "fp", shout.alias("shout_milli"))
+    census = scored.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.min("doc_id").alias("rep"),
+    )
+    j = scored.join(census, "fp")
+    band = (
+        F.when(F.col("df") == 1, F.lit("1"))
+        .when(F.col("df") <= 3, F.lit("2-3"))
+        .when(F.col("df") <= 7, F.lit("4-7"))
+        .otherwise(F.lit("8+"))
+    )
+    return (
+        j.select(
+            band.alias("band"),
+            "shout_milli",
+            (F.col("doc_id") == F.col("rep")).cast("long").alias("is_rep"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_rep").alias("n_clusters"),
+            F.sum("shout_milli").alias("_s"),
+        )
+        .select(
+            "band",
+            "n_docs",
+            "n_clusters",
+            F.expr("_s div n_docs").cast("long").alias("mean_shout_milli"),
+        )
+        .orderBy("band")
+    )
+
+
+def sql_dup_quality_interaction(table: str = "documents") -> str:
+    """DuckDB mirror of dup_quality_interaction."""
+    h = "('0x' || substr(md5('kb|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT"
+    return f"""
+WITH corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM {table}
+  WHERE {h} % {KB_PLANT_MOD} <> 0
+  UNION ALL
+  SELECT doc_id, upper(text) FROM {table} WHERE {h} % {KB_PLANT_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {KB_COPY_OFFSET}, text FROM {table}
+  WHERE {h} % {KB_PLANT_MOD} = 0
+),
+scored AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp,
+         CAST(CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0
+              THEN (1000 * length(regexp_replace(text, '[^A-Z]', '', 'g')))
+                   // length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              ELSE 0 END AS BIGINT) AS shout_milli
+  FROM corpus
+),
+census AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS df, MIN(doc_id) AS rep
+  FROM scored GROUP BY fp
+),
+j AS (
+  SELECT s.doc_id, s.shout_milli, c.df, c.rep,
+         CASE WHEN c.df = 1 THEN '1' WHEN c.df <= 3 THEN '2-3'
+              WHEN c.df <= 7 THEN '4-7' ELSE '8+' END AS band
+  FROM scored s JOIN census c USING (fp)
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE doc_id = rep) AS BIGINT) AS n_clusters,
+       CAST(SUM(shout_milli) // COUNT(*) AS BIGINT) AS mean_shout_milli
+FROM j GROUP BY band
+ORDER BY band
+"""

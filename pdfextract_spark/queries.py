@@ -1758,6 +1758,14 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_dedup_dup_quality(spark, sf_dir):
+    """Duplicate-cluster-size x quality interaction: mean shout ratio per
+    dup band over the quality-skewed synthesis — duplicated mass provably
+    scores worse than singleton mass here, the number that makes dedup a
+    quality filter. Census + join-back + ONE 4-key band agg."""
+    return dedup.dup_quality_interaction(_t(spark, sf_dir, "documents"))
+
+
 def q_sketch_bloom_fpr(spark, sf_dir):
     """Bloom prefilter audit: realized false-positive rate + bit load of an
     m-bit/k-hash filter built over the history half's fingerprints, probed
@@ -2307,6 +2315,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "dedup_dup_quality": q_dedup_dup_quality,
         "sketch_bloom_fpr": q_sketch_bloom_fpr,
         "window_anomaly_days": q_window_anomaly_days,
         "text_tokenizer_fit": q_text_tokenizer_fit,
@@ -2572,6 +2581,7 @@ def oracle_sql() -> Dict[str, str]:
         "window_activity_gini": SQL_WINDOW_ACTIVITY_GINI,
         "window_anomaly_days": SQL_WINDOW_ANOMALY_DAYS,
         "sketch_bloom_fpr": sketches.sql_bloom_fpr(),
+        "dedup_dup_quality": dedup.sql_dup_quality_interaction(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
