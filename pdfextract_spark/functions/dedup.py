@@ -689,6 +689,22 @@ SELECT doc_a, doc_b, hamming FROM (
 def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     """Exact Jaccard over distinct word 3-grams for candidate pairs from an
     inverted-index join with a doc-frequency cut. (doc_a, doc_b, jaccard)."""
+    shared = _jaccard_shared(documents)
+    out = shared.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= JACCARD_MIN)
+    return out
+
+
+def _jaccard_shared(documents: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, na, nb, shared) for every df-cut inverted-index
+    candidate pair — the unthresholded stage shared by ngram_jaccard_pairs
+    (applies the JACCARD_MIN verify gate) and threshold_curve (bands the
+    whole candidate distribution)."""
     docs = _fan_out(documents).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         _shingles(_words(F.col("text"))).alias("grams"),
@@ -768,14 +784,7 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    out = shared.select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4
-        ).alias("jaccard"),
-    ).filter(F.col("jaccard") >= JACCARD_MIN)
-    return out
+    return shared
 
 
 def sql_ngram_jaccard_pairs(table: str = "documents") -> str:
@@ -2385,4 +2394,81 @@ SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(shout_milli) // COUNT(*) AS BIGINT) AS mean_shout_milli
 FROM j GROUP BY band
 ORDER BY band
+"""
+
+
+# -------------------------------------------------- threshold tuning curve
+def threshold_curve(documents: DataFrame) -> DataFrame:
+    """(band_milli, n_pairs, cum_pairs_ge) — the near-dup operating curve:
+    candidate pairs from the df-cut inverted index banded by exact Jaccard
+    decile (integer (10*shared) div union — no float banding), with the
+    cumulative count at-or-above each band. THE threshold-tuning relation:
+    JACCARD_MIN moves along this curve, and the cum column says how many
+    pairs each candidate threshold admits before anyone re-runs the miner.
+
+    100 TB shape: the cost is the candidate stage itself (shared with
+    ngram_jaccard_pairs via _jaccard_shared); the curve adds ONE <=10-key
+    band census and an in-row <=10-entry fold for the cumulative — no
+    window, no extra corpus pass."""
+    shared = _jaccard_shared(documents)
+    band = F.expr("(10 * shared) div (na + nb - shared)").cast("long") * 100
+    hist = (
+        shared.select(band.alias("band_milli"))
+        .groupBy("band_milli")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    one = hist.agg(
+        F.collect_list(
+            F.struct(F.col("band_milli"), F.col("n_pairs"))
+        ).alias("_bs")
+    )
+    return (
+        one.select(F.explode("_bs").alias("b"), "_bs")
+        .select(
+            F.col("b.band_milli").alias("band_milli"),
+            F.col("b.n_pairs").alias("n_pairs"),
+            F.aggregate(
+                F.filter(
+                    "_bs", lambda e: e["band_milli"] >= F.col("b.band_milli")
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e["n_pairs"],
+            ).alias("cum_pairs_ge"),
+        )
+        .orderBy("band_milli")
+    )
+
+
+def sql_threshold_curve(table: str = "documents") -> str:
+    """DuckDB mirror of threshold_curve."""
+    return f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {sql_shingles('text')} AS grams
+  FROM {table}
+),
+sizes AS (SELECT doc_id, len(grams) AS n_grams FROM docs),
+inv0 AS (SELECT doc_id, unnest(grams) AS gram FROM docs),
+keep AS (SELECT gram FROM inv0 GROUP BY gram HAVING COUNT(*) <= {DF_CAP}),
+inv AS (SELECT inv0.* FROM inv0 JOIN keep USING (gram)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+banded AS (
+  SELECT CAST((10 * s.shared) // (sa.n_grams + sb.n_grams - s.shared)
+              AS BIGINT) * 100 AS band_milli
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+),
+hist AS (
+  SELECT band_milli, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM banded GROUP BY band_milli
+)
+SELECT h.band_milli, h.n_pairs,
+       (SELECT CAST(SUM(h2.n_pairs) AS BIGINT) FROM hist h2
+        WHERE h2.band_milli >= h.band_milli) AS cum_pairs_ge
+FROM hist h
+ORDER BY band_milli
 """

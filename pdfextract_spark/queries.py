@@ -1758,6 +1758,15 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Near-dup operating curve: candidate pairs banded by exact integer
+    Jaccard decile + cumulative at-or-above counts — what each candidate
+    JACCARD_MIN admits, read off one relation instead of re-running the
+    miner per threshold. Cost = the shared candidate stage; the curve adds
+    a <=10-key census and an in-row fold."""
+    return dedup.threshold_curve(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_dup_quality(spark, sf_dir):
     """Duplicate-cluster-size x quality interaction: mean shout ratio per
     dup band over the quality-skewed synthesis — duplicated mass provably
@@ -2315,6 +2324,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "dedup_threshold_curve": q_dedup_threshold_curve,
         "dedup_dup_quality": q_dedup_dup_quality,
         "sketch_bloom_fpr": q_sketch_bloom_fpr,
         "window_anomaly_days": q_window_anomaly_days,
@@ -2582,6 +2592,7 @@ def oracle_sql() -> Dict[str, str]:
         "window_anomaly_days": SQL_WINDOW_ANOMALY_DAYS,
         "sketch_bloom_fpr": sketches.sql_bloom_fpr(),
         "dedup_dup_quality": dedup.sql_dup_quality_interaction(),
+        "dedup_threshold_curve": dedup.sql_threshold_curve(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
