@@ -1986,3 +1986,108 @@ SELECT status, n_docs,
 FROM census, tot
 ORDER BY status
 """
+
+
+# ------------------------------------------------ training-order run audit
+def order_run_stats(
+    documents: DataFrame, epoch: int = 0, n_shards: int = SHUF_SHARDS
+) -> DataFrame:
+    """(shard, n_docs, n_runs, max_run, mean_run_milli) — mixing quality of
+    the epoch_shuffle training order: run lengths of consecutive SAME-LANG
+    documents within each shard's read order. A good shuffle shows runs
+    near the geometric expectation (mean ~ 1/(1-p) for majority share p);
+    long runs mean the loader feeds the model single-language stretches —
+    the gradient-staleness failure data-order shuffles exist to prevent.
+
+    Carries lang THROUGH the shard/pos derivation (the same md5 schedule as
+    epoch_shuffle — equality pinned by test) so no doc-keyed join back is
+    needed: ONE shuffle onto the shard key; the run windows are partitioned
+    by shard and ordered by the same key the shard sort produced."""
+    h = F.md5(
+        F.concat(
+            F.lit("shuf|"), F.lit(str(epoch)), F.lit("|"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "lang",
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards)
+        .cast("int")
+        .alias("shard"),
+        h.alias("h"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    start = (
+        F.lag("lang").over(w).isNull()
+        | (F.col("lang") != F.lag("lang").over(w))
+    ).cast("long")
+    wrun = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = base.select(
+        "shard", F.sum(start).over(wrun).alias("run_id")
+    )
+    runs = rows.groupBy("shard", "run_id").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return (
+        runs.groupBy("shard")
+        .agg(
+            F.sum("run_len").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.max("run_len").alias("max_run"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_runs",
+            F.col("max_run").cast("long").alias("max_run"),
+            F.expr("(1000 * n_docs) div n_runs")
+            .cast("long")
+            .alias("mean_run_milli"),
+        )
+        .orderBy("shard")
+    )
+
+
+def sql_order_run_stats(
+    table: str = "documents", epoch: int = 0, n_shards: int = SHUF_SHARDS
+) -> str:
+    """DuckDB mirror of order_run_stats."""
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         CAST(('0x' || substr(md5('shuf|{epoch}|' || CAST(doc_id AS VARCHAR)),
+               1, 4))::BIGINT % {n_shards} AS INT) AS shard,
+         md5('shuf|{epoch}|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM {table}
+),
+flagged AS (
+  SELECT shard, lang, h, doc_id,
+         CASE WHEN lag(lang) OVER (PARTITION BY shard ORDER BY h, doc_id)
+                   IS NULL
+              OR lang <> lag(lang) OVER (PARTITION BY shard ORDER BY h, doc_id)
+              THEN 1 ELSE 0 END AS start
+  FROM base
+),
+rows_r AS (
+  SELECT shard,
+         SUM(start) OVER (PARTITION BY shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+),
+runs AS (
+  SELECT shard, run_id, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM rows_r GROUP BY shard, run_id
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(SUM(run_len) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST((1000 * SUM(run_len)) // COUNT(*) AS BIGINT) AS mean_run_milli
+FROM runs GROUP BY shard
+ORDER BY shard
+"""

@@ -1758,6 +1758,14 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_corpus_order_runs(spark, sf_dir):
+    """Training-order mixing audit: per shard, run-length stats of
+    consecutive same-language docs in epoch_shuffle read order — long runs
+    = single-language gradient stretches the shuffle exists to prevent.
+    Lang carried through the shard derivation, so ONE shuffle total."""
+    return webclean.order_run_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_threshold_curve(spark, sf_dir):
     """Near-dup operating curve: candidate pairs banded by exact integer
     Jaccard decile + cumulative at-or-above counts — what each candidate
@@ -2324,6 +2332,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "corpus_order_runs": q_corpus_order_runs,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "dedup_dup_quality": q_dedup_dup_quality,
         "sketch_bloom_fpr": q_sketch_bloom_fpr,
@@ -2593,6 +2602,7 @@ def oracle_sql() -> Dict[str, str]:
         "sketch_bloom_fpr": sketches.sql_bloom_fpr(),
         "dedup_dup_quality": dedup.sql_dup_quality_interaction(),
         "dedup_threshold_curve": dedup.sql_threshold_curve(),
+        "corpus_order_runs": webclean.sql_order_run_stats(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
