@@ -1249,3 +1249,111 @@ agg AS (SELECT {', '.join(cells)} FROM flagged)
 {rows}
 ORDER BY stage
 """
+
+
+# ------------------------------------------------- source vocabulary overlap
+SRC_TOPK = 64  # per-source head-vocabulary size (the broadcast-safe cap)
+
+
+def source_overlap(documents: DataFrame, topk: int = SRC_TOPK) -> DataFrame:
+    """(source_a, source_b, shared, jaccard_milli) — head-vocabulary
+    Jaccard between every source pair: the 'does the new source add
+    anything' acquisition relation (near-1000 overlap with an existing
+    source = paying twice for the same distribution; datacard's volume
+    columns say how MUCH a source brings, this says how NEW it is).
+
+    100 TB shape: ONE (source, token) census with map-side partials, a
+    per-source top-K trim planned through WindowGroupLimit (map-side
+    partial top-K BEFORE the exchange — the domain_cap kernel), then the
+    pair join runs on |sources| * topk rows — bounded regardless of corpus
+    size. Ties at the count boundary break by token asc, so the head set
+    is deterministic in both engines."""
+    toks = documents.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    census = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("token").asc()
+    )
+    head = (
+        census.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= topk)
+        .select("source", "token")
+    )
+    a = head.select(F.col("source").alias("source_a"), "token")
+    b = head.select(F.col("source").alias("source_b"), "token")
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sizes = head.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("source", "source_a").withColumnRenamed(
+                "n", "na"
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.withColumnRenamed("source", "source_b").withColumnRenamed(
+                "n", "nb"
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            F.expr("(1000 * shared) div (na + nb - shared)")
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def sql_source_overlap(table: str = "documents", topk: int = SRC_TOPK) -> str:
+    """DuckDB mirror of source_overlap."""
+    return f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS token
+  FROM {table}
+),
+census AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, token
+),
+head AS (
+  SELECT source, token FROM (
+    SELECT source, token,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY c DESC, token ASC) AS r
+    FROM census
+  ) WHERE r <= {topk}
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM head GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM head a JOIN head b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.shared,
+       CAST((1000 * s.shared) // (sa.n + sb.n - s.shared) AS BIGINT)
+         AS jaccard_milli
+FROM shared s
+JOIN sizes sa ON sa.source = s.source_a
+JOIN sizes sb ON sb.source = s.source_b
+ORDER BY source_a, source_b
+"""

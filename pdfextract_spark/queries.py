@@ -1758,6 +1758,13 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_corpus_source_overlap(spark, sf_dir):
+    """Head-vocabulary Jaccard between source pairs — the 'is the new
+    source adding anything' acquisition relation. One census + a
+    WindowGroupLimit top-K trim; the pair join is |sources|*K bounded."""
+    return curation.source_overlap(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_order_runs(spark, sf_dir):
     """Training-order mixing audit: per shard, run-length stats of
     consecutive same-language docs in epoch_shuffle read order — long runs
@@ -2332,6 +2339,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "corpus_source_overlap": q_corpus_source_overlap,
         "corpus_order_runs": q_corpus_order_runs,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "dedup_dup_quality": q_dedup_dup_quality,
@@ -2603,6 +2611,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_dup_quality": dedup.sql_dup_quality_interaction(),
         "dedup_threshold_curve": dedup.sql_threshold_curve(),
         "corpus_order_runs": webclean.sql_order_run_stats(),
+        "corpus_source_overlap": curation.sql_source_overlap(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
