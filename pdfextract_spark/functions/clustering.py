@@ -921,3 +921,112 @@ agg AS (SELECT {', '.join(cells)} FROM q)
 {rows}
 ORDER BY dim
 """
+
+
+# ------------------------------------------------ split-half centroid drift
+def centroid_drift(embeddings: DataFrame, dim: int = DIM) -> DataFrame:
+    """(label, n_a, n_b, d2, drift_micro2) — split-half reliability of the
+    per-label centroids: the exact int64 squared L2 between the centroid
+    computed on md5-half A of each label's vectors and the one from half
+    B. A stable, well-populated label drifts ~ sampling noise; a label
+    whose halves disagree is either too thin to trust (n_a/n_b say which)
+    or contaminated by a corrupt encoder run (the embed_outliers sweep
+    localizes it). drift_micro2 = d2 div dim, the per-dimension mean.
+
+    100 TB shape: ONE groupBy(label, half) with 2*|labels| groups and dim
+    elementwise int64 sums (no vector explode), then a |labels|-sized
+    self-join of the two half relations. Same quantization and truncating
+    integer mean as every sibling (non-negative domain: div == floor)."""
+    q = F.transform(
+        "embedding",
+        lambda e: F.floor(
+            (e.cast("double") + F.lit(1.0)) * FIXED_SCALE
+        ).cast("long"),
+    )
+    half = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cd|"), F.col("vec_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    base = embeddings.select("label", half.alias("h"), q.alias("q"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(dim)]
+    g = base.groupBy("label", "h").agg(*aggs)
+    cent = g.select(
+        "label",
+        "h",
+        "n",
+        F.array(*[F.expr(f"s{i} div n") for i in range(dim)]).alias("m"),
+    )
+    a = cent.filter(F.col("h") == 0).select(
+        "label", F.col("n").alias("n_a"), F.col("m").alias("ma")
+    )
+    b = cent.filter(F.col("h") == 1).select(
+        "label", F.col("n").alias("n_b"), F.col("m").alias("mb")
+    )
+    d2 = F.aggregate(
+        F.zip_with("ma", "mb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "label")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_a",
+            "n_b",
+            d2.alias("d2"),
+        )
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            "d2",
+            F.expr(f"d2 div {dim}").cast("long").alias("drift_micro2"),
+        )
+        .orderBy("label")
+    )
+
+
+def sql_centroid_drift(table: str = "embeddings", dim: int = DIM) -> str:
+    """DuckDB mirror of centroid_drift."""
+    qexpr = (
+        "list_transform(embedding, "
+        f"e -> CAST(floor((CAST(e AS DOUBLE) + 1.0) * {FIXED_SCALE}) AS BIGINT))"
+    )
+    half = (
+        "(('0x' || substr(md5('cd|' || CAST(vec_id AS VARCHAR)), 1, 4))"
+        "::BIGINT % 2)"
+    )
+    return f"""
+WITH base AS (
+  SELECT label, {half} AS h, {qexpr} AS q FROM {table}
+),
+cells AS (
+  SELECT label, h, CAST(generate_subscripts(q, 1) AS INT) AS d, unnest(q) AS v
+  FROM base
+),
+cent AS (
+  SELECT label, h, d, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cells GROUP BY label, h, d
+),
+a AS (SELECT label, d, m, n FROM cent WHERE h = 0),
+b AS (SELECT label, d, m, n FROM cent WHERE h = 1)
+SELECT CAST(a.label AS BIGINT) AS label,
+       CAST(MAX(a.n) AS BIGINT) AS n_a,
+       CAST(MAX(b.n) AS BIGINT) AS n_b,
+       CAST(SUM((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS d2,
+       CAST(SUM((a.m - b.m) * (a.m - b.m)) // {dim} AS BIGINT)
+         AS drift_micro2
+FROM a JOIN b ON a.label = b.label AND a.d = b.d
+GROUP BY a.label
+ORDER BY label
+"""

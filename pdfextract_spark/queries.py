@@ -1758,6 +1758,14 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_embed_centroid_drift(spark, sf_dir):
+    """Split-half reliability of per-label centroids: exact int64 squared
+    L2 between md5-half-A and half-B centroids — thin or contaminated
+    labels surface as drift. ONE (label, half) groupBy with elementwise
+    sums, then a |labels|-sized join."""
+    return clustering.centroid_drift(_t(spark, sf_dir, "embeddings"))
+
+
 def q_corpus_source_overlap(spark, sf_dir):
     """Head-vocabulary Jaccard between source pairs — the 'is the new
     source adding anything' acquisition relation. One census + a
@@ -2339,6 +2347,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "embed_centroid_drift": q_embed_centroid_drift,
         "corpus_source_overlap": q_corpus_source_overlap,
         "corpus_order_runs": q_corpus_order_runs,
         "dedup_threshold_curve": q_dedup_threshold_curve,
@@ -2612,6 +2621,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_threshold_curve": dedup.sql_threshold_curve(),
         "corpus_order_runs": webclean.sql_order_run_stats(),
         "corpus_source_overlap": curation.sql_source_overlap(),
+        "embed_centroid_drift": clustering.sql_centroid_drift(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
