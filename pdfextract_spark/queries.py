@@ -1758,6 +1758,78 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_window_gap_quantiles(spark, sf_dir):
+    """Inter-event gap distribution in log2-second buckets with cumulative
+    per-mille — the relation that JUSTIFIES the sessionize timeout: read
+    the p95 gap off cum_pm instead of folklore-30-minutes. One user-keyed
+    lag window (partitioned — never global), a <=40-key bounded bucket
+    census, cum via an in-row fold over the collected bounded frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = F.expr(
+        "(unix_micros(cast(ts as timestamp))"
+        " - unix_micros(cast(lag(ts) over"
+        " (partition by user_id order by ts) as timestamp))) div 1000000"
+    )
+    gaps = ev.select(gap_s.alias("gap_s")).filter(F.col("gap_s").isNotNull())
+    # log2 bucket via bit length: bucket b covers [2^b - 1, 2^(b+1) - 2]
+    # seconds shifted by the +1 guard; 0-second gaps land in bucket 0
+    bucket = (F.length(F.bin(F.col("gap_s") + 1)) - 1).cast("long")
+    hist = gaps.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps")
+    )
+    one = hist.agg(
+        F.collect_list(F.struct("bucket", "n_gaps")).alias("_bs"),
+        F.sum("n_gaps").alias("_total"),
+    )
+    return (
+        one.select(F.explode("_bs").alias("b"), "_bs", "_total")
+        .select(
+            F.col("b.bucket").alias("bucket"),
+            (F.pow(F.lit(2.0), F.col("b.bucket")).cast("long") - 1).alias(
+                "lo_s"
+            ),
+            (
+                F.pow(F.lit(2.0), F.col("b.bucket") + 1).cast("long") - 2
+            ).alias("hi_s"),
+            F.col("b.n_gaps").alias("n_gaps"),
+            F.expr(
+                "(1000 * aggregate(filter(_bs, e -> e.bucket <= b.bucket),"
+                " 0L, (acc, e) -> acc + e.n_gaps)) div _total"
+            )
+            .cast("long")
+            .alias("cum_pm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_WINDOW_GAP_QUANTILES = """
+WITH gaps AS (
+  SELECT (epoch_us(ts::TIMESTAMP)
+          - epoch_us(lag(ts::TIMESTAMP) OVER
+              (PARTITION BY user_id ORDER BY ts))) // 1000000 AS gap_s
+  FROM events
+),
+hist AS (
+  SELECT CAST(length(bin((gap_s + 1)::BIGINT)) - 1 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT SUM(n_gaps) AS total FROM hist)
+SELECT h.bucket,
+       CAST(2 ** h.bucket AS BIGINT) - 1 AS lo_s,
+       CAST(2 ** (h.bucket + 1) AS BIGINT) - 2 AS hi_s,
+       h.n_gaps,
+       CAST((1000 * (SELECT SUM(h2.n_gaps) FROM hist h2
+                     WHERE h2.bucket <= h.bucket)) // tot.total AS BIGINT)
+         AS cum_pm
+FROM hist h, tot
+ORDER BY bucket
+"""
+
+
 def q_embed_centroid_drift(spark, sf_dir):
     """Split-half reliability of per-label centroids: exact int64 squared
     L2 between md5-half-A and half-B centroids — thin or contaminated
@@ -2347,6 +2419,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "window_gap_quantiles": q_window_gap_quantiles,
         "embed_centroid_drift": q_embed_centroid_drift,
         "corpus_source_overlap": q_corpus_source_overlap,
         "corpus_order_runs": q_corpus_order_runs,
@@ -2622,6 +2695,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_order_runs": webclean.sql_order_run_stats(),
         "corpus_source_overlap": curation.sql_source_overlap(),
         "embed_centroid_drift": clustering.sql_centroid_drift(),
+        "window_gap_quantiles": SQL_WINDOW_GAP_QUANTILES,
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
