@@ -908,3 +908,76 @@ SELECT host,
 FROM j GROUP BY host
 ORDER BY host
 """
+
+
+# --------------------------------------------------- content site components
+def site_components(documents: DataFrame) -> DataFrame:
+    """(host, site, site_size) — hosts grouped into SITES by connected
+    components over the mirror-host pair graph (content-fingerprint
+    Jaccard >= 0.5): the host-level dedup unit. Per-site quotas
+    (corpus_domain_cap keyed on `site` instead of the raw host) stop a
+    mirrored site from spending N hosts' worth of budget; hosts outside
+    any mirror pair are their own singleton site.
+
+    100 TB shape: the pair graph is host-space-sized (mirror_hosts'
+    census + capped buckets), the CC fixpoint runs on that small relation,
+    and the singleton fill is one left join from the distinct host census.
+    Nothing doc-sized past the first fingerprint census."""
+    from .dedup import connected_components
+
+    hosted = synthesize_mirror_hosts(documents)
+    hosted = hosted.localCheckpoint(eager=False)  # pairs + host census
+    pairs = mirror_hosts(hosted).select(
+        F.col("host_a").alias("doc_a"), F.col("host_b").alias("doc_b")
+    )
+    cc = connected_components(pairs).select(
+        F.col("doc_id").alias("host"), F.col("rep").alias("site0")
+    )
+    hosts = hosted.select("host").distinct()
+    labeled = hosts.join(cc, "host", "left").select(
+        "host", F.coalesce("site0", "host").alias("site")
+    )
+    sizes = labeled.groupBy("site").agg(
+        F.count(F.lit(1)).cast("long").alias("site_size")
+    )
+    return labeled.join(sizes, "site").select(
+        "host", "site", "site_size"
+    ).orderBy("host")
+
+
+def sql_site_components(table: str = "documents") -> str:
+    """DuckDB mirror of site_components."""
+    from .dedup import sql_connected_components
+
+    pairs = (
+        f"SELECT host_a AS doc_a, host_b AS doc_b FROM ({sql_mirror_hosts(table)})"
+    )
+    cc = sql_connected_components(pairs)
+    host = (
+        "'h' || CAST(('0x' || substr(md5('hs|' || CAST(doc_id AS VARCHAR)), 1, 4))"
+        f"::BIGINT % {HOSTS} AS VARCHAR)"
+    )
+    coin = "(('0x' || substr(md5('mh|' || text), 1, 4))::BIGINT % 2) = 0"
+    return f"""
+WITH hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT {host} AS host FROM {table}
+    UNION ALL
+    SELECT 'm3' FROM {table} WHERE {host} = 'h3'
+    UNION ALL
+    SELECT 'p7' FROM {table} WHERE {host} = 'h7' AND {coin}
+  )
+),
+cc AS ({cc}),
+labeled AS (
+  SELECT h.host, COALESCE(c.rep, h.host) AS site
+  FROM hosts h LEFT JOIN cc c ON h.host = c.doc_id
+),
+sizes AS (
+  SELECT site, CAST(COUNT(*) AS BIGINT) AS site_size
+  FROM labeled GROUP BY site
+)
+SELECT l.host, l.site, s.site_size
+FROM labeled l JOIN sizes s USING (site)
+ORDER BY host
+"""

@@ -1758,6 +1758,14 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_web_site_components(spark, sf_dir):
+    """Hosts grouped into sites via CC over the mirror-host pair graph —
+    the host-level dedup/quota unit (planted mirrors m3/h3 and p7/h7 form
+    multi-host sites; everyone else is a singleton). Host-space-sized
+    throughout."""
+    return graphops.site_components(_t(spark, sf_dir, "documents"))
+
+
 def q_window_gap_quantiles(spark, sf_dir):
     """Inter-event gap distribution in log2-second buckets with cumulative
     per-mille — the relation that JUSTIFIES the sessionize timeout: read
@@ -2419,6 +2427,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "web_site_components": q_web_site_components,
         "window_gap_quantiles": q_window_gap_quantiles,
         "embed_centroid_drift": q_embed_centroid_drift,
         "corpus_source_overlap": q_corpus_source_overlap,
@@ -2696,6 +2705,7 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_source_overlap": curation.sql_source_overlap(),
         "embed_centroid_drift": clustering.sql_centroid_drift(),
         "window_gap_quantiles": SQL_WINDOW_GAP_QUANTILES,
+        "web_site_components": graphops.sql_site_components(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
