@@ -459,3 +459,44 @@ SELECT doc_id,
   CAST(len(ws) AS INT) AS content_words
 FROM h
 """
+
+
+# --------------------------------------------------------- metadata extract
+def html_meta(docs: DataFrame) -> DataFrame:
+    """(doc_id, title, h1, n_links, n_paragraphs, n_comments) — the page
+    metadata relation an indexer extracts before any content processing:
+    document title and headline plus structural counts (total anchors,
+    article paragraphs, comment paragraphs). Pure regexp Column algebra
+    over the synthesized page: ZERO shuffle, zero Python — the 100 TB
+    shape is a narrow map over the crawl scan, same class as
+    web_pii_redact."""
+    html = F.col("html")
+    return synthesize_html(docs).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.regexp_extract(html, r"<title>([^<]*)</title>", 1).alias("title"),
+        F.regexp_extract(html, r"<h1>([^<]*)</h1>", 1).alias("h1"),
+        F.regexp_count(html, F.lit(r"<a href=")).cast("long").alias("n_links"),
+        (
+            F.regexp_count(html, F.lit(r"<p>"))
+        )
+        .cast("long")
+        .alias("n_paragraphs"),
+        F.regexp_count(html, F.lit(r'<p class="comment">'))
+        .cast("long")
+        .alias("n_comments"),
+    )
+
+
+def sql_html_meta() -> str:
+    """DuckDB mirror of html_meta (shares the synthesis SQL)."""
+    return f"""
+WITH pages AS ({sql_synthesize_html()})
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       regexp_extract(html, '<h1>([^<]*)</h1>', 1) AS h1,
+       CAST(len(regexp_extract_all(html, '<a href=')) AS BIGINT) AS n_links,
+       CAST(len(regexp_extract_all(html, '<p>')) AS BIGINT) AS n_paragraphs,
+       CAST(len(regexp_extract_all(html, '<p class="comment">')) AS BIGINT)
+         AS n_comments
+FROM pages
+"""

@@ -1758,6 +1758,13 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_html_meta(spark, sf_dir):
+    """Page-metadata extraction (title, headline, anchor/paragraph/comment
+    counts) — the indexer's first pass: pure regexp Column algebra, zero
+    shuffle, zero Python."""
+    return htmlops.html_meta(_t(spark, sf_dir, "documents"))
+
+
 def q_web_site_components(spark, sf_dir):
     """Hosts grouped into sites via CC over the mirror-host pair graph —
     the host-level dedup/quota unit (planted mirrors m3/h3 and p7/h7 form
@@ -2427,6 +2434,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "html_meta": q_html_meta,
         "web_site_components": q_web_site_components,
         "window_gap_quantiles": q_window_gap_quantiles,
         "embed_centroid_drift": q_embed_centroid_drift,
@@ -2706,6 +2714,7 @@ def oracle_sql() -> Dict[str, str]:
         "embed_centroid_drift": clustering.sql_centroid_drift(),
         "window_gap_quantiles": SQL_WINDOW_GAP_QUANTILES,
         "web_site_components": graphops.sql_site_components(),
+        "html_meta": htmlops.sql_html_meta(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
