@@ -1758,6 +1758,77 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_window_timeout_curve(spark, sf_dir):
+    """Sessionize-timeout sensitivity curve: for each log2 gap-bucket
+    boundary T, the session count a timeout of T would produce — EXACTLY
+    n_users + #gaps > T, so the whole curve reads off the bounded gap
+    histogram with zero extra passes over the events. The dial-choosing
+    relation next to window_gap_quantiles: pick the knee, not a folklore
+    constant."""
+    ev = _t(spark, sf_dir, "events")
+    gap_s = F.expr(
+        "(unix_micros(cast(ts as timestamp))"
+        " - unix_micros(cast(lag(ts) over"
+        " (partition by user_id order by ts) as timestamp))) div 1000000"
+    )
+    gaps = ev.select(gap_s.alias("gap_s")).filter(F.col("gap_s").isNotNull())
+    bucket = (F.length(F.bin(F.col("gap_s") + 1)) - 1).cast("long")
+    hist = gaps.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps")
+    )
+    users = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    one = hist.crossJoin(users).groupBy("n_users").agg(
+        F.collect_list(F.struct("bucket", "n_gaps")).alias("_bs")
+    )
+    # timeout candidate per bucket boundary: T = 2^(b+1) - 2 (the bucket's
+    # inclusive hi edge), sessions = n_users + gaps in buckets > b
+    return (
+        one.select("n_users", F.explode("_bs").alias("b"), "_bs")
+        .select(
+            (
+                F.pow(F.lit(2.0), F.col("b.bucket") + 1).cast("long") - 2
+            ).alias("timeout_s"),
+            F.col("n_users"),
+            (
+                F.col("n_users")
+                + F.expr(
+                    "aggregate(filter(_bs, e -> e.bucket > b.bucket), 0L,"
+                    " (acc, e) -> acc + e.n_gaps)"
+                )
+            )
+            .cast("long")
+            .alias("n_sessions"),
+        )
+        .orderBy("timeout_s")
+    )
+
+
+SQL_WINDOW_TIMEOUT_CURVE = """
+WITH gaps AS (
+  SELECT (epoch_us(ts::TIMESTAMP)
+          - epoch_us(lag(ts::TIMESTAMP) OVER
+              (PARTITION BY user_id ORDER BY ts))) // 1000000 AS gap_s
+  FROM events
+),
+hist AS (
+  SELECT CAST(length(bin((gap_s + 1)::BIGINT)) - 1 AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY 1
+),
+u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events)
+SELECT CAST(2 ** (h.bucket + 1) AS BIGINT) - 2 AS timeout_s,
+       u.n_users,
+       CAST(u.n_users + COALESCE((SELECT SUM(h2.n_gaps) FROM hist h2
+                                  WHERE h2.bucket > h.bucket), 0) AS BIGINT)
+         AS n_sessions
+FROM hist h, u
+ORDER BY timeout_s
+"""
+
+
 def q_html_meta(spark, sf_dir):
     """Page-metadata extraction (title, headline, anchor/paragraph/comment
     counts) — the indexer's first pass: pure regexp Column algebra, zero
@@ -2434,6 +2505,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "window_timeout_curve": q_window_timeout_curve,
         "html_meta": q_html_meta,
         "web_site_components": q_web_site_components,
         "window_gap_quantiles": q_window_gap_quantiles,
@@ -2715,6 +2787,7 @@ def oracle_sql() -> Dict[str, str]:
         "window_gap_quantiles": SQL_WINDOW_GAP_QUANTILES,
         "web_site_components": graphops.sql_site_components(),
         "html_meta": htmlops.sql_html_meta(),
+        "window_timeout_curve": SQL_WINDOW_TIMEOUT_CURVE,
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
