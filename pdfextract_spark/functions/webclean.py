@@ -1909,6 +1909,23 @@ def synthesize_snapshots(documents: DataFrame):
     return snap_a, snap_b
 
 
+def snapshot_status(snap_a: DataFrame, snap_b: DataFrame) -> DataFrame:
+    """(doc_id, status) per doc_id of the UNION of two (doc_id, text)
+    snapshots — the per-doc face of the churn census, and the relation
+    jobs/snapshot_job.py reads its reprocess set (added + changed) from.
+    Each side reduces to (doc_id, md5) narrowly; ONE full-outer join."""
+    fa = snap_a.select("doc_id", F.md5("text").alias("fp_a"))
+    fb = snap_b.select("doc_id", F.md5("text").alias("fp_b"))
+    j = fa.join(fb, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") == F.col("fp_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("doc_id", status.alias("status"))
+
+
 def snapshot_diff(documents: DataFrame) -> DataFrame:
     """(status, n_docs, share_pm) over {added, removed, changed, unchanged}
     between the two synthesized snapshots; share_pm is per-mille of the
@@ -1923,16 +1940,7 @@ def snapshot_diff(documents: DataFrame) -> DataFrame:
     reprocess cost = added + changed rows, read straight off this
     relation."""
     snap_a, snap_b = synthesize_snapshots(documents)
-    fa = snap_a.select("doc_id", F.md5("text").alias("fp_a"))
-    fb = snap_b.select("doc_id", F.md5("text").alias("fp_b"))
-    j = fa.join(fb, "doc_id", "full_outer")
-    status = (
-        F.when(F.col("fp_a").isNull(), F.lit("added"))
-        .when(F.col("fp_b").isNull(), F.lit("removed"))
-        .when(F.col("fp_a") == F.col("fp_b"), F.lit("unchanged"))
-        .otherwise(F.lit("changed"))
-    )
-    census = j.select(status.alias("status")).groupBy("status").agg(
+    census = snapshot_status(snap_a, snap_b).groupBy("status").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     total = census.agg(F.sum("n_docs").alias("total"))
