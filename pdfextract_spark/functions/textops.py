@@ -2654,3 +2654,89 @@ SELECT n, both_keep, rule_only, clf_only, both_drop,
                  // (n * n - ({pe_num})) END AS BIGINT) AS kappa_milli
 FROM agg
 """
+
+
+# --------------------------------------------------------- OCR damage gate
+# Scanned-PDF pipelines (the reference's home turf) receive OCR output whose
+# characteristic damage — glyph confusions ('m' read as 'rn') and broken
+# words ('the' split as 't he') — survives every other hygiene gate: the
+# words are ASCII, the stopwords are there, the perplexity barely moves.
+# This gate measures the two signatures directly. The synthesizer plants
+# both transforms on an md5-selected ~1/8 of docs; docs where neither
+# transform takes (no 'm', no ' the ') are planted-but-silent and the
+# detector is only accountable for docs the damage actually changed.
+
+OCR_RN_PM = 8  # 'rn' bigrams per 1000 chars; clean prose sits far below
+
+
+def synthesize_ocr_corpus(documents: DataFrame) -> DataFrame:
+    """documents with OCR damage planted on the md5 'ocr' bucket: 'm' ->
+    'rn' (glyph confusion) and ' the ' -> ' t he ' (broken word)."""
+    planted = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ocr|"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+        == 0
+    )
+    damaged = F.replace(
+        F.replace(F.col("text"), F.lit("m"), F.lit("rn")),
+        F.lit(" the "),
+        F.lit(" t he "),
+    )
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(planted, damaged).otherwise(F.col("text")).alias("text"),
+    )
+
+
+def ocr_artifacts(docs: DataFrame) -> DataFrame:
+    """(doc_id, rn_pm, broken_the, ocr_flag) — the OCR damage gate: 'rn'
+    bigram density per mille of chars, the broken-stopword marker, and the
+    disjunctive flag. ONE narrow Project, zero shuffle, zero Python — a
+    100 TB pass is a pure map over the scan (the web_pii_redact class)."""
+    rn_pm = F.expr(
+        "CASE WHEN length(text) > 0"
+        " THEN (1000 * (length(text) - length(replace(text, 'rn', ''))) div 2)"
+        "      div length(text)"
+        " ELSE 0 END"
+    ).cast("long")
+    broken = F.col("text").contains(" t he ")
+    return docs.select(
+        "doc_id",
+        rn_pm.alias("rn_pm"),
+        broken.alias("broken_the"),
+        ((rn_pm >= OCR_RN_PM) | broken).alias("ocr_flag"),
+    )
+
+
+def sql_ocr_artifacts(table: str = "documents") -> str:
+    """DuckDB mirror of ocr_artifacts over the OCR damage synthesis."""
+    planted = (
+        "(('0x' || substr(md5('ocr|' || CAST(doc_id AS VARCHAR)), 1, 4))"
+        "::BIGINT % 8) = 0"
+    )
+    damaged = "replace(replace(text, 'm', 'rn'), ' the ', ' t he ')"
+    rn_pm = (
+        "CAST(CASE WHEN length(text) > 0"
+        " THEN (1000 * ((length(text) - length(replace(text, 'rn', ''))) // 2))"
+        "      // length(text)"
+        " ELSE 0 END AS BIGINT)"
+    )
+    return f"""
+WITH synth AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN {planted} THEN {damaged} ELSE text END AS text
+  FROM {table}
+)
+SELECT doc_id, {rn_pm} AS rn_pm,
+       (text LIKE '% t he %') AS broken_the,
+       ({rn_pm} >= {OCR_RN_PM} OR text LIKE '% t he %') AS ocr_flag
+FROM synth
+"""

@@ -1758,6 +1758,16 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_text_ocr_artifacts(spark, sf_dir):
+    """OCR damage gate (glyph confusions + broken words — the scanned-PDF
+    failure every other hygiene gate passes): rn-bigram density +
+    broken-stopword marker over the planted-damage synthesis. One narrow
+    Project, zero shuffle."""
+    return textops.ocr_artifacts(
+        textops.synthesize_ocr_corpus(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_window_timeout_curve(spark, sf_dir):
     """Sessionize-timeout sensitivity curve: for each log2 gap-bucket
     boundary T, the session count a timeout of T would produce — EXACTLY
@@ -2505,6 +2515,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "text_ocr_artifacts": q_text_ocr_artifacts,
         "window_timeout_curve": q_window_timeout_curve,
         "html_meta": q_html_meta,
         "web_site_components": q_web_site_components,
@@ -2788,6 +2799,7 @@ def oracle_sql() -> Dict[str, str]:
         "web_site_components": graphops.sql_site_components(),
         "html_meta": htmlops.sql_html_meta(),
         "window_timeout_curve": SQL_WINDOW_TIMEOUT_CURVE,
+        "text_ocr_artifacts": textops.sql_ocr_artifacts(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
