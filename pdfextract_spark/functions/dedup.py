@@ -2472,3 +2472,144 @@ SELECT h.band_milli, h.n_pairs,
 FROM hist h
 ORDER BY band_milli
 """
+
+
+# ------------------------------------------------------ dedup savings rollup
+def dedup_savings(documents: DataFrame) -> DataFrame:
+    """(strategy, n_docs_before, n_docs_after, n_tokens_before,
+    n_tokens_after, docs_removed_pm, tokens_removed_pm) — one row per dedup
+    strategy (exact content, canonical URL, MinHash near-dup components):
+    the executive rollup that says what each pass actually buys before
+    anyone schedules it at corpus scale.
+
+    100 TB shape: each strategy contributes ONE 1-row conditional-sum
+    aggregate over its keeper relation (exact = fingerprint window-min,
+    URL = the url_dedup keeper, near-dup = CC reps + out-of-graph docs);
+    the rollup is a 3-row union of those aggregates — the strategies' own
+    costs dominate, the report adds nothing wide."""
+    from pyspark.sql import Window
+
+    from .webclean import synthesize_urls, url_dedup
+
+    toks = F.size(
+        F.filter(F.split("text", " "), lambda w: w != "")
+    ).cast("long")
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.md5("text").alias("fp"),
+        toks.alias("t"),
+    )
+    base = base.localCheckpoint(eager=False)  # three strategy consumers
+
+    def rollup(df, keep_col, name):
+        agg = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_before"),
+            F.sum(F.col(keep_col).cast("long")).alias("n_docs_after"),
+            F.sum("t").alias("n_tokens_before"),
+            F.sum(F.when(F.col(keep_col), F.col("t")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_after"),
+        )
+        return agg.select(F.lit(name).alias("strategy"), "*")
+
+    exact = base.withColumn(
+        "keep",
+        F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")) == 1,
+    )
+    url = (
+        url_dedup(synthesize_urls(documents))
+        .select("doc_id", F.col("is_keeper").alias("keep"))
+        .join(base, "doc_id")
+    )
+    cc = connected_components(lsh_candidate_pairs(documents)).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "rep"
+    )
+    near = base.join(cc, "doc_id", "left").withColumn(
+        "keep",
+        F.col("rep").isNull() | (F.col("doc_id") == F.col("rep").cast("string")),
+    )
+    out = (
+        rollup(exact, "keep", "exact")
+        .unionByName(rollup(url, "keep", "url"))
+        .unionByName(rollup(near, "keep", "neardup"))
+    )
+    return out.select(
+        "strategy",
+        "n_docs_before",
+        "n_docs_after",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.expr("(1000 * (n_docs_before - n_docs_after)) div n_docs_before")
+        .cast("long")
+        .alias("docs_removed_pm"),
+        F.expr(
+            "CASE WHEN n_tokens_before = 0 THEN 0"
+            " ELSE (1000 * (n_tokens_before - n_tokens_after))"
+            " div n_tokens_before END"
+        )
+        .cast("long")
+        .alias("tokens_removed_pm"),
+    ).orderBy("strategy")
+
+
+def sql_dedup_savings(table: str = "documents") -> str:
+    """DuckDB mirror of dedup_savings."""
+    from .webclean import sql_url_dedup
+
+    cc = sql_connected_components(
+        f"SELECT doc_a, doc_b FROM ({sql_lsh_candidate_pairs(table)})"
+    )
+    toks = "CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)"
+    report = (
+        "SELECT strategy, n_docs_before, n_docs_after, n_tokens_before,"
+        " n_tokens_after,"
+        " CAST((1000 * (n_docs_before - n_docs_after)) // n_docs_before"
+        "      AS BIGINT) AS docs_removed_pm,"
+        " CAST(CASE WHEN n_tokens_before = 0 THEN 0"
+        "      ELSE (1000 * (n_tokens_before - n_tokens_after))"
+        "           // n_tokens_before END AS BIGINT) AS tokens_removed_pm"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS fp, {toks} AS t
+  FROM {table}
+),
+exact_k AS (
+  SELECT doc_id, t,
+         (ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1) AS keep
+  FROM base
+),
+url_k AS (
+  SELECT b.doc_id, b.t, u.is_keeper AS keep
+  FROM base b JOIN ({sql_url_dedup(table)}) u USING (doc_id)
+),
+cc AS ({cc}),
+near_k AS (
+  SELECT b.doc_id, b.t,
+         (c.rep IS NULL OR b.doc_id = CAST(c.rep AS VARCHAR)) AS keep
+  FROM base b LEFT JOIN cc c ON b.doc_id = CAST(c.doc_id AS VARCHAR)
+),
+agg AS (
+  SELECT 'exact' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_docs_before,
+         CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_docs_after,
+         CAST(SUM(t) AS BIGINT) AS n_tokens_before,
+         CAST(COALESCE(SUM(t) FILTER (WHERE keep), 0) AS BIGINT)
+           AS n_tokens_after
+  FROM exact_k
+  UNION ALL
+  SELECT 'url', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT),
+         CAST(SUM(t) AS BIGINT),
+         CAST(COALESCE(SUM(t) FILTER (WHERE keep), 0) AS BIGINT)
+  FROM url_k
+  UNION ALL
+  SELECT 'neardup', CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT),
+         CAST(SUM(t) AS BIGINT),
+         CAST(COALESCE(SUM(t) FILTER (WHERE keep), 0) AS BIGINT)
+  FROM near_k
+)
+{report}
+FROM agg
+ORDER BY strategy
+"""

@@ -1758,6 +1758,13 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_dedup_savings(spark, sf_dir):
+    """Per-strategy dedup savings rollup (exact / URL / near-dup): docs and
+    tokens before/after each keeper pass — what each pass buys, as one
+    3-row relation. Each strategy is a 1-row aggregate over its keeper."""
+    return dedup.dedup_savings(_t(spark, sf_dir, "documents"))
+
+
 def q_text_ocr_artifacts(spark, sf_dir):
     """OCR damage gate (glyph confusions + broken words — the scanned-PDF
     failure every other hygiene gate passes): rn-bigram density +
@@ -2515,6 +2522,7 @@ def queries() -> Dict[str, Callable]:
     # every entry past them is a veteran green in >=1 prior driver round.
     # All 157 stay pytest- and check_oracle-gated every round.
     return {
+        "dedup_savings": q_dedup_savings,
         "text_ocr_artifacts": q_text_ocr_artifacts,
         "window_timeout_curve": q_window_timeout_curve,
         "html_meta": q_html_meta,
@@ -2800,6 +2808,7 @@ def oracle_sql() -> Dict[str, str]:
         "html_meta": htmlops.sql_html_meta(),
         "window_timeout_curve": SQL_WINDOW_TIMEOUT_CURVE,
         "text_ocr_artifacts": textops.sql_ocr_artifacts(),
+        "dedup_savings": dedup.sql_dedup_savings(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
