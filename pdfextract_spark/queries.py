@@ -1758,6 +1758,14 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_sim_table_curve(spark, sf_dir):
+    """ANN operating curve on the table-count dial: verified pairs by the
+    FIRST table that catches them + cumulative — flat tail = wasted
+    tables, climbing tail = add tables. Same plan as ann_lsh_pairs plus a
+    min(table_id) agg column."""
+    return similarity.ann_table_curve(_t(spark, sf_dir, "embeddings"))
+
+
 def q_dedup_savings(spark, sf_dir):
     """Per-strategy dedup savings rollup (exact / URL / near-dup): docs and
     tokens before/after each keeper pass — what each pass buys, as one
@@ -2520,6 +2528,7 @@ def queries() -> Dict[str, Callable]:
     # driver round. All 180 stay pytest- and check_oracle-gated every
     # round (this session's full sweep: 180/180 OK).
     return {
+        "sim_table_curve": q_sim_table_curve,
         "dedup_savings": q_dedup_savings,
         "text_ocr_artifacts": q_text_ocr_artifacts,
         "window_timeout_curve": q_window_timeout_curve,
@@ -2807,6 +2816,7 @@ def oracle_sql() -> Dict[str, str]:
         "window_timeout_curve": SQL_WINDOW_TIMEOUT_CURVE,
         "text_ocr_artifacts": textops.sql_ocr_artifacts(),
         "dedup_savings": dedup.sql_dedup_savings(),
+        "sim_table_curve": similarity.sql_ann_table_curve(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
