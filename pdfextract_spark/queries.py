@@ -1758,6 +1758,114 @@ ORDER BY cohort_day, day_offset
 """
 
 
+BOT_USERS = 4
+BOT_EVENTS = 50
+BOT_MIN_EVENTS = 20
+BOT_DISP_PM = 10  # gap dispersion (var/mean^2) per-mille threshold
+
+
+def q_window_bot_users(spark, sf_dir):
+    """Bot detection over the event log: per user, event count and the
+    DISPERSION of inter-event gaps (var/mean^2 in exact integer per-mille
+    — scale-free, so a 30s bot and a 10min bot both read ~0) with the
+    high-rate + clockwork flag. Humans burst and pause (dispersion >> 0);
+    schedulers tick. Planted bots ('b0'..'b3', exact 60s cadence) flag;
+    every organic user must not.
+
+    Scale shape: ONE user-partitioned lag window + ONE user-keyed census
+    (map-side partials); the dispersion arithmetic is the exact
+    n*ssq - s^2 identity — no sqrt, no floats, bit-equal mirrors."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    n_rows = BOT_USERS * BOT_EVENTS
+    bots = (
+        ev.agg(F.count(F.lit(1)).alias("_n"))
+        .select(F.explode(F.sequence(F.lit(0), F.lit(n_rows - 1))).alias("k"))
+        .select(
+            F.concat(F.lit("b"), (F.col("k") % BOT_USERS).cast("string")).alias(
+                "user_id"
+            ),
+            F.expr(
+                f"timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, (k div {BOT_USERS}) * 60)"
+            ).alias("ts"),
+        )
+    )
+    allev = ev.unionByName(bots)
+    gap = F.expr(
+        "unix_micros(ts) - unix_micros(lag(ts) over"
+        " (partition by user_id order by ts))"
+    )
+    gaps = allev.select(
+        "user_id", (gap / F.lit(1_000_000)).cast("long").alias("g")
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("g").cast("long").alias("n_gaps"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("ssq"),
+    )
+    disp = F.expr(
+        "CASE WHEN s IS NULL OR s = 0 THEN 1000000"
+        " ELSE (1000 * (n_gaps * ssq - s * s)) div (s * s) END"
+    ).cast("long")
+    return (
+        agg.select(
+            "user_id",
+            "n_events",
+            "n_gaps",
+            F.coalesce(F.expr("s div greatest(1, n_gaps)"), F.lit(0))
+            .cast("long")
+            .alias("mean_gap_s"),
+            disp.alias("dispersion_pm"),
+        )
+        .select(
+            "*",
+            (
+                (F.col("n_events") >= BOT_MIN_EVENTS)
+                & (F.col("dispersion_pm") <= BOT_DISP_PM)
+            ).alias("bot_flag"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_WINDOW_BOT_USERS = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id, ts::TIMESTAMP AS ts FROM events
+  UNION ALL
+  SELECT 'b' || CAST(k % {BOT_USERS} AS VARCHAR),
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds((k // {BOT_USERS}) * 60)
+  FROM (SELECT unnest(range({BOT_USERS * BOT_EVENTS})) AS k)
+),
+gaps AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) - epoch_us(lag(ts) OVER
+            (PARTITION BY user_id ORDER BY ts))) // 1000000 AS BIGINT) AS g
+  FROM ev
+),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(g) AS BIGINT) AS n_gaps,
+         SUM(g) AS s, SUM(g * g) AS ssq
+  FROM gaps GROUP BY user_id
+)
+SELECT user_id, n_events, n_gaps,
+       CAST(COALESCE(s // GREATEST(1, n_gaps), 0) AS BIGINT) AS mean_gap_s,
+       CAST(CASE WHEN s IS NULL OR s = 0 THEN 1000000
+            ELSE (1000 * (n_gaps * ssq - s * s)) // (s * s) END AS BIGINT)
+         AS dispersion_pm,
+       (n_events >= {BOT_MIN_EVENTS} AND
+        (CASE WHEN s IS NULL OR s = 0 THEN 1000000
+         ELSE (1000 * (n_gaps * ssq - s * s)) // (s * s) END)
+          <= {BOT_DISP_PM}) AS bot_flag
+FROM agg
+ORDER BY user_id
+"""
+
+
 def q_sim_table_curve(spark, sf_dir):
     """ANN operating curve on the table-count dial: verified pairs by the
     FIRST table that catches them + cumulative — flat tail = wasted
@@ -2528,6 +2636,7 @@ def queries() -> Dict[str, Callable]:
     # driver round. All 180 stay pytest- and check_oracle-gated every
     # round (this session's full sweep: 180/180 OK).
     return {
+        "window_bot_users": q_window_bot_users,
         "sim_table_curve": q_sim_table_curve,
         "dedup_savings": q_dedup_savings,
         "text_ocr_artifacts": q_text_ocr_artifacts,
@@ -2817,6 +2926,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_ocr_artifacts": textops.sql_ocr_artifacts(),
         "dedup_savings": dedup.sql_dedup_savings(),
         "sim_table_curve": similarity.sql_ann_table_curve(),
+        "window_bot_users": SQL_WINDOW_BOT_USERS,
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
