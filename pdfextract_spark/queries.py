@@ -1758,6 +1758,14 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_embed_norm_audit(spark, sf_dir):
+    """Embedding-norm histogram (log2 buckets of the exact fixed-point
+    squared norm) — the 'actually unit-normalized?' check every
+    cosine/IVF consumer assumes; a second mode = mixed encoder batch.
+    One Project + one bounded census."""
+    return similarity.norm_audit(_t(spark, sf_dir, "embeddings"))
+
+
 BOT_USERS = 4
 BOT_EVENTS = 50
 BOT_MIN_EVENTS = 20
@@ -2636,6 +2644,7 @@ def queries() -> Dict[str, Callable]:
     # driver round. All 180 stay pytest- and check_oracle-gated every
     # round (this session's full sweep: 180/180 OK).
     return {
+        "embed_norm_audit": q_embed_norm_audit,
         "window_bot_users": q_window_bot_users,
         "sim_table_curve": q_sim_table_curve,
         "dedup_savings": q_dedup_savings,
@@ -2927,6 +2936,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_savings": dedup.sql_dedup_savings(),
         "sim_table_curve": similarity.sql_ann_table_curve(),
         "window_bot_users": SQL_WINDOW_BOT_USERS,
+        "embed_norm_audit": similarity.sql_norm_audit(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
