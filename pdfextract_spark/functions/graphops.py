@@ -981,3 +981,88 @@ SELECT l.host, l.site, s.site_size
 FROM labeled l JOIN sizes s USING (site)
 ORDER BY host
 """
+
+
+# ------------------------------------------------------- link-graph health
+def link_health(documents: DataFrame) -> DataFrame:
+    """1-row (n_hosts, n_edges, n_sinks, n_sources, sink_pm) — the graph
+    sanity census in front of every rank computation: SINKS (inlinks, no
+    outlinks) are where PageRank mass leaks (the teleport term exists for
+    them), SOURCES (outlinks, no inlinks) are uncrawlable-by-link hosts a
+    frontier must seed explicitly. A sink_pm spike after a crawl config
+    change = the fetcher stopped following some link class.
+
+    Scale shape: host_edges' ONE distinct census, then two host-space
+    semi/anti joins folded into one aggregate via full-outer degree
+    union — everything host-space-sized."""
+    edges = host_edges(documents)
+    edges = edges.localCheckpoint(eager=False)  # out + in degree consumers
+    outs = edges.select(F.col("src").alias("host")).distinct().withColumn(
+        "has_out", F.lit(1)
+    )
+    ins = edges.select(F.col("dst").alias("host")).distinct().withColumn(
+        "has_in", F.lit(1)
+    )
+    hosts = outs.join(ins, "host", "full_outer").select(
+        F.coalesce("has_out", F.lit(0)).alias("o"),
+        F.coalesce("has_in", F.lit(0)).alias("i"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        hosts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_hosts"),
+            F.sum(((F.col("i") == 1) & (F.col("o") == 0)).cast("long")).alias(
+                "n_sinks"
+            ),
+            F.sum(((F.col("o") == 1) & (F.col("i") == 0)).cast("long")).alias(
+                "n_sources"
+            ),
+        )
+        .crossJoin(n_edges)
+        .select(
+            "n_hosts",
+            "n_edges",
+            "n_sinks",
+            "n_sources",
+            F.expr("(1000 * n_sinks) div n_hosts").cast("long").alias(
+                "sink_pm"
+            ),
+        )
+    )
+
+
+def sql_link_health(table: str = "documents") -> str:
+    """DuckDB mirror of link_health (shares the host_edges synthesis)."""
+    host = (
+        "'h' || CAST(('0x' || substr(md5('hs|' || CAST(doc_id AS VARCHAR)), 1, 4))"
+        f"::BIGINT % {HOSTS} AS VARCHAR)"
+    )
+    dst = (
+        "'h' || CAST(('0x' || substr(md5('lk|' || CAST(doc_id AS VARCHAR) "
+        f"|| '|' || k), 1, 4))::BIGINT % {HOSTS} AS VARCHAR)"
+    )
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT {host} AS src, {dst} AS dst
+    FROM {table}, (SELECT unnest(range({OUT_LINKS})) AS k)
+  ) WHERE src <> dst
+),
+outs AS (SELECT DISTINCT src AS host FROM edges),
+ins AS (SELECT DISTINCT dst AS host FROM edges),
+hosts AS (
+  SELECT CASE WHEN o.host IS NOT NULL THEN 1 ELSE 0 END AS o,
+         CASE WHEN i.host IS NOT NULL THEN 1 ELSE 0 END AS i
+  FROM outs o FULL OUTER JOIN ins i USING (host)
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+         CAST(COUNT(*) FILTER (WHERE i = 1 AND o = 0) AS BIGINT) AS n_sinks,
+         CAST(COUNT(*) FILTER (WHERE o = 1 AND i = 0) AS BIGINT) AS n_sources
+  FROM hosts
+),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+SELECT n_hosts, n_edges, n_sinks, n_sources,
+       CAST((1000 * n_sinks) // n_hosts AS BIGINT) AS sink_pm
+FROM agg, ne
+"""

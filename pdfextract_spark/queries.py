@@ -1758,6 +1758,13 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_graph_link_health(spark, sf_dir):
+    """Link-graph sanity census: sinks (PageRank leak points), sources
+    (link-unreachable hosts a frontier must seed), edge/host totals —
+    host-space-sized throughout."""
+    return graphops.link_health(_t(spark, sf_dir, "documents"))
+
+
 def q_embed_norm_audit(spark, sf_dir):
     """Embedding-norm histogram (log2 buckets of the exact fixed-point
     squared norm) — the 'actually unit-normalized?' check every
@@ -2644,6 +2651,7 @@ def queries() -> Dict[str, Callable]:
     # driver round. All 180 stay pytest- and check_oracle-gated every
     # round (this session's full sweep: 180/180 OK).
     return {
+        "graph_link_health": q_graph_link_health,
         "embed_norm_audit": q_embed_norm_audit,
         "window_bot_users": q_window_bot_users,
         "sim_table_curve": q_sim_table_curve,
@@ -2937,6 +2945,7 @@ def oracle_sql() -> Dict[str, str]:
         "sim_table_curve": similarity.sql_ann_table_curve(),
         "window_bot_users": SQL_WINDOW_BOT_USERS,
         "embed_norm_audit": similarity.sql_norm_audit(),
+        "graph_link_health": graphops.sql_link_health(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
