@@ -2613,3 +2613,105 @@ agg AS (
 FROM agg
 ORDER BY strategy
 """
+
+
+# ------------------------------------------------- minhash calibration
+def minhash_calibration(documents: DataFrame) -> DataFrame:
+    """(m_match, est_milli, n_pairs, mean_true_milli, mean_abs_err_milli)
+    — estimator calibration of the MinHash sketch: for every candidate
+    pair, the matching-component count m (recovered exactly from
+    jaccard_est: all m/16 values are exact dyadic doubles) against the
+    EXACT shingle-set Jaccard, banded by m. The 'can I trust the sketch'
+    relation: E[m/16] = J by the MinHash theorem, so a calibrated sketch
+    shows mean_true ~ est per band — a biased row means the permutation
+    family or the shingle space is broken, before any dedup acts on it.
+
+    Scale shape: candidate pairs are cap-bounded (lsh_candidate_pairs);
+    the truth needs each pair's shingle sets — two doc-keyed joins onto
+    the pair relation (pair-volume-sized, NOT corpus-quadratic) and an
+    in-row array_intersect; then ONE <=17-key band census."""
+    pairs = lsh_candidate_pairs(documents).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("jaccard_est") * N_PERM).cast("long").alias("m"),
+    )
+    docs = _fan_out(documents).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _shingles(_words(F.col("text"))).alias("g"),
+    )
+    docs = docs.localCheckpoint(eager=False)  # joined twice (a and b sides)
+    j = (
+        pairs.join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")),
+            "doc_a",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("ga", "gb")).cast("long")
+    uni = F.size("ga").cast("long") + F.size("gb").cast("long") - inter
+    scored = j.select(
+        "m", inter.alias("_i"), uni.alias("_u")
+    ).select(
+        "m",
+        F.when(F.col("_u") > 0, F.expr("(1000 * _i) div _u"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("true_milli"),
+    )
+    est = F.expr(f"(1000 * m) div {N_PERM}").cast("long")
+    return (
+        scored.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("true_milli").alias("_s"),
+            F.sum(
+                F.abs(F.col("true_milli") - est)
+            ).alias("_e"),
+        )
+        .select(
+            F.col("m").alias("m_match"),
+            F.expr(f"(1000 * m) div {N_PERM}").cast("long").alias("est_milli"),
+            "n_pairs",
+            F.expr("_s div n_pairs").cast("long").alias("mean_true_milli"),
+            F.expr("_e div n_pairs").cast("long").alias("mean_abs_err_milli"),
+        )
+        .orderBy("m_match")
+    )
+
+
+def sql_minhash_calibration(table: str = "documents") -> str:
+    """DuckDB mirror of minhash_calibration."""
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(round(jaccard_est * {N_PERM}) AS BIGINT) AS m
+  FROM ({sql_lsh_candidate_pairs(table)})
+),
+docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {sql_shingles('text')} AS g
+  FROM {table}
+),
+scored AS (
+  SELECT p.m,
+         CAST(CASE WHEN (len(a.g) + len(b.g)
+                    - len(list_filter(a.g, x -> list_contains(b.g, x)))) > 0
+              THEN (1000 * len(list_filter(a.g, x -> list_contains(b.g, x))))
+                   // (len(a.g) + len(b.g)
+                       - len(list_filter(a.g, x -> list_contains(b.g, x))))
+              ELSE 0 END AS BIGINT) AS true_milli
+  FROM pairs p
+  JOIN docs a ON a.doc_id = p.doc_a
+  JOIN docs b ON b.doc_id = p.doc_b
+)
+SELECT m AS m_match,
+       CAST((1000 * m) // {N_PERM} AS BIGINT) AS est_milli,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(true_milli) // COUNT(*) AS BIGINT) AS mean_true_milli,
+       CAST(SUM(abs(true_milli - (1000 * m) // {N_PERM})) // COUNT(*)
+            AS BIGINT) AS mean_abs_err_milli
+FROM scored GROUP BY m
+ORDER BY m_match
+"""

@@ -1758,6 +1758,14 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_dedup_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration: matching-component count vs EXACT
+    shingle Jaccard per band — E[m/16] = J, so a biased band means the
+    sketch is broken before any dedup acts on it. Pair-volume-sized
+    truth joins + one <=17-key census."""
+    return dedup.minhash_calibration(_t(spark, sf_dir, "documents"))
+
+
 def q_graph_link_health(spark, sf_dir):
     """Link-graph sanity census: sinks (PageRank leak points), sources
     (link-unreachable hosts a frontier must seed), edge/host totals —
@@ -2651,6 +2659,7 @@ def queries() -> Dict[str, Callable]:
     # driver round. All 180 stay pytest- and check_oracle-gated every
     # round (this session's full sweep: 180/180 OK).
     return {
+        "dedup_minhash_calibration": q_dedup_minhash_calibration,
         "graph_link_health": q_graph_link_health,
         "embed_norm_audit": q_embed_norm_audit,
         "window_bot_users": q_window_bot_users,
@@ -2946,6 +2955,7 @@ def oracle_sql() -> Dict[str, str]:
         "window_bot_users": SQL_WINDOW_BOT_USERS,
         "embed_norm_audit": similarity.sql_norm_audit(),
         "graph_link_health": graphops.sql_link_health(),
+        "dedup_minhash_calibration": dedup.sql_minhash_calibration(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
