@@ -1758,6 +1758,112 @@ ORDER BY cohort_day, day_offset
 """
 
 
+GROWTH_STEPS = 8  # corpus-prefix eighths
+
+
+def q_corpus_growth_curve(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law): distinct token count at each
+    md5-ordered corpus-prefix eighth — the 'is more of this source still
+    adding new content' acquisition relation (a flattening curve says the
+    marginal crawl buys repetition, not coverage).
+
+    Exact at any scale WITHOUT re-scanning per prefix: a token's
+    contribution to prefix k is determined by the FIRST eighth it appears
+    in, so ONE (token -> min bucket) census + a GROWTH_STEPS-key histogram
+    + an in-row cumulative fold computes the whole curve. Same trick as
+    the retention/first-seen censuses: first-appearance reduces a
+    per-prefix distinct to one groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("gr|"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % GROWTH_STEPS
+    )
+    toks = docs.select(
+        bucket.alias("b"),
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    first = toks.groupBy("token").agg(F.min("b").alias("fb"))
+    hist = first.groupBy("fb").agg(
+        F.count(F.lit(1)).cast("long").alias("new_tokens")
+    )
+    ndocs = docs.select(bucket.alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    merged = hist.join(ndocs, hist.fb == ndocs.b, "full_outer").select(
+        F.coalesce("fb", "b").alias("step"),
+        F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+        F.coalesce("nd", F.lit(0)).alias("nd"),
+    )
+    one = merged.agg(
+        F.collect_list(F.struct("step", "new_tokens", "nd")).alias("_hs")
+    )
+    return (
+        one.select(F.explode("_hs").alias("h"), "_hs")
+        .select(
+            (F.col("h.step") + 1).cast("long").alias("prefix_eighths"),
+            F.expr(
+                "aggregate(filter(_hs, e -> e.step <= h.step), 0L,"
+                " (acc, e) -> acc + e.nd)"
+            )
+            .cast("long")
+            .alias("n_docs"),
+            F.col("h.new_tokens").cast("long").alias("new_tokens"),
+            F.expr(
+                "aggregate(filter(_hs, e -> e.step <= h.step), 0L,"
+                " (acc, e) -> acc + e.new_tokens)"
+            )
+            .cast("long")
+            .alias("n_distinct_tokens"),
+        )
+        .orderBy("prefix_eighths")
+    )
+
+
+SQL_CORPUS_GROWTH_CURVE = f"""
+WITH toks AS (
+  SELECT ('0x' || substr(md5('gr|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           % {GROWTH_STEPS} AS b,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS token
+  FROM documents
+),
+first AS (SELECT token, MIN(b) AS fb FROM toks GROUP BY token),
+hist AS (
+  SELECT fb, CAST(COUNT(*) AS BIGINT) AS new_tokens FROM first GROUP BY fb
+),
+nd AS (
+  SELECT ('0x' || substr(md5('gr|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+           % {GROWTH_STEPS} AS b,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM documents GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(h.fb, n.b) AS step,
+         COALESCE(h.new_tokens, 0) AS new_tokens,
+         COALESCE(n.nd, 0) AS nd
+  FROM hist h FULL OUTER JOIN nd n ON h.fb = n.b
+)
+SELECT CAST(m.step + 1 AS BIGINT) AS prefix_eighths,
+       (SELECT CAST(SUM(m2.nd) AS BIGINT) FROM merged m2
+        WHERE m2.step <= m.step) AS n_docs,
+       CAST(m.new_tokens AS BIGINT) AS new_tokens,
+       (SELECT CAST(SUM(m2.new_tokens) AS BIGINT) FROM merged m2
+        WHERE m2.step <= m.step) AS n_distinct_tokens
+FROM merged m
+ORDER BY prefix_eighths
+"""
+
+
 def q_dedup_minhash_calibration(spark, sf_dir):
     """MinHash estimator calibration: matching-component count vs EXACT
     shingle Jaccard per band — E[m/16] = J, so a biased band means the
@@ -2659,6 +2765,7 @@ def queries() -> Dict[str, Callable]:
     # driver round. All 180 stay pytest- and check_oracle-gated every
     # round (this session's full sweep: 180/180 OK).
     return {
+        "corpus_growth_curve": q_corpus_growth_curve,
         "dedup_minhash_calibration": q_dedup_minhash_calibration,
         "graph_link_health": q_graph_link_health,
         "embed_norm_audit": q_embed_norm_audit,
@@ -2956,6 +3063,7 @@ def oracle_sql() -> Dict[str, str]:
         "embed_norm_audit": similarity.sql_norm_audit(),
         "graph_link_health": graphops.sql_link_health(),
         "dedup_minhash_calibration": dedup.sql_minhash_calibration(),
+        "corpus_growth_curve": SQL_CORPUS_GROWTH_CURVE,
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
