@@ -1758,6 +1758,50 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_window_event_mix(spark, sf_dir):
+    """Per-day event-type composition (count + per-mille share of the
+    day): the adoption/drift relation — a type's share trending says a
+    feature is growing or a collector stopped logging it. ONE
+    calendar-bounded (day, type) census + a day-total join (both sides
+    calendar-sized)."""
+    ev = _t(spark, sf_dir, "events")
+    DAY_US = 86_400_000_000
+    base = ev.select(
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}").alias(
+            "day"
+        ),
+        "event_type",
+    )
+    census = base.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = census.groupBy("day").agg(F.sum("n").alias("day_total"))
+    return (
+        census.join(totals, "day")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "event_type",
+            "n",
+            F.expr("(1000 * n) div day_total").cast("long").alias("share_pm"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_WINDOW_EVENT_MIX = """
+WITH census AS (
+  SELECT (epoch_us(ts::TIMESTAMP) // 86400000000) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+totals AS (SELECT day, SUM(n) AS day_total FROM census GROUP BY day)
+SELECT CAST(c.day AS BIGINT) AS day, c.event_type, c.n,
+       CAST((1000 * c.n) // t.day_total AS BIGINT) AS share_pm
+FROM census c JOIN totals t USING (day)
+ORDER BY day, event_type
+"""
+
+
 GROWTH_STEPS = 8  # corpus-prefix eighths
 
 
@@ -2765,6 +2809,7 @@ def queries() -> Dict[str, Callable]:
     # driver round. All 180 stay pytest- and check_oracle-gated every
     # round (this session's full sweep: 180/180 OK).
     return {
+        "window_event_mix": q_window_event_mix,
         "corpus_growth_curve": q_corpus_growth_curve,
         "dedup_minhash_calibration": q_dedup_minhash_calibration,
         "graph_link_health": q_graph_link_health,
@@ -3064,6 +3109,7 @@ def oracle_sql() -> Dict[str, str]:
         "graph_link_health": graphops.sql_link_health(),
         "dedup_minhash_calibration": dedup.sql_minhash_calibration(),
         "corpus_growth_curve": SQL_CORPUS_GROWTH_CURVE,
+        "window_event_mix": SQL_WINDOW_EVENT_MIX,
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
