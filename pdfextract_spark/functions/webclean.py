@@ -2099,3 +2099,66 @@ SELECT CAST(shard AS BIGINT) AS shard,
 FROM runs GROUP BY shard
 ORDER BY shard
 """
+
+
+# ------------------------------------------------------- URL features
+def url_features(urls: DataFrame) -> DataFrame:
+    """(doc_id, url, path_depth, url_len, n_params, has_fragment,
+    has_tracking) — the URL-side quality features web filters gate on
+    before reading a byte of content (FineWeb/RefinedWeb both URL-filter
+    first): deep paths and parameter-heavy URLs correlate with
+    auto-generated chaff, tracking params mark syndication. Pure regexp
+    Column algebra: ZERO shuffle, a narrow map over the frontier table."""
+    u = F.col("url")
+    no_scheme = F.regexp_replace(u, r"^https?://", "")
+    path = F.regexp_replace(no_scheme, r"[?#].*$", "")
+    depth = (
+        F.size(F.filter(F.split(path, "/"), lambda s: s != "")) - 1
+    ).cast("long")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    ).cast("long")
+    return urls.select(
+        "doc_id",
+        "url",
+        F.greatest(depth, F.lit(0).cast("long")).alias("path_depth"),
+        F.length(u).cast("long").alias("url_len"),
+        n_params.alias("n_params"),
+        u.contains("#").alias("has_fragment"),
+        u.rlike(r"[?&]utm_").alias("has_tracking"),
+    )
+
+
+def sql_url_features(table: str = "documents") -> str:
+    """DuckDB mirror of url_features over the synthesize_urls schedule."""
+    did = "CAST(doc_id AS BIGINT)"
+    base = (
+        f"'site' || CAST({did} // 5 AS VARCHAR) || '.org/a/p' "
+        f"|| CAST({did} // 50 AS VARCHAR)"
+    )
+    return f"""
+WITH u AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE CAST(doc_id AS BIGINT) % 5
+           WHEN 0 THEN 'https://' || {base}
+           WHEN 1 THEN 'http://www.' || {base} || '/'
+           WHEN 2 THEN 'https://' || {base} || '?utm_source=feed&utm_campaign=c1'
+           WHEN 3 THEN 'https://' || {base} || '#section-2'
+           ELSE 'https://' || {base} || '?id=7'
+         END AS url
+  FROM {table}
+)
+SELECT doc_id, url,
+       CAST(GREATEST(len(list_filter(string_split(
+              regexp_replace(regexp_replace(url, '^https?://', ''),
+                             '[?#].*$', ''), '/'), s -> s <> '')) - 1, 0)
+            AS BIGINT) AS path_depth,
+       CAST(length(url) AS BIGINT) AS url_len,
+       CAST(CASE WHEN regexp_extract(url, '\\?([^#]*)', 1) = '' THEN 0
+            ELSE len(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'))
+            END AS BIGINT) AS n_params,
+       (url LIKE '%#%') AS has_fragment,
+       regexp_matches(url, '[?&]utm_') AS has_tracking
+FROM u
+"""

@@ -1758,6 +1758,15 @@ ORDER BY cohort_day, day_offset
 """
 
 
+def q_web_url_features(spark, sf_dir):
+    """URL-side quality features (path depth, length, params, tracking)
+    over the crawl-frontier synthesis — the filter web pipelines run
+    before reading a byte of content. Zero shuffle."""
+    return webclean.url_features(
+        webclean.synthesize_urls(_t(spark, sf_dir, "documents"))
+    )
+
+
 def q_window_event_mix(spark, sf_dir):
     """Per-day event-type composition (count + per-mille share of the
     day): the adoption/drift relation — a type's share trending says a
@@ -2809,6 +2818,7 @@ def queries() -> Dict[str, Callable]:
     # driver round. All 180 stay pytest- and check_oracle-gated every
     # round (this session's full sweep: 180/180 OK).
     return {
+        "web_url_features": q_web_url_features,
         "window_event_mix": q_window_event_mix,
         "corpus_growth_curve": q_corpus_growth_curve,
         "dedup_minhash_calibration": q_dedup_minhash_calibration,
@@ -3110,6 +3120,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_minhash_calibration": dedup.sql_minhash_calibration(),
         "corpus_growth_curve": SQL_CORPUS_GROWTH_CURVE,
         "window_event_mix": SQL_WINDOW_EVENT_MIX,
+        "web_url_features": webclean.sql_url_features(),
         "text_tokenizer_fit": bpe.sql_tokenizer_fit(
             table=f"({textops.sql_synthesize_multilingual()})"
         ),
